@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the `noop` sink (full execution,
+no driver-side materialization — the same shape a real write has).
+Usage: `python bench.py [query ...]` to bench a subset; `--all` for
+every registered query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from big_data_analytics_final_project_spark import get_session
+from big_data_analytics_final_project_spark.queries import all_queries
+
+# Headline set: the reference's flagship analytics (SURVEY.md §2 / §7.3
+# M1-M2) plus one representative of each extension family (dedup,
+# similarity, text, windows/streaming-batch). Kept deliberately to the
+# queries a reference user actually runs, not the whole registry.
+HEADLINE = [
+    "pricing_summary",
+    "revenue_by_brand",
+    "top_spenders",
+    "product_popularity",
+    "also_bought_pairs",
+    "engagement_vs_spend",
+    "segment_counts",
+    "customer_order_history",
+    "events_sessionized",
+    "dedup_minhash_lsh",
+    "knn_bruteforce",
+    "doc_quality_score",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = None
+
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    specs = all_queries()
+    if "--all" in sys.argv:
+        names = sorted(specs)
+    elif args:
+        names = args
+    else:
+        names = HEADLINE
+    unknown = [n for n in names if n not in specs]
+    if unknown:
+        print(f"unknown queries: {unknown}; known: {sorted(specs)}", file=sys.stderr)
+        return 2
+
+    spark = get_session(app_name="bench", extra_conf={"spark.ui.enabled": "false"})
+    # One throwaway action to amortize JVM/session warm-up out of q1.
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,107 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary.
+
+Design (the Spark-side contract is real and tested; the codec calls are
+stubbed because no media libraries exist in this container):
+
+- A multimodal table is any DataFrame with a `binary` payload column
+  plus typed metadata columns (media_type, byte_len, format sniffed
+  from magic bytes).
+- Metadata extraction is pure column expressions (JVM-side).
+- Decode / feature-extract / resize / frame-sample run as Arrow-batched
+  `mapInPandas` — one Python worker per partition, whole Arrow record
+  batches per call, never row-at-a-time. At 100 TB the decode stage is
+  CPU-bound and embarrassingly parallel: `repartition` by size so every
+  task gets comparable byte volume, then pipeline decode → feature UDF
+  in one stage.
+
+`decode_image` raises NotImplementedError (clearly-marked stub);
+`fake_decode_meta` is the deterministic stand-in used by tests to prove
+the batch plumbing (schema, Arrow batch shape, partition behavior).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MAGIC_PREFIXES = {
+    "89504e47": "png",
+    "ffd8ff": "jpeg",
+    "47494638": "gif",
+    "52494646": "riff",  # wav/avi container
+    "664c6143": "flac",
+}
+
+
+def with_binary_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Typed metadata columns from the raw binary payload — byte length
+    and a magic-byte format sniff. Pure expressions; no Python."""
+    hex8 = F.lower(F.hex(F.substring(F.col(payload_col), 1, 4)))
+    fmt = F.lit("unknown")
+    # longest-prefix-first chain so 'ffd8ff' (3 bytes) doesn't shadow 4-byte magics
+    for prefix, name in sorted(MAGIC_PREFIXES.items(), key=lambda kv: -len(kv[0])):
+        fmt = F.when(hex8.startswith(prefix), F.lit(name)).otherwise(fmt)
+    return df.withColumn("byte_len", F.length(F.col(payload_col))).withColumn(
+        "format", fmt
+    )
+
+
+DECODED_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("byte_len", T.IntegerType()),
+        T.StructField("checksum_hex", T.StringType()),
+        T.StructField("fake_width", T.IntegerType()),
+        T.StructField("fake_height", T.IntegerType()),
+    ]
+)
+
+
+def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Real image decode (PIL/libjpeg) — NOT AVAILABLE in this
+    environment. The Arrow plumbing it would ride on is exercised by
+    `fake_decode_meta` below with an identical signature."""
+    raise NotImplementedError(
+        "image codecs are not installed in this container; "
+        "use fake_decode_meta for plumbing tests"
+    )
+
+
+def fake_decode_meta(
+    df: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Deterministic stand-in decoder over `mapInPandas`.
+
+    Consumes Arrow batches of (id, payload-bytes), emits typed metadata
+    rows: md5 checksum and fake dimensions derived from the payload
+    bytes. Shape-identical to what a real decoder stage returns, so the
+    partitioning / schema / batch contract is fully tested.
+    """
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf[payload_col]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "byte_len": payloads.map(len).astype("int32"),
+                    "checksum_hex": payloads.map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    ),
+                    "fake_width": payloads.map(
+                        lambda b: (len(b) % 640) + 1
+                    ).astype("int32"),
+                    "fake_height": payloads.map(
+                        lambda b: (bytes(b)[0] if len(b) else 0) + 1
+                    ).astype("int32"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches, schema=DECODED_META_SCHEMA
+    )

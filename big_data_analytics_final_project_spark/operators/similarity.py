@@ -1,0 +1,230 @@
+"""Similarity search over an embedding column (`array<float>`).
+
+Two strategies:
+
+- `knn_bruteforce`: exact cosine top-k — broadcast the (small) query
+  set against the full corpus; per-row dot products via array HOFs
+  inside codegen. O(|Q|·N): the correct baseline and the verifier for
+  the approximate path.
+- `ann_hyperplane_lsh`: random-hyperplane LSH — b signed projections
+  per vector form a bucket id; top-k is computed within matching
+  buckets only. The hyperplanes are ±1 weight vectors derived from md5
+  parity, so the whole thing is deterministic and reproducible in the
+  DuckDB oracle — no RNG state to ship.
+
+Numeric portability: all arithmetic in double after an explicit
+float→double cast; dot products are in-order left folds over the array
+(F.aggregate in Spark, list_aggregate-over-list_transform in DuckDB),
+so results are bit-identical across engines.
+
+Scale: at 100 TB the corpus side stays partitioned and is scanned once;
+the query side broadcasts. For corpus×corpus similarity joins you
+bucket both sides (the LSH path) so the shuffle key is the bucket id —
+candidates ∝ bucket collisions, never N².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# --- portable vector math (expr strings shared in spirit with SQL) ----
+
+
+def _as_double(col: str) -> F.Column:
+    return F.expr(f"transform({col}, x -> CAST(x AS DOUBLE))")
+
+
+def _dot(a: str, b: str) -> F.Column:
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def _norm2(a: str) -> F.Column:
+    return F.expr(f"aggregate(transform({a}, x -> x * x), 0.0D, (acc, v) -> acc + v)")
+
+
+def with_cosine(df: DataFrame, a: str, b: str, out: str = "cosine_sim") -> DataFrame:
+    """cos(a,b) = dot / (sqrt(n2a) * sqrt(n2b)); zero-norm guarded."""
+    return df.withColumn(
+        out,
+        F.when(
+            (_norm2(a) > 0) & (_norm2(b) > 0),
+            _dot(a, b) / (F.sqrt(_norm2(a)) * F.sqrt(_norm2(b))),
+        ).otherwise(F.lit(0.0)),
+    )
+
+
+DOT_SQL = (
+    "list_aggregate(list_transform(range(1, len({a}) + 1), "
+    "i -> {a}[i] * {b}[i]), 'sum')"
+)
+NORM2_SQL = "list_aggregate(list_transform({a}, x -> x * x), 'sum')"
+
+
+def cosine_sql(a: str, b: str) -> str:
+    dot = DOT_SQL.format(a=a, b=b)
+    na = NORM2_SQL.format(a=a)
+    nb = NORM2_SQL.format(a=b)
+    return (
+        f"CASE WHEN {na} > 0 AND {nb} > 0 "
+        f"THEN {dot} / (sqrt({na}) * sqrt({nb})) ELSE 0.0 END"
+    )
+
+
+# --- exact top-k -------------------------------------------------------
+
+
+def knn_bruteforce(
+    embeddings: DataFrame,
+    query_pred,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: rows matching `query_pred` are the queries;
+    all rows are candidates (self excluded). Query side is broadcast."""
+    from pyspark.sql import Window
+
+    base = embeddings.select(
+        F.col(id_col).alias("_id"), _as_double(vec_col).alias("_v")
+    )
+    queries = base.filter(query_pred(F.col("_id"))).select(
+        F.col("_id").alias("query_id"), F.col("_v").alias("qv")
+    )
+    cands = base.select(F.col("_id").alias("neighbor_id"), F.col("_v").alias("cv"))
+    scored = (
+        cands.crossJoin(F.broadcast(queries))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .transform(lambda d: with_cosine(d, "qv", "cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine_sim")
+        .orderBy("query_id", "rank")
+    )
+
+
+def knn_bruteforce_sql(query_where: str, k: int = 5) -> str:
+    cos = cosine_sql("q.qv", "c.cv")
+    return f"""
+WITH base AS (
+  SELECT vec_id AS _id, embedding::DOUBLE[] AS _v FROM embeddings
+),
+queries AS (SELECT _id AS query_id, _v AS qv FROM base WHERE {query_where}),
+cands AS (SELECT _id AS neighbor_id, _v AS cv FROM base),
+scored AS (
+  SELECT q.query_id, c.neighbor_id, {cos} AS cosine_sim
+  FROM cands c CROSS JOIN queries q
+  WHERE c.neighbor_id <> q.query_id
+)
+SELECT query_id, neighbor_id, rank, cosine_sim
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id
+  ) AS rank
+  FROM scored
+)
+WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+# --- hyperplane LSH ----------------------------------------------------
+
+N_PLANES = 8
+
+
+def _bucket_expr(vec: str) -> F.Column:
+    """8-char '0'/'1' bucket id from md5-parity ±1 hyperplanes.
+
+    Weight of plane p at dimension i is +1 iff the first hex digit of
+    md5('p:i') < '8'. The projection is an in-order fold; only its SIGN
+    is consumed, so float associativity is irrelevant — but it is
+    deterministic anyway.
+    """
+    proj = (
+        f"aggregate(zip_with({vec}, sequence(1, size({vec})), (x, i) -> "
+        f"CASE WHEN substring(md5(concat(CAST(p AS STRING), ':', CAST(i AS STRING))), 1, 1) < '8' "
+        f"THEN x ELSE -x END), 0.0D, (acc, v) -> acc + v)"
+    )
+    return F.expr(
+        f"concat_ws('', transform(sequence(0, {N_PLANES - 1}), p -> "
+        f"CASE WHEN {proj} > 0 THEN '1' ELSE '0' END))"
+    )
+
+
+def ann_hyperplane_lsh(
+    embeddings: DataFrame,
+    query_pred,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k within LSH buckets: join queries to candidates
+    sharing the bucket id, exact cosine inside the bucket."""
+    from pyspark.sql import Window
+
+    base = embeddings.select(
+        F.col(id_col).alias("_id"), _as_double(vec_col).alias("_v")
+    ).withColumn("bucket", _bucket_expr("_v"))
+    queries = base.filter(query_pred(F.col("_id"))).select(
+        F.col("_id").alias("query_id"), F.col("_v").alias("qv"), "bucket"
+    )
+    cands = base.select(
+        F.col("_id").alias("neighbor_id"), F.col("_v").alias("cv"), "bucket"
+    )
+    scored = (
+        cands.join(F.broadcast(queries), "bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .transform(lambda d: with_cosine(d, "qv", "cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "bucket", "neighbor_id", "rank", "cosine_sim")
+        .orderBy("query_id", "rank")
+    )
+
+
+def ann_hyperplane_lsh_sql(query_where: str, k: int = 3) -> str:
+    proj = (
+        "list_aggregate(list_transform(range(1, len(_v) + 1), i -> "
+        "CASE WHEN md5(p || ':' || i)[1] < '8' THEN _v[i] ELSE -_v[i] END), 'sum')"
+    )
+    bucket = (
+        f"array_to_string(list_transform(range(0, {N_PLANES}), p -> "
+        f"CASE WHEN {proj} > 0 THEN '1' ELSE '0' END), '')"
+    )
+    cos = cosine_sql("q.qv", "c.cv")
+    return f"""
+WITH base AS (
+  SELECT vec_id AS _id, embedding::DOUBLE[] AS _v,
+         {bucket} AS bucket
+  FROM embeddings
+),
+queries AS (SELECT _id AS query_id, _v AS qv, bucket FROM base WHERE {query_where}),
+cands AS (SELECT _id AS neighbor_id, _v AS cv, bucket FROM base),
+scored AS (
+  SELECT q.query_id, q.bucket, c.neighbor_id, {cos} AS cosine_sim
+  FROM cands c JOIN queries q USING (bucket)
+  WHERE c.neighbor_id <> q.query_id
+)
+SELECT query_id, bucket, neighbor_id, rank, cosine_sim
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id
+  ) AS rank
+  FROM scored
+)
+WHERE rank <= {k}
+ORDER BY query_id, rank
+"""

@@ -1,0 +1,408 @@
+"""Flagship batch analytics.
+
+Re-expresses the reference's batch surface (reference
+spark_analysis.py:49-143, TOP10.py, `PRODUCTS BOUGHT IN PAIRS  MOST
+FREQUENTLY`, PDF §7.2) over the engine's columnar zones. Operator IDs
+in docstrings refer to SURVEY.md §2.
+
+Scale notes (100 TB):
+- Dim joins (part/customer/nation/region) are explicit `broadcast()` —
+  no shuffle of the fact side (SURVEY OPT-14).
+- Fact-side aggregations are single-shuffle hash aggregates with
+  map-side partials (Spark does partial+final automatically).
+- Top-K uses orderBy+limit which Catalyst plans as
+  TakeOrderedAndProject — per-partition heaps + driver merge, never a
+  full global sort (SURVEY OPT-9).
+- The pair self-join shuffles both sides by order key once; per-order
+  fan-out is bounded (dedup first — SURVEY OPT-4), and AQE skew-join
+  splits any hot order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import exact_sum, exact_sum_sql
+from ..operators.pairs import copurchase_pairs, copurchase_pairs_hof
+from ..sources import load_table
+from . import QuerySpec
+
+_REVENUE = "l_extendedprice * (1 - l_discount)"
+
+
+def _revenue_col() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary — the engine's vertical slice
+    (scan → pushed filter → hash agg with exact decimal sums → sort).
+
+    Subsumes reference AGG-1's sum/count shape (spark_analysis.py:70-79)
+    on a flat fact table.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.to_timestamp(F.lit("1998-09-02 00:00:00"))
+    out = (
+        li.filter(F.col("l_shipdate") <= cutoff)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            exact_sum("l_quantity", "sum_qty"),
+            exact_sum("l_extendedprice", "sum_base_price"),
+            exact_sum(_revenue_col(), "sum_disc_price"),
+            exact_sum(_revenue_col() * (1 + F.col("l_tax")), "sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn("avg_qty", F.col("sum_qty") / F.col("count_order"))
+        .withColumn("avg_price", F.col("sum_base_price") / F.col("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+    return out
+
+
+PRICING_SUMMARY_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {exact_sum_sql("l_quantity", "sum_qty")},
+       {exact_sum_sql("l_extendedprice", "sum_base_price")},
+       {exact_sum_sql(_REVENUE, "sum_disc_price")},
+       {exact_sum_sql(_REVENUE + " * (1 + l_tax)", "sum_charge")},
+       count(*) AS count_order,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_price
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def revenue_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by product group — reference "revenue by category"
+    (AGG-1 + JOIN-1 + SRT-1, spark_analysis.py:49-83; Mongo variant
+    AGG-5, PDF §7.2(A)).
+
+    Left join keeps fact rows with no matching dim (null brand group),
+    matching the reference's left-join semantics
+    (spark_analysis.py:72-73). Dim side is broadcast: zero shuffle of
+    the 100 TB fact side.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left")
+        .groupBy("p_brand")
+        .agg(
+            exact_sum(_revenue_col(), "revenue"),
+            exact_sum("l_quantity", "units_sold"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("p_brand"))
+    )
+
+
+REVENUE_BY_BRAND_SQL = f"""
+SELECT p_brand,
+       {exact_sum_sql(_REVENUE, "revenue")},
+       {exact_sum_sql("l_quantity", "units_sold")},
+       count(DISTINCT l_orderkey) AS n_orders
+FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY revenue DESC, p_brand
+"""
+
+
+def top_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 customers by spend — reference AGG-2/SRT-1
+    (spark_analysis.py:90-106) and Mongo AGG-4 (TOP10.py).
+
+    orderBy+limit plans as TakeOrderedAndProject (no global sort).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            exact_sum("o_totalprice", "total_spent"),
+            F.count(F.lit(1)).alias("num_orders"),
+        )
+        .orderBy(F.col("total_spent").desc(), F.col("o_custkey"))
+        .limit(10)
+    )
+
+
+TOP_SPENDERS_SQL = f"""
+SELECT o_custkey,
+       {exact_sum_sql("o_totalprice", "total_spent")},
+       count(*) AS num_orders
+FROM orders
+GROUP BY o_custkey
+ORDER BY total_spent DESC, o_custkey
+LIMIT 10
+"""
+
+
+def top_customers_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 spenders with customer attributes — reference PDF §8.2
+    Table 2 shape (agg then broadcast dim join for the name)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    agg = orders.groupBy("o_custkey").agg(
+        exact_sum("o_totalprice", "total_spent"),
+        F.count(F.lit(1)).alias("num_orders"),
+    )
+    return (
+        agg.join(F.broadcast(cust), agg.o_custkey == cust.c_custkey, "inner")
+        .select("o_custkey", "c_name", "total_spent", "num_orders")
+        .orderBy(F.col("total_spent").desc(), F.col("o_custkey"))
+        .limit(5)
+    )
+
+
+TOP_CUSTOMERS_TOP5_SQL = f"""
+SELECT o_custkey, c_name,
+       {exact_sum_sql("o_totalprice", "total_spent")},
+       count(*) AS num_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY o_custkey, c_name
+ORDER BY total_spent DESC, o_custkey
+LIMIT 5
+"""
+
+
+def product_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 products by units sold — reference AGG-6 (PDF §7.2(B))."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(
+            exact_sum("l_quantity", "units_sold"),
+            exact_sum(_revenue_col(), "revenue"),
+        )
+        .orderBy(F.col("units_sold").desc(), F.col("l_partkey"))
+        .limit(10)
+    )
+
+
+PRODUCT_POPULARITY_SQL = f"""
+SELECT l_partkey,
+       {exact_sum_sql("l_quantity", "units_sold")},
+       {exact_sum_sql(_REVENUE, "revenue")}
+FROM lineitem
+GROUP BY l_partkey
+ORDER BY units_sold DESC, l_partkey
+LIMIT 10
+"""
+
+
+def also_bought_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 co-purchased product pairs via dedup + self-join
+    (reference DED-1/JOIN-2/FLT-2/AGG-3/SRT-2,
+    spark_analysis.py:113-143)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return copurchase_pairs(li, limit=50)
+
+
+def pairs_via_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same pair mining via array higher-order functions — the Mongo
+    `$reduce`/`$map` formulation (reference ARR-2, `PRODUCTS BOUGHT IN
+    PAIRS  MOST FREQUENTLY`:15-39) re-expressed with
+    transform/slice/flatten. Oracle is the SAME SQL as the self-join
+    path: differential proof the two formulations agree
+    (SURVEY.md §5 practice 4)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return copurchase_pairs_hof(li, limit=50)
+
+
+ALSO_BOUGHT_PAIRS_SQL = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS product_x, b.l_partkey AS product_y,
+       count(*) AS co_purchase_count
+FROM items a JOIN items b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY product_x, product_y
+ORDER BY co_purchase_count DESC, product_x, product_y
+LIMIT 50
+"""
+
+
+def order_item_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order basket stats — reference ARR-3 `size()` family
+    (load_hbase_sessions_stream.py:64-66) over relational line items."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.countDistinct("l_partkey").alias("n_distinct_parts"),
+            exact_sum("l_quantity", "total_qty"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+ORDER_ITEM_STATS_SQL = f"""
+SELECT l_orderkey,
+       count(*) AS n_items,
+       count(DISTINCT l_partkey) AS n_distinct_parts,
+       {exact_sum_sql("l_quantity", "total_qty")}
+FROM lineitem
+GROUP BY l_orderkey
+ORDER BY l_orderkey
+"""
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (capability upgrade; reference has no anti join —
+    SURVEY.md §2.4 'not present')."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").orderBy(
+        "c_custkey"
+    )
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+ORDER BY c_custkey
+"""
+
+
+def segment_purchasing_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join + agg: market segments of customers who ordered."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            exact_sum("c_acctbal", "sum_acctbal"),
+        )
+        .withColumn("avg_acctbal", F.col("sum_acctbal") / F.col("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+SEGMENT_PURCHASING_POWER_SQL = f"""
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       {exact_sum_sql("c_acctbal", "sum_acctbal")},
+       CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_acctbal
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (capability upgrade over the reference's
+    single-level group-bys)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(exact_sum(_revenue_col(), "revenue"), F.count(F.lit(1)).alias("n_rows"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+REVENUE_ROLLUP_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {exact_sum_sql(_REVENUE, "revenue")},
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
+def international_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop dim join chain (lineitem→supplier→nation→region),
+    every dim broadcast — the 100 TB-safe star-join shape."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(exact_sum(_revenue_col(), "revenue"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+INTERNATIONAL_REVENUE_SQL = f"""
+SELECT r_name, n_name, {exact_sum_sql(_REVENUE, "revenue")}
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (capability upgrade): per-user event-type counts as
+    columns. Explicit value list so the plan needs no discovery pass."""
+    events = load_table(spark, sf_dir, "events")
+    piv = (
+        events.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    out = piv.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES],
+    )
+    return out.orderBy("user_id")
+
+
+EVENT_TYPE_PIVOT_SQL = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click') AS n_click,
+       count(*) FILTER (event_type = 'error') AS n_error,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (event_type = 'signup') AS n_signup,
+       count(*) FILTER (event_type = 'view') AS n_view
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "pricing_summary": QuerySpec(pricing_summary, PRICING_SUMMARY_SQL),
+    "revenue_by_brand": QuerySpec(revenue_by_brand, REVENUE_BY_BRAND_SQL),
+    "top_spenders": QuerySpec(top_spenders, TOP_SPENDERS_SQL),
+    "top_customers_top5": QuerySpec(top_customers_top5, TOP_CUSTOMERS_TOP5_SQL),
+    "product_popularity": QuerySpec(product_popularity, PRODUCT_POPULARITY_SQL),
+    "also_bought_pairs": QuerySpec(also_bought_pairs, ALSO_BOUGHT_PAIRS_SQL),
+    "pairs_via_hof": QuerySpec(pairs_via_hof, ALSO_BOUGHT_PAIRS_SQL),
+    "order_item_stats": QuerySpec(order_item_stats, ORDER_ITEM_STATS_SQL),
+    "customers_without_orders": QuerySpec(
+        customers_without_orders, CUSTOMERS_WITHOUT_ORDERS_SQL
+    ),
+    "segment_purchasing_power": QuerySpec(
+        segment_purchasing_power, SEGMENT_PURCHASING_POWER_SQL
+    ),
+    "revenue_rollup": QuerySpec(revenue_rollup, REVENUE_ROLLUP_SQL),
+    "international_revenue": QuerySpec(international_revenue, INTERNATIONAL_REVENUE_SQL),
+    "event_type_pivot": QuerySpec(event_type_pivot, EVENT_TYPE_PIVOT_SQL),
+}

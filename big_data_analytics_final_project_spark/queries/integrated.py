@@ -1,0 +1,293 @@
+"""Integrated engagement-vs-spend analytics.
+
+The reference's EP-3 (integrated_query_engagement_vs_spend.py) scans
+HBase row-by-row into Python dicts, runs a Mongo aggregation, merges in
+pandas and hand-rolls Pearson correlation — four systems, one thread.
+Here the whole thing is ONE declarative Spark plan: two hash
+aggregations, a left join, derived expressions, exact-percentile
+thresholds and a deterministic correlation. Operator IDs: AGG-8..13,
+JOIN-3, FN-2..FN-5, SRT-4 (SURVEY.md §2).
+
+Mapping onto the engine's zones: `events` plays the session log
+(user_id, value≈duration), `orders` plays the transaction spend.
+
+Scale: both aggregations shuffle once on user key; the join keys are
+already the aggregation output keys so AQE can plan it without an extra
+exchange. The percentile thresholds aggregate to a single row that is
+broadcast back — no driver round-trip, no collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import (
+    CORR_FROM_COMPONENTS_SQL,
+    corr_components,
+    corr_components_sql,
+    corr_from_components,
+    exact_sum,
+    exact_sum_sql,
+)
+from ..sources import load_table
+from . import QuerySpec
+
+
+def user_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user engagement rollup — reference AGG-8/AGG-9
+    (integrated_query_engagement_vs_spend.py:51-67,160-168), the
+    defaultdict accumulation replaced by one hash aggregate."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("sessions_count"),
+            exact_sum("value", "total_duration"),
+        )
+        .withColumn("avg_duration", F.col("total_duration") / F.col("sessions_count"))
+        .orderBy("user_id")
+    )
+
+
+USER_ENGAGEMENT_SQL = f"""
+SELECT user_id,
+       count(*) AS sessions_count,
+       {exact_sum_sql("value", "total_duration")},
+       CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_duration
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user spend rollup — reference AGG-13 (the Mongo server-side
+    pipeline at integrated_query_engagement_vs_spend.py:96-111)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_custkey").alias("user_id"))
+        .agg(
+            exact_sum("o_totalprice", "total_spent"),
+            F.count(F.lit(1)).alias("num_orders"),
+        )
+        .orderBy("user_id")
+    )
+
+
+USER_SPEND_SQL = f"""
+SELECT o_custkey AS user_id,
+       {exact_sum_sql("o_totalprice", "total_spent")},
+       count(*) AS num_orders
+FROM orders
+GROUP BY o_custkey
+ORDER BY user_id
+"""
+
+
+def _joined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = user_engagement(spark, sf_dir)
+    spend = user_spend(spark, sf_dir)
+    return (
+        eng.join(spend, "user_id", "left")
+        .na.fill({"total_spent": 0.0, "num_orders": 0})
+    )
+
+
+_JOINED_SQL = f"""
+eng AS (
+  SELECT user_id, count(*) AS sessions_count,
+         {exact_sum_sql("value", "total_duration")},
+         CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_duration
+  FROM events GROUP BY user_id
+),
+spend AS (
+  SELECT o_custkey AS user_id,
+         {exact_sum_sql("o_totalprice", "total_spent")},
+         count(*) AS num_orders
+  FROM orders GROUP BY o_custkey
+),
+joined AS (
+  SELECT e.user_id, e.sessions_count, e.total_duration, e.avg_duration,
+         COALESCE(s.total_spent, 0.0) AS total_spent,
+         COALESCE(s.num_orders, 0) AS num_orders
+  FROM eng e LEFT JOIN spend s USING (user_id)
+)
+"""
+
+
+def engagement_vs_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full integrated analytic — join + null-fill (JOIN-3/FN-11),
+    derived expressions (FN-2..FN-5: the reference's row-wise pandas
+    `apply` lambdas become `when/otherwise` columns), and 4-way
+    segmentation on exact 75th-percentile thresholds (AGG-10/FN-4,
+    integrated_query_engagement_vs_spend.py:195-220)."""
+    joined = _joined(spark, sf_dir)
+    thresholds = joined.agg(
+        F.expr("CAST(percentile(sessions_count, 0.75) AS DOUBLE)").alias("q_sessions"),
+        F.expr("CAST(percentile(total_spent, 0.75) AS DOUBLE)").alias("q_spend"),
+    )
+    high_eng = F.col("sessions_count") >= F.col("q_sessions")
+    high_spend = F.col("total_spent") >= F.col("q_spend")
+    return (
+        joined.crossJoin(F.broadcast(thresholds))
+        .withColumn(
+            "engagement_score",
+            F.col("sessions_count") * (1.0 + F.col("avg_duration") / 600.0),
+        )
+        .withColumn(
+            "spend_per_order",
+            F.when(
+                F.col("num_orders") > 0, F.col("total_spent") / F.col("num_orders")
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn("is_buyer", F.col("num_orders") > 0)
+        .withColumn(
+            "segment",
+            F.when(high_eng & high_spend, "champions")
+            .when(high_eng & ~high_spend, "window_shoppers")
+            .when(~high_eng & high_spend, "efficient_buyers")
+            .otherwise("casual"),
+        )
+        .select(
+            "user_id",
+            "sessions_count",
+            "total_duration",
+            "avg_duration",
+            "total_spent",
+            "num_orders",
+            "engagement_score",
+            "spend_per_order",
+            "is_buyer",
+            "segment",
+        )
+        .orderBy(F.col("total_spent").desc(), F.col("sessions_count").desc(), "user_id")
+    )
+
+
+ENGAGEMENT_VS_SPEND_SQL = f"""
+WITH {_JOINED_SQL},
+thr AS (
+  SELECT CAST(quantile_cont(sessions_count, 0.75) AS DOUBLE) AS q_sessions,
+         CAST(quantile_cont(total_spent, 0.75) AS DOUBLE) AS q_spend
+  FROM joined
+)
+SELECT j.user_id, j.sessions_count, j.total_duration, j.avg_duration,
+       j.total_spent, j.num_orders,
+       j.sessions_count * (1.0 + j.avg_duration / 600.0) AS engagement_score,
+       CASE WHEN j.num_orders > 0 THEN j.total_spent / j.num_orders
+            ELSE 0.0 END AS spend_per_order,
+       j.num_orders > 0 AS is_buyer,
+       CASE
+         WHEN j.sessions_count >= t.q_sessions AND j.total_spent >= t.q_spend
+           THEN 'champions'
+         WHEN j.sessions_count >= t.q_sessions THEN 'window_shoppers'
+         WHEN j.total_spent >= t.q_spend THEN 'efficient_buyers'
+         ELSE 'casual'
+       END AS segment
+FROM joined j CROSS JOIN thr t
+ORDER BY j.total_spent DESC, j.sessions_count DESC, j.user_id
+"""
+
+
+def engagement_spend_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlations over buyers — reference AGG-11's hand-rolled
+    `pearson_corr` (integrated_query_engagement_vs_spend.py:121-133,
+    227-228), built from exact decimal moment sums so the result is
+    partitioning-independent (see functions/numeric.py). Degenerate
+    input → 0.0, matching the reference's guard."""
+    joined = _joined(spark, sf_dir).filter(F.col("total_spent") > 0)
+    spent = F.col("total_spent")
+    comp1 = joined.agg(*corr_components(spent, F.col("sessions_count").cast("double")))
+    comp2 = joined.agg(*corr_components(spent, F.col("total_duration")))
+    c1 = comp1.select(corr_from_components("corr_spent_sessions"))
+    c2 = comp2.select(corr_from_components("corr_spent_duration"))
+    return c1.crossJoin(c2)
+
+
+ENGAGEMENT_SPEND_CORRELATION_SQL = f"""
+WITH {_JOINED_SQL},
+buyers AS (SELECT * FROM joined WHERE total_spent > 0),
+m1 AS (
+  SELECT {corr_components_sql("total_spent", "CAST(sessions_count AS DOUBLE)")}
+  FROM buyers
+),
+m2 AS (
+  SELECT {corr_components_sql("total_spent", "total_duration")}
+  FROM buyers
+)
+SELECT
+  (SELECT {CORR_FROM_COMPONENTS_SQL} FROM m1) AS corr_spent_sessions,
+  (SELECT {CORR_FROM_COMPONENTS_SQL} FROM m2) AS corr_spent_duration
+"""
+
+
+def segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment frequency — reference AGG-12 (`value_counts()`,
+    integrated_query_engagement_vs_spend.py:230)."""
+    return (
+        engagement_vs_spend(spark, sf_dir)
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("segment")
+    )
+
+
+SEGMENT_COUNTS_SQL = f"""
+WITH {_JOINED_SQL},
+thr AS (
+  SELECT CAST(quantile_cont(sessions_count, 0.75) AS DOUBLE) AS q_sessions,
+         CAST(quantile_cont(total_spent, 0.75) AS DOUBLE) AS q_spend
+  FROM joined
+),
+segmented AS (
+  SELECT CASE
+           WHEN j.sessions_count >= t.q_sessions AND j.total_spent >= t.q_spend
+             THEN 'champions'
+           WHEN j.sessions_count >= t.q_sessions THEN 'window_shoppers'
+           WHEN j.total_spent >= t.q_spend THEN 'efficient_buyers'
+           ELSE 'casual'
+         END AS segment
+  FROM joined j CROSS JOIN thr t
+)
+SELECT segment, count(*) AS n_users
+FROM segmented
+GROUP BY segment
+ORDER BY segment
+"""
+
+
+def user_events_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup: one user's first 5 events in time order — the
+    HBase rowkey-prefix scan (reference SRC-4/OPT-3, PDF §7.5,
+    `PrefixFilter('user_000042|')` + LIMIT 5). On a `user_id`-
+    partitioned, `ts`-sorted Parquet layout this is partition pruning +
+    min/max skipping instead of a custom store."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("user_id") == 42)
+        .select("event_id", "ts", "event_type", "value")
+        .orderBy("ts", "event_id")
+        .limit(5)
+    )
+
+
+USER_EVENTS_LOOKUP_SQL = """
+SELECT event_id, ts, event_type, value
+FROM events
+WHERE user_id = 42
+ORDER BY ts, event_id
+LIMIT 5
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "user_engagement": QuerySpec(user_engagement, USER_ENGAGEMENT_SQL),
+    "user_spend": QuerySpec(user_spend, USER_SPEND_SQL),
+    "engagement_vs_spend": QuerySpec(engagement_vs_spend, ENGAGEMENT_VS_SPEND_SQL),
+    "engagement_spend_correlation": QuerySpec(
+        engagement_spend_correlation, ENGAGEMENT_SPEND_CORRELATION_SQL
+    ),
+    "segment_counts": QuerySpec(segment_counts, SEGMENT_COUNTS_SQL),
+    "user_events_lookup": QuerySpec(user_events_lookup, USER_EVENTS_LOOKUP_SQL),
+}

@@ -1,0 +1,39 @@
+"""Similarity-search queries over the `embeddings` zone
+(see operators/similarity.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.similarity import (
+    ann_hyperplane_lsh,
+    ann_hyperplane_lsh_sql,
+    knn_bruteforce,
+    knn_bruteforce_sql,
+)
+from ..sources import load_table
+from . import QuerySpec
+
+_N_QUERIES = 5  # vec_id < 5 are the query vectors
+_K_EXACT = 5
+_K_ANN = 3
+
+
+def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_bruteforce(emb, lambda c: c < _N_QUERIES, k=_K_EXACT)
+
+
+def ann_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_hyperplane_lsh(emb, lambda c: c < _N_QUERIES, k=_K_ANN)
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "knn_bruteforce": QuerySpec(
+        knn_bruteforce_q, knn_bruteforce_sql(f"_id < {_N_QUERIES}", _K_EXACT)
+    ),
+    "ann_hyperplane_lsh": QuerySpec(
+        ann_lsh_q, ann_hyperplane_lsh_sql(f"_id < {_N_QUERIES}", _K_ANN)
+    ),
+}

@@ -1,0 +1,181 @@
+"""Text-analysis queries over the `documents` zone — the large-scale
+training-data-pipeline surface (token stats, quality scoring, language
+ID, fingerprinting). All pure column expressions: one parquet scan, one
+narrow projection, no shuffle at all until the optional ORDER BY —
+embarrassingly parallel at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    LANG_MARKERS,
+    alpha_ratio,
+    alpha_ratio_sql,
+    norm_text,
+    norm_text_sql,
+    shingles3,
+    shingles3_sql,
+    stopword_ratio,
+    stopword_ratio_sql,
+    tokens,
+    tokens_sql,
+)
+from ..sources import load_table
+from . import QuerySpec
+
+
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer over normalized text):
+    token count, distinct tokens, char counts, mean token length."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_raw"),
+        F.length(norm_text(F.col("text"))).alias("n_chars_norm"),
+        n.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.when(n > 0, (F.length(norm_text(F.col("text"))) - (n - 1)).cast("double") / n)
+        .otherwise(F.lit(0.0))
+        .alias("mean_token_len"),
+    ).orderBy("doc_id")
+
+
+_TOKS = tokens_sql("text")
+DOC_TOKEN_STATS_SQL = f"""
+SELECT doc_id,
+       length(text) AS n_chars_raw,
+       length({norm_text_sql("text")}) AS n_chars_norm,
+       len({_TOKS}) AS n_tokens,
+       len(list_distinct({_TOKS})) AS n_distinct_tokens,
+       CASE WHEN len({_TOKS}) > 0 THEN
+         CAST(length({norm_text_sql("text")}) - (len({_TOKS}) - 1) AS DOUBLE)
+           / len({_TOKS})
+       ELSE 0.0 END AS mean_token_len
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring (length band + character mix +
+    stopword ratio) — the classic pre-training filter shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    length_score = F.when((n >= 20) & (n <= 5000), F.lit(1.0)).otherwise(F.lit(0.5))
+    sw = stopword_ratio(F.col("text"))
+    al = alpha_ratio(F.col("text"))
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        sw.alias("stopword_ratio"),
+        al.alias("alpha_ratio"),
+        (length_score * 0.4 + al * 0.4 + sw * 0.2).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+DOC_QUALITY_SCORE_SQL = f"""
+SELECT doc_id,
+       len({_TOKS}) AS n_tokens,
+       {stopword_ratio_sql("text")} AS stopword_ratio,
+       {alpha_ratio_sql("text")} AS alpha_ratio,
+       (CASE WHEN len({_TOKS}) BETWEEN 20 AND 5000 THEN 1.0 ELSE 0.5 END) * 0.4
+         + ({alpha_ratio_sql("text")}) * 0.4
+         + ({stopword_ratio_sql("text")}) * 0.2 AS quality_score
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID: per-language marker hit counts,
+    argmax with deterministic tie-break (score desc, language asc),
+    'und' when nothing matches."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(tokens(F.col("text")))
+    scores = [
+        F.size(F.filter(toks, lambda x: x.isin(*marks))).alias(f"score_{lang}")
+        for lang, marks in LANG_MARKERS.items()
+    ]
+    scored = docs.select("doc_id", F.col("lang").alias("lang_label"), *scores)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.col(f"score_{lang}").alias("score"), F.lit(lang).alias("lang")
+            )
+            for lang in LANG_MARKERS
+        ]
+    )
+    # array_max on struct compares field-by-field: (score, lang) — ties on
+    # score resolve to the lexicographically largest lang; the SQL twin
+    # uses the same struct ordering.
+    best = F.array_max(pairs)
+    return scored.select(
+        "doc_id",
+        "lang_label",
+        *[F.col(f"score_{lang}") for lang in LANG_MARKERS],
+        F.when(best.getField("score") > 0, best.getField("lang"))
+        .otherwise(F.lit("und"))
+        .alias("lang_pred"),
+    ).orderBy("doc_id")
+
+
+def _lang_score_sql(lang: str) -> str:
+    marks = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    return (
+        f"len(list_filter(list_distinct({_TOKS}), x -> x IN ({marks})))"
+    )
+
+
+_LANG_STRUCTS = ", ".join(
+    f"{{'score': {_lang_score_sql(lang)}, 'lang': '{lang}'}}" for lang in LANG_MARKERS
+)
+DOC_LANG_ID_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, lang AS lang_label,
+         {", ".join(f"{_lang_score_sql(lang)} AS score_{lang}" for lang in LANG_MARKERS)},
+         list_aggregate([{_LANG_STRUCTS}], 'max') AS best
+  FROM documents
+)
+SELECT doc_id, lang_label,
+       {", ".join(f"score_{lang}" for lang in LANG_MARKERS)},
+       CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS lang_pred
+FROM scored
+ORDER BY doc_id
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: whole-content hash of normalized text
+    plus a shingle fingerprint (lexicographic min of 3-shingle md5s —
+    a 1-perm minhash), the standard near-dup sort key."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles3(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.md5(norm_text(F.col("text"))).alias("content_fp"),
+        F.array_min(F.transform(sh, F.md5)).alias("shingle_fp"),
+    ).orderBy("doc_id")
+
+
+DOC_FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       md5({norm_text_sql("text")}) AS content_fp,
+       list_aggregate(list_transform({shingles3_sql("text")}, s -> md5(s)), 'min')
+         AS shingle_fp
+FROM documents
+ORDER BY doc_id
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "doc_token_stats": QuerySpec(doc_token_stats, DOC_TOKEN_STATS_SQL),
+    "doc_quality_score": QuerySpec(doc_quality_score, DOC_QUALITY_SCORE_SQL),
+    "doc_lang_id": QuerySpec(doc_lang_id, DOC_LANG_ID_SQL),
+    "doc_fingerprint": QuerySpec(doc_fingerprint, DOC_FINGERPRINT_SQL),
+}

@@ -1,0 +1,81 @@
+"""Sources: parquet storage zones + view registration.
+
+The reference spread its data model across MongoDB collections, HBase
+wide-column tables, and raw JSON files (SURVEY.md §1.1, reference
+README.md:12-16). Here every entity is a columnar Parquet "zone" read
+through one API; predicate pushdown, column pruning and partition
+pruning then come from Catalyst instead of per-store client code
+(e.g. the hand-rolled HBase column projection at reference
+integrated_query_engagement_vs_spend.py:44-57 is just ``df.select``).
+
+JSON/CSV readers are kept for ingest parity with the reference's
+``read.json`` surface (reference spark_analysis.py:42,46) but with
+explicit schemas — inference is a full extra pass over 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import expr
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any realistic scale
+# (region/nation are fixed-cardinality; part/customer/supplier grow with
+# SF but stay dim-sized relative to the fact tables).
+BROADCASTABLE = {"region", "nation", "part", "customer", "supplier"}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar scan of one zone; Catalyst prunes columns/filters.
+
+    The `events` zone stores TIMESTAMP(NANOS); Spark reads it as raw
+    nanos (`nanosAsLong`, see session.py) and we convert to
+    microsecond TimestampType here with integer division — same
+    truncation DuckDB applies, so both engines see identical instants.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every zone as a temp view so `spark.sql` works alongside
+    the DataFrame API (both build the same Catalyst plans)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
+
+
+def read_json_zone(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Ingest-parity reader for JSON drops (reference SRC-1/SRC-5,
+    spark_analysis.py:42 and load_hbase_sessions_stream.py:32) with an
+    explicit schema instead of inference."""
+    return spark.read.schema(schema).json(path)
+
+
+def read_csv_zone(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """CSV read-back (reference SRC-6, plots_from_spark_outputs.py:10-14)."""
+    reader = spark.read.option("header", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)

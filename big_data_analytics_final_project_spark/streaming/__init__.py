@@ -1,0 +1,104 @@
+"""Structured Streaming surface.
+
+The reference's only 'streaming' is batch-incremental plumbing: ijson
+parse + batched HBase puts (reference load_hbase_sessions_stream.py:32,
+77-79) over a time-ordered rowkey. SURVEY.md §7.6 maps that to the real
+thing: file-source `readStream` → watermarked event-time windows →
+`foreachBatch` sinks mirroring the loader's flush cadence.
+
+Every aggregation here is the SAME expression its batch twin in
+queries/windows.py uses — batch mode is how the oracle checks it
+(Structured Streaming's unified model makes the plans literally
+shared).
+
+Scale: state-store size is bounded by the watermark horizon; the
+session-window aggregation keys state by (user, session) and evicts on
+watermark passage — the knobs that matter at 100 TB are the watermark
+delay and `spark.sql.streaming.statePartitions` (shuffle partitions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, fmt: str = "parquet", max_files: int = 1
+) -> DataFrame:
+    """File-source event stream (micro-batch per file drop — the
+    streaming analog of the reference's chunked sessions_*.json
+    ingest, data_generator.py:241-248)."""
+    reader = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .format(fmt)
+    )
+    return reader.load(path)
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window counts — streaming twin of
+    queries/windows.events_tumbling_hourly."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionized_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Built-in `session_window` sessionization — the incremental twin
+    of operators/sessionize.py. Window end = last event + gap (Spark
+    semantics), so `duration_s` here includes the trailing gap; the
+    batch twin reports last−first. Both are exposed deliberately."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("user_id"),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def write_foreach_batch(df: DataFrame, out_dir: str, checkpoint: str, batch_fn=None):
+    """foreachBatch sink — the engine's analog of the reference's
+    batched wide-column writes with periodic flush (SNK-1,
+    load_hbase_sessions_stream.py:27,77-79). Default behavior appends
+    each micro-batch to partitioned parquet."""
+
+    def _default(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(f"{out_dir}/batch={batch_id}")
+
+    return (
+        df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(batch_fn or _default)
+    )
