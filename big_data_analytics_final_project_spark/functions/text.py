@@ -38,11 +38,20 @@ def tokens_sql(expr: str) -> str:
 # 3-token shingles, 1-based indexing in both engines.
 
 
-def shingles3(col: Column) -> Column:
-    """Array of 3-token shingles; falls back to the whole normalized
-    text when there are fewer than 3 tokens (so every doc has ≥1
-    shingle)."""
-    toks = tokens(col)
+def shingles3_from_tokens(toks: Column) -> Column:
+    """3-token shingles from an ALREADY-BOUND token-array column.
+
+    Callers must materialize the token array in its own projection
+    (`df.select(tokens(...).alias("toks")).select(shingles3_from_tokens
+    (col("toks")))`) — `toks` is then a cheap attribute reference.
+    Passing `tokens(col)` directly re-inlines the regexp+split at every
+    one of the ~6 references here (×3 per shingle inside the lambda),
+    which is a >100× per-row blowup Catalyst will not undo
+    (CollapseProject keeps expensive multi-referenced aliases in their
+    own projection, so the two-step form evaluates the split once).
+
+    Falls back to the whole normalized text (== tokens re-joined) when
+    there are fewer than 3 tokens, so every doc has ≥1 shingle."""
     make = F.transform(
         F.sequence(F.lit(1), F.size(toks) - 2),
         lambda i: F.concat_ws(
@@ -52,17 +61,31 @@ def shingles3(col: Column) -> Column:
             F.element_at(toks, i + 2),
         ),
     )
-    return F.when(F.size(toks) >= 3, make).otherwise(F.array(norm_text(col)))
+    return F.when(F.size(toks) >= 3, make).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
+
+
+def shingles3(col: Column) -> Column:
+    """One-shot shingle expression (inlines tokenization — fine for
+    single-reference projections; use shingles3_from_tokens + a bound
+    token column anywhere the shingle array feeds further array ops)."""
+    return shingles3_from_tokens(tokens(col))
+
+
+def shingles3_from_tokens_sql(tvar: str) -> str:
+    """DuckDB twin of `shingles3_from_tokens`; `tvar` names a bound
+    token-list column (use a CTE: `WITH toks AS (SELECT ...)`)."""
+    return (
+        f"CASE WHEN len({tvar}) >= 3 THEN "
+        f"list_transform(range(1, len({tvar}) - 1), "
+        f"i -> {tvar}[i] || ' ' || {tvar}[i+1] || ' ' || {tvar}[i+2]) "
+        f"ELSE [array_to_string({tvar}, ' ')] END"
+    )
 
 
 def shingles3_sql(expr: str) -> str:
-    toks = tokens_sql(expr)
-    return (
-        f"CASE WHEN len({toks}) >= 3 THEN "
-        f"list_transform(range(1, len({toks}) - 1), "
-        f"i -> {toks}[i] || ' ' || {toks}[i+1] || ' ' || {toks}[i+2]) "
-        f"ELSE [{norm_text_sql(expr)}] END"
-    )
+    return shingles3_from_tokens_sql(tokens_sql(expr))
 
 
 # --- quality / language heuristics -------------------------------------

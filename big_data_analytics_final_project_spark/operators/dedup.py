@@ -28,7 +28,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import shingles3, shingles3_sql, tokens, tokens_sql
+from ..functions.text import (
+    shingles3_from_tokens,
+    shingles3_from_tokens_sql,
+    tokens,
+    tokens_sql,
+)
 
 # ---------------------------------------------------------------- exact
 
@@ -58,10 +63,32 @@ ORDER BY keep_doc_id
 # -------------------------------------------------------------- jaccard
 
 
-def _token_sets(docs: DataFrame, term_expr, id_col: str) -> DataFrame:
+def _word_sets(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return docs.select(
-        F.col(id_col).alias("doc_id"), F.array_distinct(term_expr).alias("terms")
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(tokens(F.col(text_col))).alias("terms"),
     )
+
+
+def _shingle_sets(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Distinct 3-shingle set per doc, with the token array bound in
+    its own projection so tokenization runs once per row (see
+    shingles3_from_tokens)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
+    ).select(
+        "doc_id",
+        F.array_distinct(shingles3_from_tokens(F.col("toks"))).alias("terms"),
+    )
+
+
+# Shared oracle CTE prefix: bound token list → distinct shingle set.
+_SHINGLE_SETS_CTE = f"""
+toksrc AS (SELECT doc_id, {tokens_sql("text")} AS t FROM documents),
+sets AS (
+  SELECT doc_id, list_distinct({shingles3_from_tokens_sql("t")}) AS terms
+  FROM toksrc
+)"""
 
 
 def jaccard_pairs(
@@ -71,34 +98,80 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     use_shingles: bool = False,
 ) -> DataFrame:
-    """Exact set-Jaccard near-dup pairs via inverted-index self-join.
+    """Exact set-Jaccard near-dup pairs with PPJoin-style prefix
+    filtering.
 
-    intersection(a,b) counted by joining the exploded term lists on the
-    term; |union| = |A| + |B| − |A∩B|.
+    The naive inverted-index self-join fans out quadratically on
+    high-document-frequency terms (a stopword present in every doc
+    alone yields N²/2 pairs). Prefix filtering keeps the result EXACT
+    while joining only rare terms: order every doc's terms by global
+    (df, term); any pair with Jaccard ≥ t must share a term among each
+    doc's first ⌊(1−t)·|terms|⌋+2 terms in that order (the classic
+    prefix bound |A|−⌈t·|A|⌉+1, padded +1 to absorb float rounding —
+    a longer prefix only adds candidates, never loses any). Candidates
+    are then verified exactly via array_intersect on the full sets.
+    The oracle (`jaccard_pairs_sql`) remains the all-pairs spec; this
+    plan must — and does — produce identical rows.
+
+    For threshold=0 the filter is vacuous and the all-pairs join runs
+    (kept as the semantic reference path).
     """
-    term_expr = shingles3(F.col(text_col)) if use_shingles else tokens(F.col(text_col))
-    sets = _token_sets(docs, term_expr, id_col)
-    sizes = sets.select("doc_id", F.size("terms").alias("sz"))
-    inv = sets.select("doc_id", F.explode("terms").alias("term"))
-    a = inv.alias("a")
-    b = inv.alias("b")
-    inter = (
-        a.join(b, F.col("a.term") == F.col("b.term"))
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    sets = (
+        _shingle_sets(docs, text_col, id_col)
+        if use_shingles
+        else _word_sets(docs, text_col, id_col)
     )
-    sza = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    szb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    inv = sets.select("doc_id", F.explode("terms").alias("term"))
+    if threshold > 0:
+        from pyspark.sql import Window
+
+        df_counts = inv.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        prefix = (
+            inv.join(df_counts, "term")
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("doc_id").orderBy("df", "term")
+                ),
+            )
+            .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+            .filter(
+                F.col("rn") <= F.floor((1.0 - threshold) * F.col("sz")) + F.lit(2)
+            )
+            .select("doc_id", "term")
+        )
+        a = prefix.alias("a")
+        b = prefix.alias("b")
+        cands = (
+            a.join(b, "term")
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .dropDuplicates()
+        )
+    else:
+        a = inv.alias("a")
+        b = inv.alias("b")
+        cands = (
+            a.join(b, "term")
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .dropDuplicates()
+        )
+    sets_a = sets.select(F.col("doc_id").alias("doc_a"), F.col("terms").alias("terms_a"))
+    sets_b = sets.select(F.col("doc_id").alias("doc_b"), F.col("terms").alias("terms_b"))
+    n_common = F.size(F.array_intersect(F.col("terms_a"), F.col("terms_b")))
     return (
-        inter.join(sza, "doc_a")
-        .join(szb, "doc_b")
+        cands.join(sets_a, "doc_a")
+        .join(sets_b, "doc_b")
+        .withColumn("n_common", n_common)
         .withColumn(
             "jaccard",
             F.col("n_common").cast("double")
-            / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+            / (F.size("terms_a") + F.size("terms_b") - F.col("n_common")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_common", "jaccard")
@@ -107,11 +180,16 @@ def jaccard_pairs(
 
 
 def jaccard_pairs_sql(threshold: float = 0.9, use_shingles: bool = False) -> str:
-    terms = shingles3_sql("text") if use_shingles else tokens_sql("text")
+    sets_cte = (
+        _SHINGLE_SETS_CTE
+        if use_shingles
+        else f"""
+sets AS (
+  SELECT doc_id, list_distinct({tokens_sql("text")}) AS terms FROM documents
+)"""
+    )
     return f"""
-WITH sets AS (
-  SELECT doc_id, list_distinct({terms}) AS terms FROM documents
-),
+WITH {sets_cte},
 sizes AS (SELECT doc_id, len(terms) AS sz FROM sets),
 inv AS (SELECT doc_id, unnest(terms) AS term FROM sets),
 inter AS (
@@ -141,7 +219,7 @@ def minhash_signatures(
     """Per-doc MinHash signature: for each seed s, the lexicographic min
     of md5("s:" + shingle). One explode + one groupBy with N_SEEDS min
     aggregates — a single shuffle, map-side combinable."""
-    sets = _token_sets(docs, shingles3(F.col(text_col)), id_col)
+    sets = _shingle_sets(docs, text_col, id_col)
     exploded = sets.select("doc_id", F.explode("terms").alias("term"))
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("term")))).alias(f"mh{s}")
@@ -160,39 +238,57 @@ def minhash_lsh_pairs(
 
     Band b matches when both of its 2 signature rows agree; a pair is a
     candidate if ANY band matches (union of N_BANDS equi-joins,
-    deduped). Candidates are then verified with exact shingle-set
-    Jaccard, so false positives cost only the verify join.
+    deduped). ONLY the candidates are then verified, by joining their
+    shingle sets back and taking `size(array_intersect(...))` — the
+    verify cost is ∝ candidates (∝ near-dups), never ∝ N². This is
+    what makes the operator the 100 TB path: the all-pairs inverted-
+    index join of `jaccard_pairs` never runs here.
     """
     sigs = minhash_signatures(docs, text_col, id_col)
-    bands = sigs.select(
+    # One long-form (doc_id, band_idx, band_key) relation and ONE
+    # self-join on (band_idx, band_key) — instead of N_BANDS separate
+    # joins, whose differing projections defeat Spark's ReuseExchange
+    # and recompute the signature pipeline 2×N_BANDS times. Here both
+    # join sides are the identical subplan, so the signature shuffle is
+    # computed once and reused.
+    bands_long = sigs.select(
         "doc_id",
-        *[
-            F.concat(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")).alias(f"band{b}")
-            for b in range(N_BANDS)
-        ],
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
     )
-    cands = None
-    for b in range(N_BANDS):
-        left = bands.select(F.col("doc_id").alias("doc_a"), F.col(f"band{b}").alias("bk"))
-        right = bands.select(F.col("doc_id").alias("doc_b"), F.col(f"band{b}").alias("bk"))
-        c = left.join(right, "bk").where(F.col("doc_a") < F.col("doc_b")).select(
-            "doc_a", "doc_b"
-        )
-        cands = c if cands is None else cands.unionByName(c)
-    cands = cands.dropDuplicates()
+    cands = (
+        bands_long.alias("a")
+        .join(bands_long.alias("b"), ["band_idx", "band_key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates()
+    )
 
-    verified = jaccard_pairs(
-        docs, threshold=0.0, text_col=text_col, id_col=id_col, use_shingles=True
-    ).select("doc_a", "doc_b", "jaccard")
+    sets = _shingle_sets(docs, text_col, id_col)
+    sets_a = sets.select(F.col("doc_id").alias("doc_a"), F.col("terms").alias("terms_a"))
+    sets_b = sets.select(F.col("doc_id").alias("doc_b"), F.col("terms").alias("terms_b"))
+    n_common = F.size(F.array_intersect(F.col("terms_a"), F.col("terms_b")))
     return (
-        cands.join(verified, ["doc_a", "doc_b"])
+        cands.join(sets_a, "doc_a")
+        .join(sets_b, "doc_b")
+        .withColumn(
+            "jaccard",
+            n_common.cast("double")
+            / (F.size("terms_a") + F.size("terms_b") - n_common),
+        )
         .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
 
 
 def minhash_lsh_pairs_sql(threshold: float = 0.8) -> str:
-    shingles = shingles3_sql("text")
     mh_cols = ", ".join(
         f"min(md5('{s}:' || term)) AS mh{s}" for s in range(N_SEEDS)
     )
@@ -206,27 +302,24 @@ def minhash_lsh_pairs_sql(threshold: float = 0.8) -> str:
         for b in range(N_BANDS)
     )
     return f"""
-WITH sets AS (
-  SELECT doc_id, list_distinct({shingles}) AS terms FROM documents
-),
+WITH {_SHINGLE_SETS_CTE},
 exploded AS (SELECT doc_id, unnest(terms) AS term FROM sets),
 sigs AS (SELECT doc_id, {mh_cols} FROM exploded GROUP BY doc_id),
 bands AS (SELECT doc_id, {band_cols} FROM sigs),
 cands AS ({band_joins}),
-sizes AS (SELECT doc_id, len(terms) AS sz FROM sets),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-  FROM exploded a JOIN exploded b ON a.term = b.term AND a.doc_id < b.doc_id
-  GROUP BY doc_a, doc_b
+verified AS (
+  SELECT c.doc_a AS doc_a, c.doc_b AS doc_b,
+         len(list_intersect(sa.terms, sb.terms)) AS n_common,
+         len(sa.terms) AS sz_a, len(sb.terms) AS sz_b
+  FROM cands c
+  JOIN sets sa ON sa.doc_id = c.doc_a
+  JOIN sets sb ON sb.doc_id = c.doc_b
 )
-SELECT c.doc_a AS doc_a, c.doc_b AS doc_b,
-       CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) AS jaccard
-FROM cands c
-JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-JOIN sizes sa ON sa.doc_id = c.doc_a
-JOIN sizes sb ON sb.doc_id = c.doc_b
-WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= {threshold}
-ORDER BY c.doc_a, c.doc_b
+SELECT doc_a, doc_b,
+       CAST(n_common AS DOUBLE) / (sz_a + sz_b - n_common) AS jaccard
+FROM verified
+WHERE CAST(n_common AS DOUBLE) / (sz_a + sz_b - n_common) >= {threshold}
+ORDER BY doc_a, doc_b
 """
 
 
@@ -247,7 +340,7 @@ def simhash_signatures(
     (doc, bit), re-assemble with sum(bit << b). Two shuffles on doc_id;
     both map-side combinable.
     """
-    sets = _token_sets(docs, shingles3(F.col(text_col)), id_col)
+    sets = _shingle_sets(docs, text_col, id_col)
     exploded = (
         sets.select("doc_id", F.explode("terms").alias("term"))
         .select("doc_id", F.md5("term").alias("h"))
@@ -290,32 +383,33 @@ def simhash_pairs(
     scale path: no N² comparison ever happens.
     """
     sigs = simhash_signatures(docs, text_col, id_col)
-    chunks = sigs.select(
+    # Long-form (doc_id, simhash, chunk_idx, chunk_key) + ONE self-join
+    # on (chunk_idx, chunk_key): identical subplans on both sides →
+    # Spark reuses the signature shuffle instead of recomputing it per
+    # chunk (see minhash_lsh_pairs for the same pattern).
+    chunks_long = sigs.select(
         "doc_id",
         "simhash",
-        *[
-            (F.shiftright(F.col("simhash"), 15 * c) % (1 << 15)).alias(f"c{c}")
-            for c in range(4)
-        ],
+        F.posexplode(
+            F.array(
+                *[
+                    (F.shiftright(F.col("simhash"), 15 * c) % (1 << 15))
+                    for c in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_key"),
     )
-    cands = None
-    for c in range(4):
-        left = chunks.select(
-            F.col("doc_id").alias("doc_a"),
-            F.col("simhash").alias("sh_a"),
-            F.col(f"c{c}").alias("ck"),
-        )
-        right = chunks.select(
-            F.col("doc_id").alias("doc_b"),
-            F.col("simhash").alias("sh_b"),
-            F.col(f"c{c}").alias("ck"),
-        )
-        j = left.join(right, "ck").where(F.col("doc_a") < F.col("doc_b")).select(
-            "doc_a", "doc_b", "sh_a", "sh_b"
-        )
-        cands = j if cands is None else cands.unionByName(j)
     return (
-        cands.dropDuplicates(["doc_a", "doc_b"])
+        chunks_long.alias("a")
+        .join(chunks_long.alias("b"), ["chunk_idx", "chunk_key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
         .withColumn("hamming", F.expr("bit_count(sh_a ^ sh_b)"))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
@@ -324,7 +418,6 @@ def simhash_pairs(
 
 
 def simhash_pairs_sql(max_hamming: int = 3) -> str:
-    shingles = shingles3_sql("text")
     chunk_cols = ", ".join(
         f"(simhash >> {15 * c}) % {1 << 15} AS c{c}" for c in range(4)
     )
@@ -336,9 +429,7 @@ def simhash_pairs_sql(max_hamming: int = 3) -> str:
         for c in range(4)
     )
     return f"""
-WITH sets AS (
-  SELECT doc_id, list_distinct({shingles}) AS terms FROM documents
-),
+WITH {_SHINGLE_SETS_CTE},
 hashed AS (
   SELECT doc_id, md5(term) AS h
   FROM (SELECT doc_id, unnest(terms) AS term FROM sets)

@@ -18,7 +18,7 @@ from ..operators.dedup import (
 from ..sources import load_table
 from . import QuerySpec
 
-JACCARD_THRESHOLD = 0.9
+JACCARD_THRESHOLD = 0.8
 MINHASH_THRESHOLD = 0.8
 SIMHASH_MAX_HAMMING = 3
 
@@ -28,8 +28,16 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (3-shingle) Jaccard — shingles, not word unigrams:
+    the corpus vocabulary is tiny (~31 words, every token in ~78% of
+    docs) so unigram sets are near-identical across all docs and any
+    exact algorithm degenerates to all-pairs; 3-gram shingles are
+    distinctive (df ≈ 8), which is what makes the prefix-filtered
+    inverted index sparse."""
     return jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=JACCARD_THRESHOLD
+        load_table(spark, sf_dir, "documents"),
+        threshold=JACCARD_THRESHOLD,
+        use_shingles=True,
     )
 
 
@@ -48,7 +56,7 @@ def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(dedup_exact_q, DEDUP_EXACT_SQL),
     "dedup_jaccard_pairs": QuerySpec(
-        dedup_jaccard_q, jaccard_pairs_sql(JACCARD_THRESHOLD)
+        dedup_jaccard_q, jaccard_pairs_sql(JACCARD_THRESHOLD, use_shingles=True)
     ),
     "dedup_minhash_lsh": QuerySpec(
         dedup_minhash_q, minhash_lsh_pairs_sql(MINHASH_THRESHOLD)

@@ -16,8 +16,8 @@ from ..functions.text import (
     alpha_ratio_sql,
     norm_text,
     norm_text_sql,
-    shingles3,
-    shingles3_sql,
+    shingles3_from_tokens,
+    shingles3_from_tokens_sql,
     stopword_ratio,
     stopword_ratio_sql,
     tokens,
@@ -155,20 +155,27 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus a shingle fingerprint (lexicographic min of 3-shingle md5s —
     a 1-perm minhash), the standard near-dup sort key."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingles3(F.col("text"))
-    return docs.select(
-        "doc_id",
-        F.md5(norm_text(F.col("text"))).alias("content_fp"),
-        F.array_min(F.transform(sh, F.md5)).alias("shingle_fp"),
-    ).orderBy("doc_id")
+    return (
+        docs.select("doc_id", "text", tokens(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            F.md5(norm_text(F.col("text"))).alias("content_fp"),
+            F.array_min(
+                F.transform(shingles3_from_tokens(F.col("toks")), F.md5)
+            ).alias("shingle_fp"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 DOC_FINGERPRINT_SQL = f"""
+WITH toksrc AS (SELECT doc_id, text, {tokens_sql("text")} AS t FROM documents)
 SELECT doc_id,
        md5({norm_text_sql("text")}) AS content_fp,
-       list_aggregate(list_transform({shingles3_sql("text")}, s -> md5(s)), 'min')
+       list_aggregate(
+         list_transform({shingles3_from_tokens_sql("t")}, s -> md5(s)), 'min')
          AS shingle_fp
-FROM documents
+FROM toksrc
 ORDER BY doc_id
 """
 
