@@ -9,6 +9,7 @@ instead of eyeballing `.explain` output.
 from __future__ import annotations
 
 import io
+import re
 from contextlib import redirect_stdout
 
 from pyspark.sql import DataFrame
@@ -42,7 +43,23 @@ def assert_pushed_filters(df: DataFrame, fragment: str) -> None:
         )
 
 
-def count_exchanges(df: DataFrame) -> int:
-    """Number of shuffle exchanges in the physical plan — the metric to
+def count_shuffles(df: DataFrame) -> int:
+    """Number of SHUFFLE exchanges (numbered `(n) Exchange` nodes in the
+    formatted plan; BroadcastExchange excluded) — the metric to
     minimize; tests pin upper bounds for key operators."""
-    return physical_plan(df).count("Exchange")
+    return len(re.findall(r"\(\d+\) Exchange\b", physical_plan(df)))
+
+
+def count_broadcasts(df: DataFrame) -> int:
+    """Number of BroadcastExchange nodes in the physical plan."""
+    return len(re.findall(r"\(\d+\) BroadcastExchange\b", physical_plan(df)))
+
+
+def count_scans(df: DataFrame) -> int:
+    """Number of parquet scan nodes (numbered nodes in the formatted
+    plan, which lists every node twice — tree and detail section)."""
+    return len(re.findall(r"\(\d+\) Scan parquet", physical_plan(df)))
+
+
+# Back-compat alias (previous name counted raw substring occurrences).
+count_exchanges = count_shuffles

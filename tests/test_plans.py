@@ -1,0 +1,88 @@
+"""Physical-plan regression tests — the scale-design contract.
+
+Correctness says WHAT each query computes; these pin HOW Catalyst
+executes it: dims broadcast (fact side never shuffles for the join),
+predicates reach the parquet scan, top-K plans as
+TakeOrderedAndProject (no global sort), and shuffle counts stay at
+their designed minimum. A regression here is a 100 TB performance bug
+even when sf0.01 results stay correct.
+"""
+
+from __future__ import annotations
+
+from big_data_analytics_final_project_spark.plans import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    count_broadcasts,
+    count_scans,
+    count_shuffles,
+    physical_plan,
+)
+from big_data_analytics_final_project_spark.queries import all_queries
+
+from .conftest import SF_SMOKE
+
+SPECS = all_queries()
+
+
+def _df(spark, name):
+    return SPECS[name].fn(spark, SF_SMOKE)
+
+
+def test_pricing_summary_single_agg_shuffle(spark):
+    """Scan → pushed filter → partial agg → ONE shuffle → final agg →
+    sort shuffle. Anything beyond 2 exchanges is a regression."""
+    df = _df(spark, "pricing_summary")
+    plan = physical_plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    assert count_shuffles(df) <= 2
+
+
+def test_dim_joins_broadcast(spark):
+    """Fact-to-dim joins must broadcast the dim: the 100 TB fact side
+    is never shuffled for the join itself."""
+    for name in ("revenue_by_brand", "top_customers_top5", "international_revenue"):
+        df = _df(spark, name)
+        assert_broadcast_join(df)
+        assert_no_cartesian(df)
+
+
+def test_international_revenue_all_dims_broadcast(spark):
+    """The 3-hop star join (supplier→nation→region) broadcasts every
+    dim; the only shuffles are the final agg + sort."""
+    df = _df(spark, "international_revenue")
+    assert count_broadcasts(df) >= 3
+    assert count_shuffles(df) <= 2
+
+
+def test_topk_uses_take_ordered(spark):
+    """orderBy+limit must plan as TakeOrderedAndProject (per-partition
+    heaps + driver merge), never a global sort."""
+    for name in ("top_spenders", "product_popularity", "top_customers_top5"):
+        plan = physical_plan(_df(spark, name))
+        assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_point_lookup_pushdown(spark):
+    """The HBase-prefix-scan analog: the user_id predicate reaches the
+    parquet scan (row-group min/max skipping at scale)."""
+    plan = physical_plan(_df(spark, "user_events_lookup"))
+    assert "PushedFilters" in plan
+    assert "EqualTo(user_id,42)" in plan
+
+
+def test_minhash_bounded_scans(spark):
+    """The long-form band self-join keeps the static plan at 4 scans
+    (2 join sides + 2 verification set lookups); the old per-band
+    formulation planned 10. Both join sides are identical subplans, so
+    AQE's ReuseExchange collapses them to one execution at runtime."""
+    assert count_scans(_df(spark, "dedup_minhash_lsh")) <= 4
+
+
+def test_text_queries_scan_once_no_shuffle(spark):
+    """Per-document text analytics are single-scan, shuffle-free until
+    the output sort — embarrassingly parallel at 100 TB."""
+    for name in ("doc_token_stats", "doc_quality_score", "doc_lang_id"):
+        df = _df(spark, name)
+        assert count_shuffles(df) <= 1, name  # the ORDER BY only
+        assert count_scans(df) == 1, name

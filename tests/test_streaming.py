@@ -1,0 +1,129 @@
+"""Structured Streaming surface tests.
+
+Drives the real streaming path end-to-end: parquet file-drop source
+(3 chronological chunks, 1 file per micro-batch), watermarked
+event-time aggregation, and the foreachBatch sink — then checks the
+streamed result against the identical batch computation (Spark's
+unified model: same expressions, two execution modes).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from big_data_analytics_final_project_spark.sources import load_table
+from big_data_analytics_final_project_spark.streaming import (
+    EVENT_SCHEMA,
+    read_event_stream,
+    sessionized_stream,
+    tumbling_counts,
+    write_foreach_batch,
+)
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def stream_dirs(spark):
+    """Source dir with events split into 3 chronological parquet drops
+    (micro-batch analog of the reference's chunked sessions_*.json,
+    data_generator.py:241-248), plus scratch dirs for sink/checkpoint."""
+    root = tempfile.mkdtemp(prefix="stream_test_")
+    src = f"{root}/src"
+    events = (
+        load_table(spark, SF_SMOKE, "events")
+        .select(*[f.name for f in EVENT_SCHEMA.fields])
+        .withColumn("_chunk", F.ntile(3).over(Window.orderBy("ts", "event_id")))
+    )
+    for c in (1, 2, 3):
+        events.filter(F.col("_chunk") == c).drop("_chunk").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    yield {"root": root, "src": src}
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_tumbling_stream_matches_batch(spark, stream_dirs):
+    """Streamed watermarked tumbling counts == the same aggregation run
+    in batch over the same files."""
+    stream = read_event_stream(spark, stream_dirs["src"])
+    q = (
+        tumbling_counts(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("tumbling_test")
+        .option("checkpointLocation", f"{stream_dirs['root']}/ckpt_tumbling")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "stream did not finish"
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], round(r["sum_value"], 6))
+        for r in spark.sql("SELECT * FROM tumbling_test").collect()
+    }
+    batch = spark.read.schema(EVENT_SCHEMA).parquet(stream_dirs["src"])
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], round(r["sum_value"], 6))
+        for r in (
+            batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("value").alias("sum_value"),
+            )
+            .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_foreach_batch_sink_appends_all_rows(spark, stream_dirs):
+    """foreachBatch parquet sink (the SNK-1 batched-put analog) lands
+    every filtered row exactly once across micro-batches."""
+    out = f"{stream_dirs['root']}/out"
+    stream = read_event_stream(spark, stream_dirs["src"]).where(
+        F.col("event_type") == "purchase"
+    )
+    q = (
+        write_foreach_batch(stream, out, f"{stream_dirs['root']}/ckpt_feb")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "stream did not finish"
+    got = spark.read.parquet(f"{out}/batch=*").count()
+    want = (
+        spark.read.schema(EVENT_SCHEMA)
+        .parquet(stream_dirs["src"])
+        .where(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert want > 0 and got == want
+
+
+def test_session_window_stream_smoke(spark, stream_dirs):
+    """session_window sessionization runs incrementally and yields
+    per-user sessions with the declared schema."""
+    stream = read_event_stream(spark, stream_dirs["src"])
+    q = (
+        sessionized_stream(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("session_test")
+        .option("checkpointLocation", f"{stream_dirs['root']}/ckpt_session")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "stream did not finish"
+    rows = spark.sql("SELECT * FROM session_test")
+    assert rows.columns == [
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        "sum_value",
+    ]
+    assert rows.count() > 0
