@@ -24,10 +24,28 @@ class QuerySpec:
 
 
 def all_queries() -> dict[str, QuerySpec]:
-    from . import batch, dedup, integrated, multimodal, similarity, text, windows
+    from . import (
+        batch,
+        dedup,
+        integrated,
+        json_nested,
+        multimodal,
+        similarity,
+        text,
+        windows,
+    )
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (batch, integrated, windows, text, dedup, similarity, multimodal):
+    for mod in (
+        batch,
+        integrated,
+        windows,
+        text,
+        dedup,
+        similarity,
+        multimodal,
+        json_nested,
+    ):
         for name, spec in mod.QUERIES.items():
             if name in merged:
                 raise ValueError(f"duplicate query name: {name}")

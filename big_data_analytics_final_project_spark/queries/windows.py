@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import exact_sum, exact_sum_sql
+from ..operators.asof import asof_join
 from ..operators.sessionize import sessionize, sessionize_sql
 from ..sources import load_table
 from . import QuerySpec
@@ -169,10 +170,61 @@ ORDER BY user_id
 """
 
 
+def purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each purchase event picks up the
+    user's most recent click at-or-before it. The oracle is DuckDB's
+    native ASOF LEFT JOIN — differential proof the union+window
+    formulation implements the same semantics."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max(F.struct(F.col("event_id"), F.col("value"))).alias("m"))
+        .select(
+            "user_id",
+            "ts",
+            F.col("m.event_id").alias("click_event_id"),
+            F.col("m.value").alias("click_value"),
+        )
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        ts_col="ts",
+        payload_cols=["click_event_id", "click_value"],
+    ).orderBy("event_id")
+
+
+PURCHASE_LAST_CLICK_SQL = """
+WITH clicks AS (
+  SELECT user_id, ts,
+         max(event_id) AS click_event_id,
+         arg_max(value, event_id) AS click_value
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id, ts
+),
+purchases AS (
+  SELECT user_id, ts, event_id, value FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT p.user_id, p.ts, p.event_id, p.value,
+       c.click_event_id AS asof_click_event_id,
+       c.click_value AS asof_click_value
+FROM purchases p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.event_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "top_order_per_customer": QuerySpec(
         top_order_per_customer, TOP_ORDER_PER_CUSTOMER_SQL
     ),
+    "purchase_last_click": QuerySpec(purchase_last_click, PURCHASE_LAST_CLICK_SQL),
     "customer_order_history": QuerySpec(
         customer_order_history, CUSTOMER_ORDER_HISTORY_SQL
     ),
