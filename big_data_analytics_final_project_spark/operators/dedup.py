@@ -73,10 +73,20 @@ def _word_sets(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def _shingle_sets(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Distinct 3-shingle set per doc, with the token array bound in
     its own projection so tokenization runs once per row (see
-    shingles3_from_tokens)."""
-    return docs.select(
-        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
-    ).select(
+    shingles3_from_tokens).
+
+    When the corpus scans with fewer partitions than the cluster has
+    cores (few/small files), the raw (id, text) rows are fanned out
+    BEFORE tokenizing: tokenize+shingle is the most expensive per-row
+    work in the dedup family and must run on every core, not on the
+    scan tasks. A corpus that already scans wide skips the extra
+    shuffle. Explicit numPartitions keeps AQE from coalescing the
+    exchange below the cluster's parallelism."""
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
+    if base.rdd.getNumPartitions() < n:
+        base = base.repartition(n, F.col("doc_id"))
+    return base.select("doc_id", tokens(F.col("_text")).alias("toks")).select(
         "doc_id",
         F.array_distinct(shingles3_from_tokens(F.col("toks"))).alias("terms"),
     )
@@ -218,7 +228,9 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc MinHash signature: for each seed s, the lexicographic min
     of md5("s:" + shingle). One explode + one groupBy with N_SEEDS min
-    aggregates — a single shuffle, map-side combinable."""
+    aggregates — a single shuffle (the explode inherits
+    _shingle_sets' full-parallelism partitioning, so the 8×md5 map
+    side runs on every core with map-side partial mins)."""
     sets = _shingle_sets(docs, text_col, id_col)
     exploded = sets.select("doc_id", F.explode("terms").alias("term"))
     aggs = [

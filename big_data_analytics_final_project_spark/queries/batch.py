@@ -355,6 +355,36 @@ ORDER BY r_name, n_name
 """
 
 
+def customer_cohort_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational set operations (capability upgrade — SURVEY.md §2.8:
+    the reference has no UNION/INTERSECT/EXCEPT): 1995-vs-1996 buyer
+    cohorts via intersect / subtract, tagged and unioned."""
+    orders = load_table(spark, sf_dir, "orders")
+    y95 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    both = y95.intersect(y96).withColumn("cohort", F.lit("both"))
+    only95 = y95.subtract(y96).withColumn("cohort", F.lit("only_1995"))
+    only96 = y96.subtract(y95).withColumn("cohort", F.lit("only_1996"))
+    return (
+        both.unionByName(only95)
+        .unionByName(only96)
+        .select("cohort", "o_custkey")
+        .orderBy("cohort", "o_custkey")
+    )
+
+
+CUSTOMER_COHORT_SETOPS_SQL = """
+WITH y95 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+y96 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+SELECT 'both' AS cohort, o_custkey FROM (SELECT o_custkey FROM y95 INTERSECT SELECT o_custkey FROM y96)
+UNION ALL
+SELECT 'only_1995', o_custkey FROM (SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y96)
+UNION ALL
+SELECT 'only_1996', o_custkey FROM (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y95)
+ORDER BY cohort, o_custkey
+"""
+
+
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -405,4 +435,7 @@ QUERIES: dict[str, QuerySpec] = {
     "revenue_rollup": QuerySpec(revenue_rollup, REVENUE_ROLLUP_SQL),
     "international_revenue": QuerySpec(international_revenue, INTERNATIONAL_REVENUE_SQL),
     "event_type_pivot": QuerySpec(event_type_pivot, EVENT_TYPE_PIVOT_SQL),
+    "customer_cohort_setops": QuerySpec(
+        customer_cohort_setops, CUSTOMER_COHORT_SETOPS_SQL
+    ),
 }

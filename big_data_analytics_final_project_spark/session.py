@@ -34,6 +34,15 @@ _BASE_CONF = {
     # cannot map; read them as raw nanos and convert in the loader.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.optimizer.nestedSchemaPruning.enabled": "true",
+    # InferFiltersFromGenerate turns every explode(f(x)) into a pushed
+    # Filter(size(f(x))>0) that re-inlines f — for computed arrays
+    # (shingles, band keys) that doubles the most expensive expression
+    # in the plan and anchors it below any repartition, serializing it
+    # onto the scan task. Our generated arrays are non-empty by
+    # construction, so the inferred filter is pure overhead.
+    "spark.sql.optimizer.excludedRules": (
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    ),
     # Columnar shuffle/scan defaults are already on in Spark 4; listed
     # knobs above are the ones we actively depend on.
 }
