@@ -36,9 +36,13 @@ HEADLINE = [
     "engagement_vs_spend",
     "segment_counts",
     "customer_order_history",
+    "purchase_last_click",
+    "nested_order_items",
     "events_sessionized",
     "dedup_minhash_lsh",
+    "dedup_jaccard_pairs",
     "knn_bruteforce",
+    "ann_ivf",
     "doc_quality_score",
 ]
 

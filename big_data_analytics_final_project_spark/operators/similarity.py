@@ -135,6 +135,113 @@ ORDER BY query_id, rank
 """
 
 
+# --- IVF (inverted file / coarse quantizer) ---------------------------
+
+
+def ann_ivf(
+    embeddings: DataFrame,
+    query_pred,
+    k: int = 3,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: a coarse quantizer partitions the
+    corpus into `n_centroids` cells (each vector assigned to its
+    nearest centroid by cosine), queries probe their `n_probe` nearest
+    cells and run exact cosine inside them.
+
+    Centroids are the first `n_centroids` vectors by id — a
+    deterministic stand-in for a trained k-means codebook (the operator
+    shape, assignment plan and probe path are identical; training the
+    codebook is an offline concern). At scale the cell id becomes the
+    zone partition key: a probe reads `n_probe` partitions, never the
+    full corpus — candidates ∝ corpus/n_centroids × n_probe.
+    """
+    from pyspark.sql import Window
+
+    base = embeddings.select(
+        F.col(id_col).alias("_id"), _as_double(vec_col).alias("_v")
+    )
+    cents = base.filter(F.col("_id") < n_centroids).select(
+        F.col("_id").alias("cid"), F.col("_v").alias("cv")
+    )
+    w_assign = Window.partitionBy("_id").orderBy(F.col("sim").desc(), F.col("cid"))
+    assigned = (
+        base.crossJoin(F.broadcast(cents))
+        .transform(lambda d: with_cosine(d, "_v", "cv", out="sim"))
+        .withColumn("rn", F.row_number().over(w_assign))
+    )
+    vec_bucket = assigned.filter(F.col("rn") == 1).select(
+        F.col("_id").alias("neighbor_id"), F.col("_v").alias("cv2"),
+        F.col("cid").alias("bucket"),
+    )
+    probes = assigned.filter(
+        query_pred(F.col("_id")) & (F.col("rn") <= n_probe)
+    ).select(
+        F.col("_id").alias("query_id"), F.col("_v").alias("qv"),
+        F.col("cid").alias("bucket"),
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        vec_bucket.join(F.broadcast(probes), "bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .transform(lambda d: with_cosine(d, "qv", "cv2"))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine_sim")
+        .orderBy("query_id", "rank")
+    )
+
+
+def ann_ivf_sql(
+    query_where: str, k: int = 3, n_centroids: int = 16, n_probe: int = 2
+) -> str:
+    assign_cos = cosine_sql("b._v", "c.cv")
+    cos = cosine_sql("p.qv", "v.cv2")
+    return f"""
+WITH base AS (
+  SELECT vec_id AS _id, embedding::DOUBLE[] AS _v FROM embeddings
+),
+cents AS (SELECT _id AS cid, _v AS cv FROM base WHERE _id < {n_centroids}),
+assign_scored AS (
+  SELECT b._id, b._v, c.cid, {assign_cos} AS sim
+  FROM base b CROSS JOIN cents c
+),
+assign_ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY _id ORDER BY sim DESC, cid
+  ) AS rn
+  FROM assign_scored
+),
+vec_bucket AS (
+  SELECT _id AS neighbor_id, _v AS cv2, cid AS bucket
+  FROM assign_ranked WHERE rn = 1
+),
+probes AS (
+  SELECT _id AS query_id, _v AS qv, cid AS bucket
+  FROM assign_ranked WHERE ({query_where}) AND rn <= {n_probe}
+),
+scored AS (
+  SELECT p.query_id, v.neighbor_id, {cos} AS cosine_sim
+  FROM vec_bucket v JOIN probes p USING (bucket)
+  WHERE v.neighbor_id <> p.query_id
+)
+SELECT query_id, neighbor_id, rank, cosine_sim
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id
+  ) AS rank
+  FROM scored
+)
+WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
 # --- hyperplane LSH ----------------------------------------------------
 
 N_PLANES = 8

@@ -8,6 +8,8 @@ from pyspark.sql import DataFrame, SparkSession
 from ..operators.similarity import (
     ann_hyperplane_lsh,
     ann_hyperplane_lsh_sql,
+    ann_ivf,
+    ann_ivf_sql,
     knn_bruteforce,
     knn_bruteforce_sql,
 )
@@ -29,6 +31,11 @@ def ann_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_hyperplane_lsh(emb, lambda c: c < _N_QUERIES, k=_K_ANN)
 
 
+def ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_ivf(emb, lambda c: c < _N_QUERIES, k=_K_ANN)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "knn_bruteforce": QuerySpec(
         knn_bruteforce_q, knn_bruteforce_sql(f"_id < {_N_QUERIES}", _K_EXACT)
@@ -36,4 +43,5 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_hyperplane_lsh": QuerySpec(
         ann_lsh_q, ann_hyperplane_lsh_sql(f"_id < {_N_QUERIES}", _K_ANN)
     ),
+    "ann_ivf": QuerySpec(ann_ivf_q, ann_ivf_sql(f"_id < {_N_QUERIES}", _K_ANN)),
 }
