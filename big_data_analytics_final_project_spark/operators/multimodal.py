@@ -71,6 +71,105 @@ def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
 
+def resize_image(df: DataFrame, width: int, height: int, payload_col: str = "payload") -> DataFrame:
+    """Real image resize — NOT AVAILABLE (no codec libs). Same
+    mapInPandas shape as `fake_decode_meta`: binary in, binary out,
+    one row per input."""
+    raise NotImplementedError(
+        "image codecs are not installed in this container; "
+        "the batch contract is exercised by fake_decode_meta"
+    )
+
+
+def sample_frames(df: DataFrame, n_frames: int, payload_col: str = "payload") -> DataFrame:
+    """Real video frame sampling — NOT AVAILABLE (no codec libs). Row
+    expansion shape (1 input → n_frames outputs) is exercised by
+    `fake_sample_frames`."""
+    raise NotImplementedError(
+        "video codecs are not installed in this container; "
+        "use fake_sample_frames for plumbing tests"
+    )
+
+
+FEATURE_DIM = 16  # md5 digest bytes
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("vec", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def fake_feature_vector(
+    df: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Deterministic feature-extraction stage over `mapInPandas`: each
+    binary payload becomes a FEATURE_DIM-dim double vector (md5 digest
+    bytes / 255). Shape-identical to a real embedding-extraction UDF
+    (binary in, `array<double>` out, one row per input), so its output
+    feeds the similarity operators directly — and because the vector
+    is hash-derived it is reproducible in the DuckDB oracle."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "vec": pdf[payload_col].map(
+                        lambda b: [
+                            x / 255.0 for x in hashlib.md5(bytes(b)).digest()
+                        ]
+                    ),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_checksum", T.StringType()),
+    ]
+)
+
+
+def fake_sample_frames(
+    df: DataFrame,
+    n_frames: int = 3,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Deterministic frame-sampling stand-in: 1 input row → `n_frames`
+    output rows (media_id, frame_idx, md5(payload || ':' || idx)) —
+    exercises the row-EXPANDING mapInPandas contract a real video
+    sampler has (output batches larger than input batches)."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, sums = [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                for i in range(n_frames):
+                    ids.append(int(mid))
+                    idxs.append(i)
+                    sums.append(
+                        hashlib.md5(bytes(payload) + f":{i}".encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_checksum": sums,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
 def fake_decode_meta(
     df: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
 ) -> DataFrame:

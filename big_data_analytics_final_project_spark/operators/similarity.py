@@ -138,6 +138,90 @@ ORDER BY query_id, rank
 # --- IVF (inverted file / coarse quantizer) ---------------------------
 
 
+def _ivf_ranked(base: DataFrame, n_centroids: int) -> DataFrame:
+    """(_id, _v, cid, sim, rn): every vector's centroids ranked by
+    cosine (rn=1 is its cell). Centroids = first n_centroids ids — the
+    deterministic stand-in for a trained codebook."""
+    from pyspark.sql import Window
+
+    cents = base.filter(F.col("_id") < n_centroids).select(
+        F.col("_id").alias("cid"), F.col("_v").alias("cv")
+    )
+    w_assign = Window.partitionBy("_id").orderBy(F.col("sim").desc(), F.col("cid"))
+    return (
+        base.crossJoin(F.broadcast(cents))
+        .transform(lambda d: with_cosine(d, "_v", "cv", out="sim"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .drop("cv")
+    )
+
+
+def embedding_near_dup(
+    embeddings: DataFrame,
+    threshold: float = 0.3,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, IVF-cell blocked: the
+    corpus×corpus similarity self-join compares only vectors sharing a
+    quantizer cell (candidates ∝ Σ|cell|², a ~n_centroids× reduction
+    vs all-pairs), then keeps pairs with cosine ≥ threshold. The cell
+    id is the shuffle key — at 100 TB both sides partition by cell and
+    the join never materializes cross-cell pairs."""
+    base = embeddings.select(
+        F.col(id_col).alias("_id"), _as_double(vec_col).alias("_v")
+    )
+    cells = _ivf_ranked(base, n_centroids).filter(F.col("rn") == 1).select(
+        "_id", "_v", "cid"
+    )
+    a = cells.select(
+        F.col("_id").alias("vec_a"), F.col("_v").alias("va"), "cid"
+    )
+    b = cells.select(
+        F.col("_id").alias("vec_b"), F.col("_v").alias("vb"), "cid"
+    )
+    return (
+        a.join(b, "cid")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .transform(lambda d: with_cosine(d, "va", "vb"))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("vec_a", "vec_b", "cosine_sim")
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def embedding_near_dup_sql(threshold: float = 0.3, n_centroids: int = 16) -> str:
+    assign_cos = cosine_sql("b._v", "c.cv")
+    cos = cosine_sql("a.va", "bb.vb")
+    return f"""
+WITH base AS (
+  SELECT vec_id AS _id, embedding::DOUBLE[] AS _v FROM embeddings
+),
+cents AS (SELECT _id AS cid, _v AS cv FROM base WHERE _id < {n_centroids}),
+assign_scored AS (
+  SELECT b._id, b._v, c.cid, {assign_cos} AS sim
+  FROM base b CROSS JOIN cents c
+),
+cells AS (
+  SELECT _id, _v, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY _id ORDER BY sim DESC, cid) AS rn
+    FROM assign_scored
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_a, bb.vec_b, {cos} AS cosine_sim
+  FROM (SELECT _id AS vec_a, _v AS va, cid FROM cells) a
+  JOIN (SELECT _id AS vec_b, _v AS vb, cid FROM cells) bb USING (cid)
+  WHERE a.vec_a < bb.vec_b
+)
+SELECT vec_a, vec_b, cosine_sim
+FROM pairs
+WHERE cosine_sim >= {threshold}
+ORDER BY vec_a, vec_b
+"""
+
+
 def ann_ivf(
     embeddings: DataFrame,
     query_pred,
@@ -164,15 +248,7 @@ def ann_ivf(
     base = embeddings.select(
         F.col(id_col).alias("_id"), _as_double(vec_col).alias("_v")
     )
-    cents = base.filter(F.col("_id") < n_centroids).select(
-        F.col("_id").alias("cid"), F.col("_v").alias("cv")
-    )
-    w_assign = Window.partitionBy("_id").orderBy(F.col("sim").desc(), F.col("cid"))
-    assigned = (
-        base.crossJoin(F.broadcast(cents))
-        .transform(lambda d: with_cosine(d, "_v", "cv", out="sim"))
-        .withColumn("rn", F.row_number().over(w_assign))
-    )
+    assigned = _ivf_ranked(base, n_centroids)
     vec_bucket = assigned.filter(F.col("rn") == 1).select(
         F.col("_id").alias("neighbor_id"), F.col("_v").alias("cv2"),
         F.col("cid").alias("bucket"),

@@ -10,6 +10,8 @@ from ..operators.similarity import (
     ann_hyperplane_lsh_sql,
     ann_ivf,
     ann_ivf_sql,
+    embedding_near_dup,
+    embedding_near_dup_sql,
     knn_bruteforce,
     knn_bruteforce_sql,
 )
@@ -19,6 +21,9 @@ from . import QuerySpec
 _N_QUERIES = 5  # vec_id < 5 are the query vectors
 _K_EXACT = 5
 _K_ANN = 3
+# the corpus has no planted duplicates (max pairwise cosine ≈ 0.48);
+# 0.3 keeps the near-dup result non-trivial while staying selective
+_NEAR_DUP_T = 0.3
 
 
 def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -44,4 +49,10 @@ QUERIES: dict[str, QuerySpec] = {
         ann_lsh_q, ann_hyperplane_lsh_sql(f"_id < {_N_QUERIES}", _K_ANN)
     ),
     "ann_ivf": QuerySpec(ann_ivf_q, ann_ivf_sql(f"_id < {_N_QUERIES}", _K_ANN)),
+    "embedding_near_dup": QuerySpec(
+        lambda spark, sf_dir: embedding_near_dup(
+            load_table(spark, sf_dir, "embeddings"), threshold=_NEAR_DUP_T
+        ),
+        embedding_near_dup_sql(_NEAR_DUP_T),
+    ),
 }
