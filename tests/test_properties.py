@@ -1,0 +1,181 @@
+"""Property-based differential tests (hypothesis): random inputs vs
+independent pure-Python reference implementations.
+
+The oracle suite proves parity on the fixed testdata; these prove the
+operators' SEMANTICS on adversarial shapes hypothesis invents —
+colliding timestamps, empty groups, single-token docs, all-duplicate
+corpora — where window/gap/prefix logic actually breaks.
+
+Example counts are kept small: every example runs real Spark jobs.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from big_data_analytics_final_project_spark.operators.asof import asof_join
+from big_data_analytics_final_project_spark.operators.dedup import jaccard_pairs
+from big_data_analytics_final_project_spark.operators.sessionize import sessionize
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+_BASE = datetime(2024, 1, 1)
+
+
+# --- sessionize ---------------------------------------------------------
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # user_id (few users → collisions)
+        st.integers(min_value=0, max_value=20_000),  # offset seconds
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _sessions_reference(rows, gap_s):
+    """Pure-Python gaps-and-islands."""
+    out = {}
+    by_user: dict[int, list[tuple[int, int]]] = {}
+    for eid, (user, off) in enumerate(rows):
+        by_user.setdefault(user, []).append((off, eid))
+    for user, evs in by_user.items():
+        evs.sort()
+        seq = 0
+        cur: list[int] = []
+        prev = None
+        for off, _eid in evs:
+            if prev is None or off - prev > gap_s:
+                if cur:
+                    out[(user, seq)] = cur
+                seq += 1
+                cur = []
+            cur.append(off)
+            prev = off
+        out[(user, seq)] = cur
+    return {
+        key: (len(offs), min(offs), max(offs), float(max(offs) - min(offs)))
+        for key, offs in out.items()
+    }
+
+
+@given(rows=events_strategy)
+@settings(**_SETTINGS)
+def test_sessionize_matches_reference(spark, rows):
+    gap_s = 1800
+    df = spark.createDataFrame(
+        [
+            (eid, user, _BASE + timedelta(seconds=off))
+            for eid, (user, off) in enumerate(rows)
+        ],
+        schema=T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("ts", T.TimestampType()),
+            ]
+        ),
+    )
+    got = {
+        (r["user_id"], r["session_seq"]): (
+            r["n_events"],
+            int((r["session_start"] - _BASE).total_seconds()),
+            int((r["session_end"] - _BASE).total_seconds()),
+            r["duration_s"],
+        )
+        for r in sessionize(df, gap_seconds=gap_s, tiebreak_col="event_id").collect()
+    }
+    assert got == _sessions_reference(rows, gap_s)
+
+
+# --- as-of join ---------------------------------------------------------
+
+asof_strategy = st.tuples(
+    st.lists(  # left: (user, ts_off)
+        st.tuples(st.integers(0, 2), st.integers(0, 100)), min_size=1, max_size=20
+    ),
+    st.lists(  # right: (user, ts_off, payload)
+        st.tuples(st.integers(0, 2), st.integers(0, 100), st.integers(0, 999)),
+        min_size=0,
+        max_size=20,
+    ),
+)
+
+
+@given(data=asof_strategy)
+@settings(**_SETTINGS)
+def test_asof_join_matches_bruteforce(spark, data):
+    left_rows, right_rows = data
+    # dedupe right per (user, ts): keep max payload (the operator's precondition)
+    right_map: dict[tuple[int, int], int] = {}
+    for user, off, payload in right_rows:
+        key = (user, off)
+        right_map[key] = max(right_map.get(key, -1), payload)
+
+    left = spark.createDataFrame(
+        [
+            (i, user, _BASE + timedelta(seconds=off))
+            for i, (user, off) in enumerate(left_rows)
+        ],
+        schema="left_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (user, _BASE + timedelta(seconds=off), payload)
+            for (user, off), payload in right_map.items()
+        ],
+        schema="user_id long, ts timestamp, payload long",
+    )
+    got = {
+        r["left_id"]: r["asof_payload"]
+        for r in asof_join(
+            left, right, on=["user_id"], ts_col="ts", payload_cols=["payload"]
+        ).collect()
+    }
+    want = {}
+    for i, (user, off) in enumerate(left_rows):
+        best = None
+        for (r_user, r_off), payload in right_map.items():
+            if r_user == user and r_off <= off:
+                if best is None or r_off > best[0]:
+                    best = (r_off, payload)
+        want[i] = best[1] if best else None
+    assert got == want
+
+
+# --- prefix-filtered jaccard == all-pairs jaccard -----------------------
+
+docs_strategy = st.lists(
+    st.text(alphabet="ab cd", min_size=0, max_size=40),
+    min_size=2,
+    max_size=15,
+)
+
+
+@given(texts=docs_strategy)
+@settings(**_SETTINGS)
+def test_prefix_jaccard_equals_allpairs(spark, texts):
+    """The PPJoin prefix bound must lose NO pairs: the filtered plan
+    (threshold=0.5) equals the all-pairs plan (threshold=0) post-
+    filtered to >= 0.5."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], schema="doc_id long, text string"
+    )
+    fast = jaccard_pairs(docs, threshold=0.5).collect()
+    slow = [
+        r
+        for r in jaccard_pairs(docs, threshold=0.0).collect()
+        if r["jaccard"] >= 0.5
+    ]
+    key = lambda r: (r["doc_a"], r["doc_b"])  # noqa: E731
+    assert sorted(map(tuple, fast)) == sorted(map(tuple, sorted(slow, key=key)))
