@@ -16,6 +16,7 @@ import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from big_data_analytics_final_project_spark.operators.sessionize import sessionize
 from big_data_analytics_final_project_spark.sources import load_table
 from big_data_analytics_final_project_spark.streaming import (
     EVENT_SCHEMA,
@@ -23,6 +24,9 @@ from big_data_analytics_final_project_spark.streaming import (
     sessionized_stream,
     tumbling_counts,
     write_foreach_batch,
+)
+from big_data_analytics_final_project_spark.streaming.stateful import (
+    stateful_sessionize,
 )
 
 from .conftest import SF_SMOKE
@@ -102,6 +106,59 @@ def test_foreach_batch_sink_appends_all_rows(spark, stream_dirs):
         .count()
     )
     assert want > 0 and got == want
+
+
+def test_stateful_sessionize_matches_batch(spark, stream_dirs):
+    """applyInPandasWithState sessionizer: every emitted (closed)
+    session must be byte-identical to the batch gaps-and-islands
+    result, and every session that a later event closes (all but each
+    user's final session) MUST have been emitted."""
+    gap_s = 1800
+    stream = read_event_stream(spark, stream_dirs["src"])
+    q = (
+        stateful_sessionize(stream, gap_seconds=gap_s)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stateful_session_test")
+        .option("checkpointLocation", f"{stream_dirs['root']}/ckpt_stateful")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "stream did not finish"
+    got = {
+        (r["user_id"], r["session_start"]): (
+            r["session_end"],
+            r["n_events"],
+            round(r["duration_s"], 6),
+        )
+        for r in spark.sql("SELECT * FROM stateful_session_test").collect()
+    }
+
+    batch_events = spark.read.schema(EVENT_SCHEMA).parquet(stream_dirs["src"])
+    batch = sessionize(
+        batch_events, gap_seconds=gap_s, tiebreak_col="event_id"
+    ).collect()
+    want = {
+        (r["user_id"], r["session_start"]): (
+            r["session_end"],
+            r["n_events"],
+            round(r["duration_s"], 6),
+        )
+        for r in batch
+    }
+    # emitted ⊆ batch, values identical
+    assert got, "no sessions were emitted"
+    for key, val in got.items():
+        assert key in want and want[key] == val, f"mismatch for {key}"
+    # completeness: non-final sessions are always closed by a successor
+    last_start = {}
+    for r in batch:
+        key = r["user_id"]
+        if key not in last_start or r["session_start"] > last_start[key]:
+            last_start[key] = r["session_start"]
+    non_final = {k for k in want if k[1] != last_start[k[0]]}
+    missing = non_final - set(got)
+    assert not missing, f"{len(missing)} successor-closed sessions not emitted"
 
 
 def test_session_window_stream_smoke(spark, stream_dirs):
