@@ -186,7 +186,65 @@ ORDER BY l_orderkey
 """
 
 
+def events_rowkey_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-column export rows: rebuild the reference loader's composite
+    rowkey ``user_id|start_time|session_id`` (FN-6 concat, reference
+    load_hbase_sessions_stream.py:38) from the event log, with the same
+    cell-prep scalar pipeline: FN-7 strip/newline cleanup
+    (load_hbase:20-22), FN-12 ISO-8601 timestamp serialization
+    (data_generator.py:127-130), FN-8 truncate+ellipsis
+    (plots_from_spark_outputs.py:17-20), FN-9 safe numeric parse with
+    default (integrated:26-34). user_id is zero-padded to 6 digits to
+    mirror the generator's ``user_%06d`` fixed-width ids — which is
+    what makes rowkey-range scans meaningful.
+
+    Scale: pure per-row projection — no shuffle except the final
+    top-100 (TakeOrderedAndProject); at 100 TB this is the map-only
+    export stage feeding a sorted bulk load.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ts_iso = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss")
+    return (
+        ev.select(
+            F.concat_ws(
+                "|", F.lpad(F.col("user_id"), 6, "0"), ts_iso, F.col("event_id")
+            ).alias("rowkey"),
+            F.regexp_replace(F.trim(F.col("event_type")), "[\\n\\r]", "").alias(
+                "event_type"
+            ),
+            ts_iso.alias("ts_iso"),
+            F.when(
+                F.length("props") > 12,
+                F.concat(F.substring("props", 1, 12), F.lit("...")),
+            )
+            .otherwise(F.col("props"))
+            .alias("props_short"),
+            F.coalesce(
+                F.get_json_object("props", "$.k").cast("long"), F.lit(0)
+            ).alias("prop_k"),
+        )
+        .orderBy("rowkey")
+        .limit(100)
+    )
+
+
+EVENTS_ROWKEY_EXPORT_SQL = """
+SELECT concat_ws('|', lpad(CAST(user_id AS VARCHAR), 6, '0'),
+                 strftime(ts, '%Y-%m-%dT%H:%M:%S'),
+                 CAST(event_id AS VARCHAR)) AS rowkey,
+       regexp_replace(trim(event_type), '[\\n\\r]', '', 'g') AS event_type,
+       strftime(ts, '%Y-%m-%dT%H:%M:%S') AS ts_iso,
+       CASE WHEN length(props) > 12
+            THEN substring(props, 1, 12) || '...' ELSE props END AS props_short,
+       COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS prop_k
+FROM events
+ORDER BY rowkey
+LIMIT 100
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "events_rowkey_export": QuerySpec(events_rowkey_export, EVENTS_ROWKEY_EXPORT_SQL),
     "events_props_parse": QuerySpec(events_props_parse, EVENTS_PROPS_PARSE_SQL),
     "events_json_roundtrip": QuerySpec(events_json_roundtrip, EVENTS_JSON_ROUNDTRIP_SQL),
     "nested_order_items": QuerySpec(nested_order_items, NESTED_ORDER_ITEMS_SQL),

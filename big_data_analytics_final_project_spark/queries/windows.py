@@ -199,6 +199,39 @@ def purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def purchase_last_click_matched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLT-1 null-row drop (reference `tx_products.dropna()`,
+    spark_analysis.py:117) applied where nulls genuinely arise in this
+    engine: purchases with no preceding click leave the as-of payload
+    columns null; `na.drop` keeps matched rows only."""
+    return purchase_last_click(spark, sf_dir).na.drop(
+        subset=["asof_click_event_id"]
+    )
+
+
+PURCHASE_LAST_CLICK_MATCHED_SQL = """
+WITH clicks AS (
+  SELECT user_id, ts,
+         max(event_id) AS click_event_id,
+         arg_max(value, event_id) AS click_value
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id, ts
+),
+purchases AS (
+  SELECT user_id, ts, event_id, value FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT * FROM (
+  SELECT p.user_id, p.ts, p.event_id, p.value,
+         c.click_event_id AS asof_click_event_id,
+         c.click_value AS asof_click_value
+  FROM purchases p ASOF LEFT JOIN clicks c
+    ON p.user_id = c.user_id AND p.ts >= c.ts
+) WHERE asof_click_event_id IS NOT NULL
+ORDER BY event_id
+"""
+
+
 PURCHASE_LAST_CLICK_SQL = """
 WITH clicks AS (
   SELECT user_id, ts,
@@ -225,6 +258,9 @@ QUERIES: dict[str, QuerySpec] = {
         top_order_per_customer, TOP_ORDER_PER_CUSTOMER_SQL
     ),
     "purchase_last_click": QuerySpec(purchase_last_click, PURCHASE_LAST_CLICK_SQL),
+    "purchase_last_click_matched": QuerySpec(
+        purchase_last_click_matched, PURCHASE_LAST_CLICK_MATCHED_SQL
+    ),
     "customer_order_history": QuerySpec(
         customer_order_history, CUSTOMER_ORDER_HISTORY_SQL
     ),
