@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from ..functions.numeric import exact_sum, exact_sum_sql
 from ..operators.asof import asof_join
+from ..operators.rangejoin import interval_join
 from ..operators.sessionize import sessionize, sessionize_sql
 from ..sources import load_table
 from . import QuerySpec
@@ -199,6 +200,60 @@ def purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (operators/rangejoin.py): for every purchase, how many
+    clicks the same user made in the hour before it ([ts−1h, ts)).
+    Capability upgrade — the reference has no interval join (SURVEY.md
+    §2.4). The binned equi-join keeps the plan shuffle-partitionable;
+    the oracle is DuckDB's declarative non-equi join over the same
+    window — differential proof the binning loses/duplicates nothing.
+    """
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select("user_id", "ts")
+    matched = interval_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        lower_s=-3600.0,
+        upper_s=0.0,
+        closed="left",
+    )
+    counts = matched.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_clicks_1h")
+    )
+    return (
+        purchases.join(counts, "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.coalesce("n_clicks_1h", F.lit(0)).alias("n_clicks_1h"),
+        )
+        .orderBy("event_id")
+    )
+
+
+CLICKS_BEFORE_PURCHASE_SQL = """
+WITH purchases AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id, p.user_id, p.ts,
+       count(c.ts) AS n_clicks_1h
+FROM purchases p LEFT JOIN clicks c
+  ON c.user_id = p.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR
+ AND c.ts < p.ts
+GROUP BY p.event_id, p.user_id, p.ts
+ORDER BY p.event_id
+"""
+
+
 def purchase_last_click_matched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLT-1 null-row drop (reference `tx_products.dropna()`,
     spark_analysis.py:117) applied where nulls genuinely arise in this
@@ -260,6 +315,9 @@ QUERIES: dict[str, QuerySpec] = {
     "purchase_last_click": QuerySpec(purchase_last_click, PURCHASE_LAST_CLICK_SQL),
     "purchase_last_click_matched": QuerySpec(
         purchase_last_click_matched, PURCHASE_LAST_CLICK_MATCHED_SQL
+    ),
+    "clicks_before_purchase": QuerySpec(
+        clicks_before_purchase, CLICKS_BEFORE_PURCHASE_SQL
     ),
     "customer_order_history": QuerySpec(
         customer_order_history, CUSTOMER_ORDER_HISTORY_SQL

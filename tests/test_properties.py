@@ -20,6 +20,7 @@ from pyspark.sql import types as T
 
 from big_data_analytics_final_project_spark.operators.asof import asof_join
 from big_data_analytics_final_project_spark.operators.dedup import jaccard_pairs
+from big_data_analytics_final_project_spark.operators.rangejoin import interval_join
 from big_data_analytics_final_project_spark.operators.sessionize import sessionize
 
 _SETTINGS = dict(
@@ -150,6 +151,60 @@ def test_asof_join_matches_bruteforce(spark, data):
                 if best is None or r_off > best[0]:
                     best = (r_off, payload)
         want[i] = best[1] if best else None
+    assert got == want
+
+
+# --- interval join ------------------------------------------------------
+
+interval_strategy = st.tuples(
+    st.lists(  # left: (user, ts_off) — offsets hit bucket boundaries
+        st.tuples(st.integers(0, 2), st.integers(0, 40)), min_size=1, max_size=15
+    ),
+    st.lists(  # right: (user, ts_off, payload)
+        st.tuples(st.integers(0, 2), st.integers(0, 40), st.integers(0, 99)),
+        min_size=0,
+        max_size=15,
+    ),
+    st.sampled_from([(-10, 0, "left"), (-10, 5, "both"), (0, 7, "neither")]),
+)
+
+
+@given(data=interval_strategy)
+@settings(**_SETTINGS)
+def test_interval_join_matches_bruteforce(spark, data):
+    """The bucket binning must neither lose nor duplicate matches —
+    including timestamps exactly on bucket boundaries (offsets are
+    multiples of 1s; bucket width is lower/upper span)."""
+    left_rows, right_rows, (lo, hi, closed) = data
+    left = spark.createDataFrame(
+        [
+            (i, user, _BASE + timedelta(seconds=off))
+            for i, (user, off) in enumerate(left_rows)
+        ],
+        schema="left_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (user, _BASE + timedelta(seconds=off), p)
+            for user, off, p in right_rows
+        ],
+        schema="user_id long, ts timestamp, payload long",
+    )
+    got = sorted(
+        (r["left_id"], r["r_payload"])
+        for r in interval_join(
+            left, right, on=["user_id"], lower_s=float(lo), upper_s=float(hi),
+            closed=closed,
+        ).collect()
+    )
+    lo_ok = (lambda d: d > lo) if closed in ("right", "neither") else (lambda d: d >= lo)
+    hi_ok = (lambda d: d < hi) if closed in ("left", "neither") else (lambda d: d <= hi)
+    want = sorted(
+        (i, p)
+        for i, (lu, loff) in enumerate(left_rows)
+        for ru, roff, p in right_rows
+        if ru == lu and lo_ok(roff - loff) and hi_ok(roff - loff)
+    )
     assert got == want
 
 
