@@ -39,6 +39,7 @@ HEADLINE = [
     "purchase_last_click",
     "nested_order_items",
     "events_sessionized",
+    "clicks_before_purchase",
     "dedup_minhash_lsh",
     "dedup_jaccard_pairs",
     "knn_bruteforce",
