@@ -254,6 +254,83 @@ ORDER BY p.event_id
 """
 
 
+def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate shape: one pass producing
+    the hour, day, and grand-total resolutions of the event stream via
+    ROLLUP on the time hierarchy (capability upgrade; the reference
+    has only single-level group-bys — SURVEY.md §2.5). `grain` labels
+    each resolution, derived from `grouping()` flags.
+
+    Scale: ROLLUP is one shuffle with partial aggregation; Spark
+    expands grouping sets map-side, so the hour/day/total tiers don't
+    re-scan the fact table — exactly how a 100 TB rollup should run.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    hour = F.date_trunc("hour", F.col("ts")).alias("hour")
+    return (
+        ev.select(day, hour, "value")
+        .rollup("day", "hour")
+        .agg(
+            F.grouping_id().alias("_gid"),
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value", "sum_value"),
+        )
+        .select(
+            F.when(F.col("_gid") == 3, F.lit("total"))
+            .when(F.col("_gid") == 1, F.lit("day"))
+            .otherwise(F.lit("hour"))
+            .alias("grain"),
+            "day",
+            "hour",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy(
+            F.col("day").asc_nulls_first(),
+            F.col("hour").asc_nulls_first(),
+        )
+    )
+
+
+EVENTS_HYPERTABLE_ROLLUP_SQL = f"""
+SELECT CASE WHEN grouping(date_trunc('day', ts)) = 1 THEN 'total'
+            WHEN grouping(date_trunc('hour', ts)) = 1 THEN 'day'
+            ELSE 'hour' END AS grain,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+       count(*) AS n_events,
+       {exact_sum_sql("value", "sum_value")}
+FROM events
+GROUP BY ROLLUP (date_trunc('day', ts), date_trunc('hour', ts))
+ORDER BY day ASC NULLS FIRST, hour ASC NULLS FIRST
+"""
+
+
+def daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per day (count(DISTINCT) — the reference
+    only reaches distinct-by-proxy via dropDuplicates, SURVEY.md §2.5).
+    The approximate twin (`approx_count_distinct`, HLL++ sketch — the
+    mergeable one-pass answer at 100 TB where exact distinct means a
+    full shuffle of user ids) is checked against this exact result in
+    tests/test_oracle_parity.py within HLL's error bound."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("day")
+    )
+
+
+DAILY_ACTIVE_USERS_SQL = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY date_trunc('day', ts)
+ORDER BY day
+"""
+
+
 def purchase_last_click_matched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLT-1 null-row drop (reference `tx_products.dropna()`,
     spark_analysis.py:117) applied where nulls genuinely arise in this
@@ -319,6 +396,10 @@ QUERIES: dict[str, QuerySpec] = {
     "clicks_before_purchase": QuerySpec(
         clicks_before_purchase, CLICKS_BEFORE_PURCHASE_SQL
     ),
+    "events_hypertable_rollup": QuerySpec(
+        events_hypertable_rollup, EVENTS_HYPERTABLE_ROLLUP_SQL
+    ),
+    "daily_active_users": QuerySpec(daily_active_users, DAILY_ACTIVE_USERS_SQL),
     "customer_order_history": QuerySpec(
         customer_order_history, CUSTOMER_ORDER_HISTORY_SQL
     ),

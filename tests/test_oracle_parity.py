@@ -26,6 +26,33 @@ def test_query_matches_oracle(spark, duck, name):
     compare(result, oracle)
 
 
+def test_approx_count_distinct_within_hll_bound(spark):
+    """The HLL++ sketch (the mergeable 100 TB answer for distinct
+    counts) must track the exact daily_active_users result within its
+    configured relative standard deviation (rsd 0.05, tested at 5σ —
+    a deterministic bound in practice since the sketch is seedless)."""
+    from pyspark.sql import functions as F
+
+    from big_data_analytics_final_project_spark.sources import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    both = (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.countDistinct("user_id").alias("exact"),
+            F.approx_count_distinct("user_id", rsd=0.05).alias("approx"),
+        )
+        .collect()
+    )
+    assert both
+    for r in both:
+        assert abs(r["approx"] - r["exact"]) <= max(0.25 * r["exact"], 5), (
+            r["day"],
+            r["exact"],
+            r["approx"],
+        )
+
+
 def test_all_queries_have_entries():
     assert len(SPECS) >= 20
     no_oracle = [n for n, s in SPECS.items() if s.sql is None]
