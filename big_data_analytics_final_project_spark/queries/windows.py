@@ -130,6 +130,51 @@ ORDER BY window_start, event_type
 """
 
 
+def events_sliding_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time window: 2-hour windows advancing every hour,
+    so each event lands in exactly 2 overlapping windows (the moving-
+    average shape tumbling windows can't express). Same `window()`
+    expression Structured Streaming uses — this is the batch twin.
+
+    Scale: Spark expands the slide map-side (duration/slide copies per
+    row — keep that ratio small) and the aggregate is still one
+    map-side-combinable shuffle on the window key.
+
+    The oracle reproduces the expansion declaratively: epoch-aligned
+    hour buckets shifted i ∈ {0, 1} hours back."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value", "sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start")
+    )
+
+
+EVENTS_SLIDING_2H_SQL = f"""
+SELECT window_start,
+       window_start + INTERVAL 2 HOUR AS window_end,
+       count(*) AS n_events,
+       {exact_sum_sql("value", "sum_value")}
+FROM (
+  SELECT time_bucket(INTERVAL '1 hour', ts) - r.i * INTERVAL '1 hour'
+           AS window_start,
+         value
+  FROM events, range(0, 2) r(i)
+)
+GROUP BY window_start
+ORDER BY window_start
+"""
+
+
 def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands sessionization of the event log (30-min gap) —
     recomputes what the reference's generator synthesizes
@@ -406,6 +451,7 @@ QUERIES: dict[str, QuerySpec] = {
     "events_tumbling_hourly": QuerySpec(
         events_tumbling_hourly, EVENTS_TUMBLING_HOURLY_SQL
     ),
+    "events_sliding_2h": QuerySpec(events_sliding_2h, EVENTS_SLIDING_2H_SQL),
     "events_sessionized": QuerySpec(events_sessionized, EVENTS_SESSIONIZED_SQL),
     "session_stats_per_user": QuerySpec(
         session_stats_per_user, SESSION_STATS_PER_USER_SQL

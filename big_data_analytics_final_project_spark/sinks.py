@@ -40,6 +40,40 @@ def write_zone(
     writer.parquet(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    n_buckets: int,
+    bucket_cols: list[str],
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Hash-bucketed, sorted, managed parquet table — the co-located
+    join layout.
+
+    Bucketing is a pre-computed shuffle persisted into storage: every
+    writer task hash-partitions rows on the bucket key into a fixed
+    number of files, so any later join or aggregate on that key reads
+    data already partitioned (and, with ``sortBy``, already sorted) —
+    Catalyst plans a SortMergeJoin with ZERO exchanges. At 100 TB this
+    is the difference between re-shuffling the fact table per query and
+    paying the shuffle once at ingest, amortized over every downstream
+    query; it's the engine's answer to the reference's HBase
+    pre-clustered rowkey layout (SURVEY.md OPT-3) for the join-heavy
+    path, where `write_zone`'s partition pruning answers the point-
+    lookup path.
+
+    Pick ``n_buckets`` so one bucket of the LARGEST table this key
+    joins against fits an executor core's working memory (at 100 TB:
+    thousands of buckets, not 8)."""
+    (
+        df.write.format("parquet")
+        .mode("overwrite")
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*(sort_cols or bucket_cols))
+        .saveAsTable(table)
+    )
+
+
 def write_summary_txt(lines: dict[str, object], path: str) -> None:
     """Driver-side scalar summary (report artifact, not an engine op)."""
     with open(path, "w") as f:

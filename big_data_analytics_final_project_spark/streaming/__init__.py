@@ -88,6 +88,28 @@ def sessionized_stream(
     )
 
 
+def deduped_stream(
+    events: DataFrame,
+    id_cols: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """At-most-once per id under re-delivery:
+    `dropDuplicatesWithinWatermark` keeps one row per key among
+    duplicates whose event times fall within the watermark horizon of
+    each other — the streaming twin of batch `dropDuplicates` (DED-1)
+    for sources with at-least-once semantics (the reference's loader
+    meets re-runs with a skipped-rows counter instead,
+    load_hbase_sessions_stream.py:25-26,121-134; this is the
+    exactly-once upgrade).
+
+    Scale: state is one entry per key with expiry at watermark passage
+    — bounded by arrival rate × horizon, never by stream length
+    (plain streaming `dropDuplicates` state grows forever)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        id_cols or ["event_id"]
+    )
+
+
 def write_foreach_batch(df: DataFrame, out_dir: str, checkpoint: str, batch_fn=None):
     """foreachBatch sink — the engine's analog of the reference's
     batched wide-column writes with periodic flush (SNK-1,

@@ -15,14 +15,24 @@ SF_CORRECT = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
+    import shutil
+    import tempfile
+
+    warehouse = tempfile.mkdtemp(prefix="spark_warehouse_")
     s = get_session(
         app_name="tests",
         master="local[8]",
         shuffle_partitions=8,
-        extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "8g"},
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.driver.memory": "8g",
+            # managed tables (bucketed-layout tests) land in scratch
+            "spark.sql.warehouse.dir": warehouse,
+        },
     )
     yield s
     s.stop()
+    shutil.rmtree(warehouse, ignore_errors=True)
 
 
 @pytest.fixture(scope="session")

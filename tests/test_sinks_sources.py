@@ -14,9 +14,13 @@ import tempfile
 import pytest
 from pyspark.sql import functions as F
 
-from big_data_analytics_final_project_spark.plans import physical_plan
+from big_data_analytics_final_project_spark.plans import (
+    count_shuffles,
+    physical_plan,
+)
 from big_data_analytics_final_project_spark.queries import all_queries
 from big_data_analytics_final_project_spark.sinks import (
+    write_bucketed_table,
     write_report_csv,
     write_summary_txt,
     write_zone,
@@ -81,6 +85,80 @@ def test_zone_write_partition_pruning(spark, tmp_root):
         .collect()
     )
     assert lookup.collect() == want
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark):
+    """orders and customer persisted as 8-bucket tables on the join
+    key (custkey) — the pay-the-shuffle-once-at-ingest layout."""
+    write_bucketed_table(
+        load_table(spark, SF_SMOKE, "orders"), "orders_bkt", 8, ["o_custkey"]
+    )
+    write_bucketed_table(
+        load_table(spark, SF_SMOKE, "customer"), "customer_bkt", 8, ["c_custkey"]
+    )
+    yield
+    spark.sql("DROP TABLE IF EXISTS orders_bkt")
+    spark.sql("DROP TABLE IF EXISTS customer_bkt")
+
+
+def test_bucketed_join_is_colocated(spark, bucketed_tables):
+    """Joining two tables bucketed on the join key must be a
+    SortMergeJoin with ZERO shuffle exchanges — both sides read
+    pre-partitioned. (Broadcast is disabled so the tiny sf0.001 dim
+    can't mask the co-location; values are checked against the
+    plain-parquet join.)"""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            spark.table("orders_bkt")
+            .join(
+                spark.table("customer_bkt"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+        )
+        plan = physical_plan(joined)
+        assert "SortMergeJoin" in plan, plan
+        # one exchange for the final groupBy on a non-bucket key; the
+        # JOIN itself must add none
+        assert count_shuffles(joined) <= 1, plan
+
+        want = sorted(
+            (r["c_mktsegment"], r["n_orders"])
+            for r in load_table(spark, SF_SMOKE, "orders")
+            .join(
+                load_table(spark, SF_SMOKE, "customer"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+            .collect()
+        )
+        got = sorted((r["c_mktsegment"], r["n_orders"]) for r in joined.collect())
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_bucketed_agg_needs_no_shuffle(spark, bucketed_tables):
+    """A groupBy on the bucket key reads pre-partitioned data: zero
+    exchanges in the whole aggregate plan."""
+    agg = (
+        spark.table("orders_bkt")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert count_shuffles(agg) == 0, physical_plan(agg)
+    # values match the unbucketed path
+    want = (
+        load_table(spark, SF_SMOKE, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert sorted(map(tuple, agg.collect())) == sorted(map(tuple, want))
 
 
 def test_summary_txt(tmp_root):

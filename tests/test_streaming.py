@@ -20,6 +20,7 @@ from big_data_analytics_final_project_spark.operators.sessionize import sessioni
 from big_data_analytics_final_project_spark.sources import load_table
 from big_data_analytics_final_project_spark.streaming import (
     EVENT_SCHEMA,
+    deduped_stream,
     read_event_stream,
     sessionized_stream,
     tumbling_counts,
@@ -159,6 +160,33 @@ def test_stateful_sessionize_matches_batch(spark, stream_dirs):
     non_final = {k for k in want if k[1] != last_start[k[0]]}
     missing = non_final - set(got)
     assert not missing, f"{len(missing)} successor-closed sessions not emitted"
+
+
+def test_deduped_stream_drops_redelivery(spark, stream_dirs):
+    """An at-least-once source (every chunk delivered twice, in
+    separate micro-batches) must land each event_id exactly once
+    through dropDuplicatesWithinWatermark."""
+    root = stream_dirs["root"]
+    dup_src = f"{root}/dup_src"
+    base = spark.read.schema(EVENT_SCHEMA).parquet(stream_dirs["src"])
+    for _ in range(2):  # same rows twice = re-delivery
+        base.coalesce(1).write.mode("append").parquet(dup_src)
+    stream = read_event_stream(spark, dup_src)
+    q = (
+        deduped_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream_test")
+        .option("checkpointLocation", f"{root}/ckpt_dedup")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "stream did not finish"
+    got = spark.sql(
+        "SELECT count(*) AS n, count(DISTINCT event_id) AS nd FROM dedup_stream_test"
+    ).collect()[0]
+    want = base.select("event_id").distinct().count()
+    assert got["n"] == got["nd"] == want
 
 
 def test_session_window_stream_smoke(spark, stream_dirs):
