@@ -27,6 +27,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from . import (
         batch,
         dedup,
+        generated,
         integrated,
         json_nested,
         multimodal,
@@ -45,6 +46,7 @@ def all_queries() -> dict[str, QuerySpec]:
         similarity,
         multimodal,
         json_nested,
+        generated,
     ):
         for name, spec in mod.QUERIES.items():
             if name in merged:

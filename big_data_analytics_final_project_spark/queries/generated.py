@@ -1,0 +1,110 @@
+"""Analytics over generator-synthesized data — S1 closed end-to-end.
+
+The reference couples its analytics to a single-process Python
+generator (`data_generator.py`); here the generator itself is a Spark
+plan (generator.py), and these queries prove the WHOLE pipeline —
+synthesize → explode nested items → join dim → aggregate — is
+cross-engine exact: the DuckDB oracle re-derives every generated value
+from the same (tag, row-id) md5 uniforms and must hash-match.
+
+These run on constant small cardinalities (500 tx / 200 products) so
+the oracle's correlated re-derivation stays cheap; the Spark side is
+the same zero-shuffle ``spark.range`` plan at any n.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import exact_sum, exact_sum_sql
+from ..generator import (
+    gen_products,
+    gen_transactions,
+    products_dim_sql,
+    transactions_items_sql,
+)
+from . import QuerySpec
+
+_N_TXN, _N_USERS, _N_PRODUCTS = 500, 100, 200
+
+
+def gen_transactions_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated transactions, item-exploded to flat columns (EXP-1 /
+    PRJ-2 over synthesized nested data). sf_dir is unused: the input IS
+    the generator."""
+    t = gen_transactions(spark, _N_TXN, _N_USERS, _N_PRODUCTS)
+    return (
+        t.select(
+            "transaction_id", "user_id", "timestamp", "subtotal", "discount",
+            "total", "payment_method", "status",
+            F.posexplode("items").alias("item_idx", "item"),
+        )
+        .select(
+            "transaction_id", "user_id", "timestamp",
+            F.col("item_idx").cast("int").alias("item_idx"),
+            F.col("item.product_id").alias("product_id"),
+            F.col("item.quantity").alias("quantity"),
+            F.col("item.unit_price").alias("unit_price"),
+            F.col("item.subtotal").alias("item_subtotal"),
+            "subtotal", "discount", "total", "payment_method", "status",
+        )
+        .orderBy("transaction_id", "item_idx")
+    )
+
+
+GEN_TRANSACTIONS_FLAT_SQL = f"""
+WITH flat AS ({transactions_items_sql(_N_TXN, _N_USERS, _N_PRODUCTS)})
+SELECT * FROM flat
+ORDER BY transaction_id, item_idx
+"""
+
+
+def gen_revenue_by_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship revenue-by-category (AGG-1/AGG-5 +
+    JOIN-1, spark_analysis.py:49-83) over GENERATED transactions and
+    products — generator → explode → broadcast dim join → exact-sum
+    aggregate, all differentially verified."""
+    t = gen_transactions(spark, _N_TXN, _N_USERS, _N_PRODUCTS)
+    p = gen_products(spark, _N_PRODUCTS, 25).select("product_id", "category_id")
+    items = t.select(
+        "transaction_id", F.explode("items").alias("item")
+    ).select(
+        "transaction_id",
+        F.col("item.product_id").alias("product_id"),
+        F.col("item.quantity").alias("quantity"),
+        F.col("item.subtotal").alias("item_subtotal"),
+    )
+    return (
+        items.join(F.broadcast(p), "product_id", "left")
+        .groupBy("category_id")
+        .agg(
+            exact_sum("item_subtotal", "revenue"),
+            F.sum("quantity").cast("bigint").alias("units_sold"),
+            F.countDistinct("transaction_id").alias("n_orders"),
+        )
+        .orderBy(F.col("revenue").desc(), "category_id")
+    )
+
+
+GEN_REVENUE_BY_CATEGORY_SQL = f"""
+WITH flat AS ({transactions_items_sql(_N_TXN, _N_USERS, _N_PRODUCTS)}),
+prod AS ({products_dim_sql(_N_PRODUCTS, 25)})
+SELECT p.category_id,
+       {exact_sum_sql("f.item_subtotal", "revenue")},
+       CAST(SUM(f.quantity) AS BIGINT) AS units_sold,
+       COUNT(DISTINCT f.transaction_id) AS n_orders
+FROM flat f LEFT JOIN prod p USING (product_id)
+GROUP BY p.category_id
+ORDER BY revenue DESC, p.category_id
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "gen_transactions_flat": QuerySpec(
+        gen_transactions_flat, GEN_TRANSACTIONS_FLAT_SQL
+    ),
+    "gen_revenue_by_category": QuerySpec(
+        gen_revenue_by_category, GEN_REVENUE_BY_CATEGORY_SQL
+    ),
+}
