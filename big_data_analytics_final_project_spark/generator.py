@@ -391,6 +391,38 @@ JOIN money m ON m.i = t.i
 """
 
 
+def transactions_totals_sql(n: int, n_users: int) -> str:
+    """Per-transaction (user_id, total) — the money chain only, for
+    spend-rollup oracles."""
+    jy = "(t2.i * 8 + y.j)"
+    qy = _uint_sql("tiq", jy, 1, 3)
+    ucy = _uint_sql("tiu", jy, 500, 50000)
+    disc_pct = (
+        f"(CASE WHEN {_u48_sql('tdp', 't2.i')} % 10 < 8 THEN 0"
+        f" ELSE ({_u48_sql('tdt', 't2.i')} % 4 + 1) * 5 END)"
+    )
+    return f"""
+SELECT 'user_' || lpad(CAST({_uint_sql("tuser", "t2.i", 0, n_users - 1)} AS VARCHAR), 6, '0') AS user_id,
+       (SUM(CASE WHEN y.j < {_uint_sql("tni", "t2.i", 1, 3)}
+                 THEN {qy} * {ucy} ELSE 0 END)
+        - CAST(floor(SUM(CASE WHEN y.j < {_uint_sql("tni", "t2.i", 1, 3)}
+                              THEN {qy} * {ucy} ELSE 0 END) * {disc_pct} / 100.0) AS BIGINT)
+       ) / 100.0 AS total
+FROM range({n}) t2(i) CROSS JOIN range(3) y(j)
+GROUP BY t2.i
+"""
+
+
+def sessions_engagement_sql(n: int, n_users: int) -> str:
+    """Per-session (user_id, duration_s) — the engagement leg of the
+    integrated query, re-derived from the same uniforms."""
+    return f"""
+SELECT 'user_' || lpad(CAST({_uint_sql("suser", "i", 0, n_users - 1)} AS VARCHAR), 6, '0') AS user_id,
+       {_uint_sql("sdur", "i", 60, 3600)} AS duration_s
+FROM range({n}) r(i)
+"""
+
+
 def products_dim_sql(n: int, n_categories: int) -> str:
     return f"""
 SELECT 'prod_' || lpad(CAST(i AS VARCHAR), 5, '0') AS product_id,

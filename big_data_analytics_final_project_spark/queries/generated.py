@@ -20,13 +20,17 @@ from pyspark.sql import functions as F
 from ..functions.numeric import exact_sum, exact_sum_sql
 from ..generator import (
     gen_products,
+    gen_sessions,
     gen_transactions,
     products_dim_sql,
+    sessions_engagement_sql,
     transactions_items_sql,
+    transactions_totals_sql,
 )
 from . import QuerySpec
 
 _N_TXN, _N_USERS, _N_PRODUCTS = 500, 100, 200
+_N_SESSIONS = 800
 
 
 def gen_transactions_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -100,11 +104,80 @@ ORDER BY revenue DESC, p.category_id
 """
 
 
+def gen_engagement_vs_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's integrated cross-system query (EP-3,
+    integrated_query_engagement_vs_spend.py: HBase engagement leg +
+    Mongo spend leg + pandas join/derive) run ENTIRELY over generated
+    data: gen_sessions supplies the engagement leg (AGG-8/9),
+    gen_transactions the spend leg (AGG-13→AGG-2), joined left with
+    null-fill (JOIN-3/FN-11) and the derived score / guarded division
+    (FN-2/FN-3). Synthesis to insight in one oracle-checked plan."""
+    sess = gen_sessions(spark, _N_SESSIONS, _N_USERS, _N_PRODUCTS)
+    eng = sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("duration_seconds").cast("bigint").alias("total_duration_s"),
+    )
+    spend = (
+        gen_transactions(spark, _N_TXN, _N_USERS, _N_PRODUCTS)
+        .groupBy("user_id")
+        .agg(
+            exact_sum("total", "total_spent"),
+            F.count(F.lit(1)).alias("num_orders"),
+        )
+    )
+    joined = eng.join(spend, "user_id", "left").na.fill(
+        {"total_spent": 0.0, "num_orders": 0}
+    )
+    avg_dur = F.col("total_duration_s").cast("double") / F.col("n_sessions")
+    return joined.select(
+        "user_id",
+        "n_sessions",
+        "total_duration_s",
+        "total_spent",
+        "num_orders",
+        (F.col("n_sessions") * (1.0 + avg_dur / 600.0)).alias("engagement_score"),
+        F.when(
+            F.col("num_orders") > 0, F.col("total_spent") / F.col("num_orders")
+        )
+        .otherwise(0.0)
+        .alias("spend_per_order"),
+    ).orderBy(F.col("total_spent").desc(), F.col("n_sessions").desc(), "user_id")
+
+
+GEN_ENGAGEMENT_VS_SPEND_SQL = f"""
+WITH sess AS ({sessions_engagement_sql(_N_SESSIONS, _N_USERS)}),
+eng AS (
+  SELECT user_id, count(*) AS n_sessions,
+         CAST(SUM(duration_s) AS BIGINT) AS total_duration_s
+  FROM sess GROUP BY user_id
+),
+txn AS ({transactions_totals_sql(_N_TXN, _N_USERS)}),
+spend AS (
+  SELECT user_id, {exact_sum_sql("total", "total_spent")},
+         count(*) AS num_orders
+  FROM txn GROUP BY user_id
+)
+SELECT e.user_id, e.n_sessions, e.total_duration_s,
+       coalesce(s.total_spent, 0.0) AS total_spent,
+       coalesce(s.num_orders, 0) AS num_orders,
+       e.n_sessions * (1.0 + (CAST(e.total_duration_s AS DOUBLE) / e.n_sessions) / 600.0)
+         AS engagement_score,
+       CASE WHEN coalesce(s.num_orders, 0) > 0
+            THEN coalesce(s.total_spent, 0.0) / s.num_orders
+            ELSE 0.0 END AS spend_per_order
+FROM eng e LEFT JOIN spend s USING (user_id)
+ORDER BY total_spent DESC, n_sessions DESC, e.user_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "gen_transactions_flat": QuerySpec(
         gen_transactions_flat, GEN_TRANSACTIONS_FLAT_SQL
     ),
     "gen_revenue_by_category": QuerySpec(
         gen_revenue_by_category, GEN_REVENUE_BY_CATEGORY_SQL
+    ),
+    "gen_engagement_vs_spend": QuerySpec(
+        gen_engagement_vs_spend, GEN_ENGAGEMENT_VS_SPEND_SQL
     ),
 }
