@@ -429,3 +429,44 @@ SELECT 'prod_' || lpad(CAST(i AS VARCHAR), 5, '0') AS product_id,
        'cat_' || lpad(CAST({_uint_sql("pcat", "i", 0, n_categories - 1)} AS VARCHAR), 3, '0') AS category_id
 FROM range({n}) r(i)
 """
+
+
+# --------------------------------------------------------- bulk landing
+
+# Reference cardinalities (data_generator.py:10-16) at scale=1.0.
+REFERENCE_CARDINALITIES = {
+    "categories": 25,
+    "products": 5000,
+    "users": 10000,
+    "transactions": 100000,
+    "sessions": 300000,
+}
+
+
+def generate_all(
+    spark: SparkSession, out_dir: str, scale: float = 1.0
+) -> dict[str, int]:
+    """Materialize the full data model as parquet zones — the
+    generate→load path (reference: data_generator.py then mongoimport/
+    HBase bulk load, PDF §7.1.3/§11) as ONE Spark job. Row counts
+    scale linearly; categories stay fixed (a dim, like TPC-H nation).
+
+    Returns {table: rows written}."""
+    n = {
+        t: max(1, int(c * scale)) if t != "categories" else c
+        for t, c in REFERENCE_CARDINALITIES.items()
+    }
+    frames = {
+        "categories": gen_categories(spark, n["categories"]),
+        "products": gen_products(spark, n["products"], n["categories"]),
+        "users": gen_users(spark, n["users"]),
+        "transactions": gen_transactions(
+            spark, n["transactions"], n["users"], n["products"]
+        ),
+        "sessions": gen_sessions(
+            spark, n["sessions"], n["users"], n["products"]
+        ),
+    }
+    for table, df in frames.items():
+        df.write.mode("overwrite").parquet(f"{out_dir}/{table}.parquet")
+    return n

@@ -107,6 +107,19 @@ def test_referential_integrity(spark):
     assert products.join(cats, "category_id", "left_anti").count() == 0
 
 
+def test_generate_all_roundtrip(spark, tmp_path):
+    """generate_all lands all five tables as readable parquet with the
+    scaled cardinalities."""
+    from big_data_analytics_final_project_spark.generator import generate_all
+
+    out = str(tmp_path / "zones")
+    counts = generate_all(spark, out, scale=0.002)
+    assert counts["categories"] == 25  # dim stays fixed
+    assert counts["transactions"] == 200
+    for table, n in counts.items():
+        assert spark.read.parquet(f"{out}/{table}.parquet").count() == n
+
+
 def test_session_shape(spark):
     """FIXTURES.md session shape: map cart with distinct keys,
     time-sorted page_views, viewed_products ⊆ page_views' products,
