@@ -104,6 +104,98 @@ ORDER BY revenue DESC, p.category_id
 """
 
 
+def gen_top_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference top-spenders (AGG-2/AGG-4, spark_analysis.py:90-106 /
+    TOP10.py) over generated transactions — top-10 via
+    TakeOrderedAndProject."""
+    t = gen_transactions(spark, _N_TXN, _N_USERS, _N_PRODUCTS)
+    return (
+        t.groupBy("user_id")
+        .agg(
+            exact_sum("total", "total_spent"),
+            F.count(F.lit(1)).alias("num_orders"),
+        )
+        .orderBy(F.col("total_spent").desc(), "user_id")
+        .limit(10)
+    )
+
+
+GEN_TOP_SPENDERS_SQL = f"""
+WITH txn AS ({transactions_totals_sql(_N_TXN, _N_USERS)})
+SELECT user_id, {exact_sum_sql("total", "total_spent")},
+       count(*) AS num_orders
+FROM txn GROUP BY user_id
+ORDER BY total_spent DESC, user_id
+LIMIT 10
+"""
+
+
+def gen_product_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference product-popularity Mongo pipeline (AGG-6, PDF §7.2(B))
+    over generated transactions: unwind items → group by product →
+    top-10 by units."""
+    t = gen_transactions(spark, _N_TXN, _N_USERS, _N_PRODUCTS)
+    return (
+        t.select(F.explode("items").alias("item"))
+        .select(
+            F.col("item.product_id").alias("product_id"),
+            F.col("item.quantity").alias("quantity"),
+            F.col("item.subtotal").alias("item_subtotal"),
+        )
+        .groupBy("product_id")
+        .agg(
+            F.sum("quantity").cast("bigint").alias("units_sold"),
+            exact_sum("item_subtotal", "revenue"),
+        )
+        .orderBy(F.col("units_sold").desc(), "product_id")
+        .limit(10)
+    )
+
+
+GEN_PRODUCT_POPULARITY_SQL = f"""
+WITH flat AS ({transactions_items_sql(_N_TXN, _N_USERS, _N_PRODUCTS)})
+SELECT product_id,
+       CAST(SUM(quantity) AS BIGINT) AS units_sold,
+       {exact_sum_sql("item_subtotal", "revenue")}
+FROM flat
+GROUP BY product_id
+ORDER BY units_sold DESC, product_id
+LIMIT 10
+"""
+
+
+def gen_also_bought_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference pair-affinity query (JOIN-2/FLT-2/DED-1/AGG-3,
+    spark_analysis.py:113-143 and the Mongo `PAIRS` pipeline) over
+    generated baskets — dedup, self-join, theta filter, count, top-50."""
+    from ..operators.pairs import copurchase_pairs
+
+    t = gen_transactions(spark, _N_TXN, _N_USERS, _N_PRODUCTS)
+    items = t.select(
+        "transaction_id", F.explode("items.product_id").alias("product_id")
+    )
+    return copurchase_pairs(
+        items, order_col="transaction_id", product_col="product_id", limit=50
+    )
+
+
+GEN_ALSO_BOUGHT_PAIRS_SQL = f"""
+WITH flat AS ({transactions_items_sql(_N_TXN, _N_USERS, _N_PRODUCTS)}),
+items AS (SELECT DISTINCT transaction_id, product_id FROM flat),
+pairs AS (
+  SELECT a.product_id AS product_x, b.product_id AS product_y
+  FROM items a JOIN items b
+    ON a.transaction_id = b.transaction_id
+   AND a.product_id < b.product_id
+)
+SELECT product_x, product_y, count(*) AS co_purchase_count
+FROM pairs
+GROUP BY product_x, product_y
+ORDER BY co_purchase_count DESC, product_x, product_y
+LIMIT 50
+"""
+
+
 def gen_engagement_vs_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's integrated cross-system query (EP-3,
     integrated_query_engagement_vs_spend.py: HBase engagement leg +
@@ -179,5 +271,12 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "gen_engagement_vs_spend": QuerySpec(
         gen_engagement_vs_spend, GEN_ENGAGEMENT_VS_SPEND_SQL
+    ),
+    "gen_top_spenders": QuerySpec(gen_top_spenders, GEN_TOP_SPENDERS_SQL),
+    "gen_product_popularity": QuerySpec(
+        gen_product_popularity, GEN_PRODUCT_POPULARITY_SQL
+    ),
+    "gen_also_bought_pairs": QuerySpec(
+        gen_also_bought_pairs, GEN_ALSO_BOUGHT_PAIRS_SQL
     ),
 }
