@@ -79,6 +79,15 @@ def test_minhash_bounded_scans(spark):
     assert count_scans(_df(spark, "dedup_minhash_lsh")) <= 4
 
 
+def test_sliding_window_single_agg_shuffle(spark):
+    """The 2h/1h sliding window expands slide copies map-side and
+    aggregates in ONE shuffle (+ the output sort) — no per-window
+    re-scan."""
+    df = _df(spark, "events_sliding_2h")
+    assert count_shuffles(df) <= 2
+    assert count_scans(df) == 1
+
+
 def test_text_queries_scan_once_no_shuffle(spark):
     """Per-document text analytics are single-scan, shuffle-free until
     the output sort — embarrassingly parallel at 100 TB."""
