@@ -16,6 +16,7 @@ explicit schemas — inference is a full extra pass over 100 TB.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.functions import expr
 
 TABLES = (
@@ -69,6 +70,43 @@ def read_json_zone(spark: SparkSession, path: str, schema) -> DataFrame:
     spark_analysis.py:42 and load_hbase_sessions_stream.py:32) with an
     explicit schema instead of inference."""
     return spark.read.schema(schema).json(path)
+
+
+def read_json_zone_with_skips(
+    spark: SparkSession, path: str, schema
+) -> tuple[DataFrame, dict[str, int]]:
+    """Error-tolerant ingest with load accounting — the engine's twin
+    of the reference loader's skip-and-count error path
+    (load_hbase_sessions_stream.py:85-91: malformed rows are skipped,
+    inserted/skipped totals reported, :121-134).
+
+    PERMISSIVE mode routes unparseable lines into a corrupt-record
+    column instead of failing the job; the clean frame plus
+    {"ingested": n, "skipped": m} counters are returned. One
+    distributed pass for the counts — at 100 TB this is a map-side
+    aggregate, not a driver loop."""
+    from pyspark.sql import types as T
+
+    corrupt = "_corrupt_record"
+    full_schema = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt, T.StringType())]
+    )
+    raw = (
+        spark.read.schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt)
+        .json(path)
+    ).cache()  # counted once, then filtered — avoid a double scan
+    counts_row = raw.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count(corrupt).alias("skipped"),
+    ).collect()[0]
+    good = raw.filter(F.col(corrupt).isNull()).drop(corrupt)
+    counters = {
+        "ingested": counts_row["total"] - counts_row["skipped"],
+        "skipped": counts_row["skipped"],
+    }
+    return good, counters
 
 
 def read_csv_zone(spark: SparkSession, path: str, schema=None) -> DataFrame:

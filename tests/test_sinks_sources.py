@@ -25,7 +25,11 @@ from big_data_analytics_final_project_spark.sinks import (
     write_summary_txt,
     write_zone,
 )
-from big_data_analytics_final_project_spark.sources import load_table, read_csv_zone
+from big_data_analytics_final_project_spark.sources import (
+    load_table,
+    read_csv_zone,
+    read_json_zone_with_skips,
+)
 
 from .conftest import SF_SMOKE
 
@@ -159,6 +163,36 @@ def test_bucketed_agg_needs_no_shuffle(spark, bucketed_tables):
         .collect()
     )
     assert sorted(map(tuple, agg.collect())) == sorted(map(tuple, want))
+
+
+def test_json_ingest_with_skips(spark, tmp_root):
+    """Reference-loader error path (skip malformed rows, report
+    inserted/skipped): 3 good lines + 2 broken ones land as a 3-row
+    frame with exact counters."""
+    from pyspark.sql import types as T
+
+    path = f"{tmp_root}/dirty_json"
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/part-0.json", "w") as f:
+        f.write(
+            '{"user_id": 1, "city": "a"}\n'
+            "{not json at all\n"
+            '{"user_id": 2, "city": "b"}\n'
+            '{"user_id": "also-bad-type-but-parseable", "city": "c"}\n'
+            '{"user_id": 3, "city": "d"}\n'
+        )
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("city", T.StringType()),
+        ]
+    )
+    good, counters = read_json_zone_with_skips(spark, path, schema)
+    rows = {(r["user_id"], r["city"]) for r in good.collect()}
+    assert rows == {(1, "a"), (2, "b"), (3, "d")}
+    assert counters == {"ingested": 3, "skipped": 2}
 
 
 def test_summary_txt(tmp_root):
