@@ -456,6 +456,9 @@ def generate_all(
         t: max(1, int(c * scale)) if t != "categories" else c
         for t, c in REFERENCE_CARDINALITIES.items()
     }
+    # carts hold up to 3 distinct products (stride-generated keys);
+    # fewer than 4 products would collide map keys
+    n["products"] = max(4, n["products"])
     frames = {
         "categories": gen_categories(spark, n["categories"]),
         "products": gen_products(spark, n["products"], n["categories"]),
