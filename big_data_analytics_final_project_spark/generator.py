@@ -283,15 +283,18 @@ def gen_sessions(
             _uint("spd", pv_key(j), 5, 300).cast("int").alias("view_duration"),
         ),
     )
+    if n_products < 4:
+        raise ValueError("gen_sessions needs n_products >= 4 (carts hold up to 3 distinct products)")
     n_cart = _uint("snc", i, 0, 3)
     cart_base = _uint("scb", i, 0, n_products - 1)
-    # stride 7919 (prime, coprime with any n_products < 7919) keeps map
-    # keys distinct without a dedup pass. slice() not sequence(1, n):
-    # Spark's sequence(1, 0) yields a DESCENDING [1, 0], not empty.
+    # consecutive offsets from a uniform base keep map keys distinct for
+    # any n_products >= 4 without a dedup pass. slice() not
+    # sequence(1, n): Spark's sequence(1, 0) yields a DESCENDING
+    # [1, 0], not empty.
     cart_seq = F.slice(F.sequence(F.lit(1), F.lit(3)), 1, n_cart.cast("int"))
     cart_keys = F.transform(
         cart_seq,
-        lambda j: F.format_string("prod_%05d", (cart_base + j * 7919) % n_products),
+        lambda j: F.format_string("prod_%05d", (cart_base + j) % n_products),
     )
     cart_vals = F.transform(
         cart_seq,
@@ -342,6 +345,24 @@ def gen_sessions(
 # from the same (tag, key).
 
 
+def _money_fragments_sql(i: str = "t2.i", j: str = "y.j") -> tuple[str, str]:
+    """(per-item cents CASE, discount pct) SQL fragments over
+    transaction row index `i` and item slot `j` — the ONE source of the
+    oracle-side money chain; transactions_items_sql and
+    transactions_totals_sql must model identical data."""
+    key = f"({i} * 8 + {j})"
+    q = _uint_sql("tiq", key, 1, 3)
+    uc = _uint_sql("tiu", key, 500, 50000)
+    item_case = (
+        f"CASE WHEN {j} < {_uint_sql('tni', i, 1, 3)} THEN {q} * {uc} ELSE 0 END"
+    )
+    disc_pct = (
+        f"(CASE WHEN {_u48_sql('tdp', i)} % 10 < 8 THEN 0"
+        f" ELSE ({_u48_sql('tdt', i)} % 4 + 1) * 5 END)"
+    )
+    return item_case, disc_pct
+
+
 def transactions_items_sql(n: int, n_users: int, n_products: int) -> str:
     i, j = "t.i", "(t.i * 8 + x.j)"
     q = _uint_sql("tiq", j, 1, 3)
@@ -349,13 +370,7 @@ def transactions_items_sql(n: int, n_users: int, n_products: int) -> str:
     # DuckDB's range() cannot be laterally parameterized, so the
     # per-transaction item sum is a fixed 3-way cross join with the
     # short-count rows zeroed out.
-    jy = "(t2.i * 8 + y.j)"
-    qy = _uint_sql("tiq", jy, 1, 3)
-    ucy = _uint_sql("tiu", jy, 500, 50000)
-    disc_pct = (
-        f"(CASE WHEN {_u48_sql('tdp', 't2.i')} % 10 < 8 THEN 0"
-        f" ELSE ({_u48_sql('tdt', 't2.i')} % 4 + 1) * 5 END)"
-    )
+    item_case, disc_pct = _money_fragments_sql("t2.i", "y.j")
     return f"""
 WITH txn AS (
   SELECT i,
@@ -369,8 +384,7 @@ WITH txn AS (
 ),
 money AS (
   SELECT t2.i,
-         SUM(CASE WHEN y.j < {_uint_sql("tni", "t2.i", 1, 3)}
-                  THEN {qy} * {ucy} ELSE 0 END) AS subtotal_cents,
+         SUM({item_case}) AS subtotal_cents,
          {disc_pct} AS disc_pct
   FROM range({n}) t2(i) CROSS JOIN range(3) y(j)
   GROUP BY t2.i
@@ -393,20 +407,13 @@ JOIN money m ON m.i = t.i
 
 def transactions_totals_sql(n: int, n_users: int) -> str:
     """Per-transaction (user_id, total) — the money chain only, for
-    spend-rollup oracles."""
-    jy = "(t2.i * 8 + y.j)"
-    qy = _uint_sql("tiq", jy, 1, 3)
-    ucy = _uint_sql("tiu", jy, 500, 50000)
-    disc_pct = (
-        f"(CASE WHEN {_u48_sql('tdp', 't2.i')} % 10 < 8 THEN 0"
-        f" ELSE ({_u48_sql('tdt', 't2.i')} % 4 + 1) * 5 END)"
-    )
+    spend-rollup oracles. Shares _money_fragments_sql with
+    transactions_items_sql so both oracles model identical data."""
+    item_case, disc_pct = _money_fragments_sql("t2.i", "y.j")
     return f"""
 SELECT 'user_' || lpad(CAST({_uint_sql("tuser", "t2.i", 0, n_users - 1)} AS VARCHAR), 6, '0') AS user_id,
-       (SUM(CASE WHEN y.j < {_uint_sql("tni", "t2.i", 1, 3)}
-                 THEN {qy} * {ucy} ELSE 0 END)
-        - CAST(floor(SUM(CASE WHEN y.j < {_uint_sql("tni", "t2.i", 1, 3)}
-                              THEN {qy} * {ucy} ELSE 0 END) * {disc_pct} / 100.0) AS BIGINT)
+       (SUM({item_case})
+        - CAST(floor(SUM({item_case}) * {disc_pct} / 100.0) AS BIGINT)
        ) / 100.0 AS total
 FROM range({n}) t2(i) CROSS JOIN range(3) y(j)
 GROUP BY t2.i

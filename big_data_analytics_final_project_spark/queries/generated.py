@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.numeric import exact_sum, exact_sum_sql
+from ..functions.numeric import exact_sum, exact_sum_sql, guarded_div
 from ..generator import (
     gen_products,
     gen_sessions,
@@ -228,11 +228,9 @@ def gen_engagement_vs_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_spent",
         "num_orders",
         (F.col("n_sessions") * (1.0 + avg_dur / 600.0)).alias("engagement_score"),
-        F.when(
-            F.col("num_orders") > 0, F.col("total_spent") / F.col("num_orders")
-        )
-        .otherwise(0.0)
-        .alias("spend_per_order"),
+        guarded_div(F.col("total_spent"), F.col("num_orders")).alias(
+            "spend_per_order"
+        ),
     ).orderBy(F.col("total_spent").desc(), F.col("n_sessions").desc(), "user_id")
 
 

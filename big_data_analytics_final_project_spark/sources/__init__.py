@@ -80,11 +80,15 @@ def read_json_zone_with_skips(
     (load_hbase_sessions_stream.py:85-91: malformed rows are skipped,
     inserted/skipped totals reported, :121-134).
 
-    PERMISSIVE mode routes unparseable lines into a corrupt-record
-    column instead of failing the job; the clean frame plus
-    {"ingested": n, "skipped": m} counters are returned. One
-    distributed pass for the counts — at 100 TB this is a map-side
-    aggregate, not a driver loop."""
+    PERMISSIVE parsing routes unparseable lines into a corrupt-record
+    column; the zone is parsed ONCE into cache, counted, and the clean
+    rows are eagerly local-checkpointed before the raw cache (parse
+    results + corrupt strings) is released — nothing outlives the call
+    but the clean payload the caller consumes, and the returned frame
+    is lineage-free (no corrupt-only-query restriction, no re-parse on
+    reuse). DROPMALFORMED would be wrong here: its row-drop decisions
+    depend on which columns a query reads (a pruned count() skips type
+    checks), so the counters would disagree with full reads."""
     from pyspark.sql import types as T
 
     corrupt = "_corrupt_record"
@@ -96,12 +100,19 @@ def read_json_zone_with_skips(
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", corrupt)
         .json(path)
-    ).cache()  # counted once, then filtered — avoid a double scan
-    counts_row = raw.agg(
-        F.count(F.lit(1)).alias("total"),
-        F.count(corrupt).alias("skipped"),
-    ).collect()[0]
-    good = raw.filter(F.col(corrupt).isNull()).drop(corrupt)
+    ).cache()
+    try:
+        counts_row = raw.agg(
+            F.count(F.lit(1)).alias("total"),
+            F.count(corrupt).alias("skipped"),
+        ).collect()[0]
+        good = (
+            raw.filter(F.col(corrupt).isNull())
+            .drop(corrupt)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        raw.unpersist()
     counters = {
         "ingested": counts_row["total"] - counts_row["skipped"],
         "skipped": counts_row["skipped"],

@@ -29,14 +29,7 @@ def test_partitioning_independence(spark):
     across tasks or retries (the distributed analog of seed=42)."""
     a = sorted(map(tuple, gen_transactions(spark, 200, 50, 40).collect()))
     b = sorted(
-        map(
-            tuple,
-            gen_transactions(
-                spark.newSession() if False else spark, 200, 50, 40
-            )
-            .repartition(7)
-            .collect(),
-        )
+        map(tuple, gen_transactions(spark, 200, 50, 40).repartition(7).collect())
     )
     assert a == b
 

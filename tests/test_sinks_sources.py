@@ -112,6 +112,7 @@ def test_bucketed_join_is_colocated(spark, bucketed_tables):
     pre-partitioned. (Broadcast is disabled so the tiny sf0.001 dim
     can't mask the co-location; values are checked against the
     plain-parquet join.)"""
+    prior_threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         joined = (
@@ -143,7 +144,7 @@ def test_bucketed_join_is_colocated(spark, bucketed_tables):
         got = sorted((r["c_mktsegment"], r["n_orders"]) for r in joined.collect())
         assert got == want
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior_threshold)
 
 
 def test_bucketed_agg_needs_no_shuffle(spark, bucketed_tables):
@@ -193,6 +194,9 @@ def test_json_ingest_with_skips(spark, tmp_root):
     rows = {(r["user_id"], r["city"]) for r in good.collect()}
     assert rows == {(1, "a"), (2, "b"), (3, "d")}
     assert counters == {"ingested": 3, "skipped": 2}
+    # lineage-free return: bare count() works (no corrupt-only-query
+    # restriction) and the raw parse cache was released
+    assert good.count() == 3
 
 
 def test_summary_txt(tmp_root):
