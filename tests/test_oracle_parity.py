@@ -53,6 +53,28 @@ def test_approx_count_distinct_within_hll_bound(spark):
         )
 
 
+def test_approx_percentile_within_accuracy_bound(spark):
+    """percentile_approx (the single-pass mergeable answer at 100 TB,
+    where exact `percentile` must buffer each group's values) must land
+    within its accuracy parameter's rank error of the exact threshold
+    the integrated segmentation uses (AGG-10). With accuracy=10000 the
+    rank error is n/10000 — at test scale that means the approx result
+    must fall between neighboring order statistics of the exact rank."""
+    from pyspark.sql import functions as F
+
+    from big_data_analytics_final_project_spark.sources import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    row = per_user.agg(
+        F.expr("CAST(percentile(n, 0.75) AS DOUBLE)").alias("exact"),
+        F.expr("CAST(percentile_approx(n, 0.75, 10000) AS DOUBLE)").alias("approx"),
+    ).collect()[0]
+    # exact is linearly interpolated; approx returns a realized value —
+    # allow one order-statistic of slack around the interpolation
+    assert abs(row["approx"] - row["exact"]) <= max(1.0, 0.01 * row["exact"]), row
+
+
 def test_all_queries_have_entries():
     assert len(SPECS) >= 20
     no_oracle = [n for n, s in SPECS.items() if s.sql is None]
