@@ -86,6 +86,42 @@ def test_tumbling_stream_matches_batch(spark, stream_dirs):
     assert got == want
 
 
+def test_sliding_stream_matches_batch(spark, stream_dirs):
+    """The 2h/1h sliding window (events_sliding_2h's expression) is
+    streaming-shared: watermarked incremental execution produces the
+    same windows as the batch run over the same files."""
+    stream = read_event_stream(spark, stream_dirs["src"])
+    windowed = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+    q = (
+        windowed.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sliding_test")
+        .option("checkpointLocation", f"{stream_dirs['root']}/ckpt_sliding")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "stream did not finish"
+    got = {
+        (r["window_start"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sliding_test").collect()
+    }
+    batch = spark.read.schema(EVENT_SCHEMA).parquet(stream_dirs["src"])
+    want = {
+        (r["window_start"], r["n_events"])
+        for r in (
+            batch.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("w.start").alias("window_start"), "n_events")
+        ).collect()
+    }
+    assert got == want
+
+
 def test_foreach_batch_sink_appends_all_rows(spark, stream_dirs):
     """foreachBatch parquet sink (the SNK-1 batched-put analog) lands
     every filtered row exactly once across micro-batches."""
