@@ -74,6 +74,46 @@ def write_bucketed_table(
     )
 
 
+def compact_zone(
+    df_or_path,
+    spark,
+    dst: str,
+    target_file_bytes: int = 128 << 20,
+    num_files: int | None = None,
+    sort_within: list[str] | None = None,
+) -> int:
+    """Small-file compaction — rewrite a zone into ~target-sized files.
+
+    Micro-batch sinks (foreachBatch appends, per-trigger file drops —
+    this engine's SNK-1 analog) accrete small files; at 100 TB the
+    resulting task-per-tiny-file scheduling and footer overhead dominate
+    scan cost, so periodic compaction is a standing maintenance op.
+    Reads the source, coalesces to ``ceil(total_bytes /
+    target_file_bytes)`` output files (pass ``num_files`` explicitly
+    when byte-sizing isn't available for the source filesystem), and
+    rewrites to ``dst`` — never in place, so a failed compaction leaves
+    the source untouched. Returns the output file count."""
+    import math
+    import os
+    from urllib.parse import urlparse
+
+    if isinstance(df_or_path, str):
+        df = spark.read.parquet(df_or_path)
+    else:
+        df = df_or_path
+    if num_files is None:
+        local = [
+            urlparse(u).path for u in df.inputFiles() if urlparse(u).scheme in ("file", "")
+        ]
+        total = sum(os.path.getsize(p) for p in local if os.path.exists(p))
+        num_files = max(1, math.ceil(total / target_file_bytes))
+    out = df.repartition(num_files)
+    if sort_within:
+        out = out.sortWithinPartitions(*sort_within)
+    out.write.mode("overwrite").parquet(dst)
+    return num_files
+
+
 def write_summary_txt(lines: dict[str, object], path: str) -> None:
     """Driver-side scalar summary (report artifact, not an engine op)."""
     with open(path, "w") as f:

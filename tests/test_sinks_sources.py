@@ -20,6 +20,7 @@ from big_data_analytics_final_project_spark.plans import (
 )
 from big_data_analytics_final_project_spark.queries import all_queries
 from big_data_analytics_final_project_spark.sinks import (
+    compact_zone,
     write_bucketed_table,
     write_report_csv,
     write_summary_txt,
@@ -197,6 +198,24 @@ def test_json_ingest_with_skips(spark, tmp_root):
     # lineage-free return: bare count() works (no corrupt-only-query
     # restriction) and the raw parse cache was released
     assert good.count() == 3
+
+
+def test_compact_zone(spark, tmp_root):
+    """A fragmented zone (64 one-partition appends' worth of files)
+    compacts to the computed file count with every row preserved."""
+    events = load_table(spark, SF_SMOKE, "events")
+    frag = f"{tmp_root}/fragmented"
+    events.repartition(64).write.mode("overwrite").parquet(frag)
+    n_before = len(spark.read.parquet(frag).inputFiles())
+    assert n_before >= 64
+    dst = f"{tmp_root}/compacted"
+    compact_zone(frag, spark, dst, target_file_bytes=4 << 20)
+    back = spark.read.parquet(dst)
+    assert len(back.inputFiles()) < n_before
+    assert back.count() == events.count()
+    # deterministic override path
+    assert compact_zone(frag, spark, f"{tmp_root}/c2", num_files=3) == 3
+    assert len(spark.read.parquet(f"{tmp_root}/c2").inputFiles()) == 3
 
 
 def test_summary_txt(tmp_root):
