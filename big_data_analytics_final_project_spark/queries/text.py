@@ -61,6 +61,47 @@ ORDER BY doc_id
 """
 
 
+# BPE-style pretokenization (GPT-2-shaped: contraction suffixes,
+# space-prefixed letter runs / digit runs / punctuation runs) — the
+# LLM-pipeline token-count estimator next to the whitespace count.
+# No lookahead (DuckDB's RE2 has none) and ASCII classes (Java and
+# RE2 agree); both engines must produce identical token lists.
+_BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9']+"
+
+
+def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting over raw lowered text — the
+    subword-tokenizer cost estimate a training-data pipeline budgets
+    by, next to the whitespace count (`doc_token_stats`) it refines."""
+    docs = load_table(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_PATTERN), 0)
+    ws_n = F.size(tokens(F.col("text")))
+    n = F.size(bpe)
+    return docs.select(
+        "doc_id",
+        n.alias("n_bpe_tokens"),
+        F.size(F.array_distinct(bpe)).alias("n_distinct_bpe"),
+        ws_n.alias("n_ws_tokens"),
+        F.when(ws_n > 0, n.cast("double") / ws_n)
+        .otherwise(0.0)
+        .alias("bpe_per_word"),
+    ).orderBy("doc_id")
+
+
+_BPE_SQL = "regexp_extract_all(lower(text), '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^\\sa-z0-9'']+')"
+DOC_BPE_TOKEN_STATS_SQL = f"""
+SELECT doc_id,
+       len({_BPE_SQL}) AS n_bpe_tokens,
+       len(list_distinct({_BPE_SQL})) AS n_distinct_bpe,
+       len({_TOKS}) AS n_ws_tokens,
+       CASE WHEN len({_TOKS}) > 0
+            THEN CAST(len({_BPE_SQL}) AS DOUBLE) / len({_TOKS})
+            ELSE 0.0 END AS bpe_per_word
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality scoring (length band + character mix +
     stopword ratio) — the classic pre-training filter shape."""
@@ -185,4 +226,7 @@ QUERIES: dict[str, QuerySpec] = {
     "doc_quality_score": QuerySpec(doc_quality_score, DOC_QUALITY_SCORE_SQL),
     "doc_lang_id": QuerySpec(doc_lang_id, DOC_LANG_ID_SQL),
     "doc_fingerprint": QuerySpec(doc_fingerprint, DOC_FINGERPRINT_SQL),
+    "doc_bpe_token_stats": QuerySpec(
+        doc_bpe_token_stats, DOC_BPE_TOKEN_STATS_SQL
+    ),
 }

@@ -91,7 +91,12 @@ def test_sliding_window_single_agg_shuffle(spark):
 def test_text_queries_scan_once_no_shuffle(spark):
     """Per-document text analytics are single-scan, shuffle-free until
     the output sort — embarrassingly parallel at 100 TB."""
-    for name in ("doc_token_stats", "doc_quality_score", "doc_lang_id"):
+    for name in (
+        "doc_token_stats",
+        "doc_quality_score",
+        "doc_lang_id",
+        "doc_bpe_token_stats",
+    ):
         df = _df(spark, name)
         assert count_shuffles(df) <= 1, name  # the ORDER BY only
         assert count_scans(df) == 1, name
