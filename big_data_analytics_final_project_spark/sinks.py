@@ -27,14 +27,22 @@ def write_zone(
     path: str,
     partition_by: list[str] | None = None,
     sort_within_partitions: list[str] | None = None,
+    dynamic_overwrite: bool = False,
 ) -> None:
     """Partitioned (optionally sorted) parquet zone — the layout that
     gives prefix-scan parity with the reference's HBase rowkey design
     (SURVEY.md OPT-3): partition on the cluster key, sort within files
-    on the range key so min/max stats prune."""
+    on the range key so min/max stats prune.
+
+    ``dynamic_overwrite=True`` replaces ONLY the partitions present in
+    ``df`` (incremental loads: a daily backfill rewrites that day, the
+    other 10 years of a 100 TB zone stay untouched); the default static
+    overwrite truncates the whole zone first."""
     if sort_within_partitions:
         df = df.sortWithinPartitions(*sort_within_partitions)
     writer = df.write.mode("overwrite")
+    if dynamic_overwrite:
+        writer = writer.option("partitionOverwriteMode", "dynamic")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)

@@ -200,6 +200,28 @@ def test_json_ingest_with_skips(spark, tmp_root):
     assert good.count() == 3
 
 
+def test_dynamic_partition_overwrite(spark, tmp_root):
+    """Incremental load semantics: overwriting with one day's rows in
+    dynamic mode replaces only that day's partition; static mode would
+    truncate the whole zone."""
+    events = load_table(spark, SF_SMOKE, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    days = [r["day"] for r in events.select("day").distinct().orderBy("day").limit(2).collect()]
+    assert len(days) == 2
+    zone = f"{tmp_root}/daily_zone"
+    write_zone(events.filter(F.col("day").isin(days)), zone, partition_by=["day"])
+    day1_before = spark.read.parquet(zone).filter(F.col("day") == days[0]).count()
+    # backfill day2 with a filtered subset (simulating a corrected load)
+    corrected = events.filter(
+        (F.col("day") == days[1]) & (F.col("event_type") == "click")
+    )
+    write_zone(corrected, zone, partition_by=["day"], dynamic_overwrite=True)
+    after = spark.read.parquet(zone)
+    assert after.filter(F.col("day") == days[0]).count() == day1_before
+    assert after.filter(F.col("day") == days[1]).count() == corrected.count()
+
+
 def test_compact_zone(spark, tmp_root):
     """A fragmented zone (64 one-partition appends' worth of files)
     compacts to the computed file count with every row preserved."""
