@@ -64,9 +64,12 @@ ORDER BY doc_id
 # BPE-style pretokenization (GPT-2-shaped: contraction suffixes,
 # space-prefixed letter runs / digit runs / punctuation runs) — the
 # LLM-pipeline token-count estimator next to the whitespace count.
-# No lookahead (DuckDB's RE2 has none) and ASCII classes (Java and
-# RE2 agree); both engines must produce identical token lists.
-_BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9']+"
+# Written to the RE2 ∩ Java common subset: no lookahead (RE2 has none)
+# and whitespace spelled as explicit chars — Java's \s includes
+# vertical tab, RE2's does not, so \s itself is NOT portable. Both
+# engines must produce identical token lists; the SQL literal is
+# derived from this one pattern so they cannot drift.
+_BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^ \t\n\x0B\f\ra-z0-9']+"
 
 
 def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -88,7 +91,9 @@ def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-_BPE_SQL = "regexp_extract_all(lower(text), '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^\\sa-z0-9'']+')"
+_BPE_SQL = (
+    f"regexp_extract_all(lower(text), '{_BPE_PATTERN.replace(chr(39), chr(39) * 2)}')"
+)
 DOC_BPE_TOKEN_STATS_SQL = f"""
 SELECT doc_id,
        len({_BPE_SQL}) AS n_bpe_tokens,

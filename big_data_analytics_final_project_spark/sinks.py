@@ -14,6 +14,7 @@ sink (SURVEY.md OPT-8).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_report_csv(df: DataFrame, path: str) -> None:
@@ -40,6 +41,11 @@ def write_zone(
     overwrite truncates the whole zone first."""
     if sort_within_partitions:
         df = df.sortWithinPartitions(*sort_within_partitions)
+    if dynamic_overwrite and not partition_by:
+        raise ValueError(
+            "dynamic_overwrite requires partition_by — an unpartitioned "
+            "overwrite always truncates the whole zone"
+        )
     writer = df.write.mode("overwrite")
     if dynamic_overwrite:
         writer = writer.option("partitionOverwriteMode", "dynamic")
@@ -88,6 +94,7 @@ def compact_zone(
     dst: str,
     target_file_bytes: int = 128 << 20,
     num_files: int | None = None,
+    partition_by: list[str] | None = None,
     sort_within: list[str] | None = None,
 ) -> int:
     """Small-file compaction — rewrite a zone into ~target-sized files.
@@ -96,11 +103,16 @@ def compact_zone(
     this engine's SNK-1 analog) accrete small files; at 100 TB the
     resulting task-per-tiny-file scheduling and footer overhead dominate
     scan cost, so periodic compaction is a standing maintenance op.
-    Reads the source, coalesces to ``ceil(total_bytes /
-    target_file_bytes)`` output files (pass ``num_files`` explicitly
-    when byte-sizing isn't available for the source filesystem), and
-    rewrites to ``dst`` — never in place, so a failed compaction leaves
-    the source untouched. Returns the output file count."""
+    ``num_files`` defaults to ``ceil(total_bytes / target_file_bytes)``
+    sized from the source files (local filesystems only — for object
+    stores pass ``num_files`` explicitly; guessing would silently
+    funnel the zone through one task). Pass ``partition_by`` to keep a
+    partitioned zone's layout (and its pruning) through the rewrite.
+    ``repartition`` (not ``coalesce``) is deliberate: compaction wants
+    BALANCED target-size files, and coalesce's shuffle-free merge just
+    glues adjacent input partitions into uneven ones. Never in place —
+    a failed compaction leaves the source untouched. Returns the
+    output file count (per partition when partitioned)."""
     import math
     import os
     from urllib.parse import urlparse
@@ -110,15 +122,27 @@ def compact_zone(
     else:
         df = df_or_path
     if num_files is None:
-        local = [
-            urlparse(u).path for u in df.inputFiles() if urlparse(u).scheme in ("file", "")
-        ]
-        total = sum(os.path.getsize(p) for p in local if os.path.exists(p))
+        sized = [urlparse(u) for u in df.inputFiles()]
+        nonlocal_files = [u for u in sized if u.scheme not in ("file", "")]
+        if nonlocal_files:
+            raise ValueError(
+                "cannot size non-local zone "
+                f"({nonlocal_files[0].scheme}://...); pass num_files explicitly"
+            )
+        total = sum(
+            os.path.getsize(u.path) for u in sized if os.path.exists(u.path)
+        )
         num_files = max(1, math.ceil(total / target_file_bytes))
-    out = df.repartition(num_files)
+    if partition_by:
+        out = df.repartition(num_files, *[F.col(c) for c in partition_by])
+    else:
+        out = df.repartition(num_files)
     if sort_within:
         out = out.sortWithinPartitions(*sort_within)
-    out.write.mode("overwrite").parquet(dst)
+    writer = out.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(dst)
     return num_files
 
 

@@ -66,13 +66,17 @@ def test_approx_percentile_within_accuracy_bound(spark):
 
     ev = load_table(spark, SF_DIR, "events")
     per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    n_groups = per_user.count()
+    # rank error: 1/accuracy from the sketch + 1 order statistic because
+    # approx returns a realized value while exact interpolates
+    slack = 1.0 / n_groups + 1.0 / 10000
+    lo_q, hi_q = max(0.0, 0.75 - slack), min(1.0, 0.75 + slack)
     row = per_user.agg(
-        F.expr("CAST(percentile(n, 0.75) AS DOUBLE)").alias("exact"),
+        F.expr(f"CAST(percentile(n, {lo_q}) AS DOUBLE)").alias("lo"),
+        F.expr(f"CAST(percentile(n, {hi_q}) AS DOUBLE)").alias("hi"),
         F.expr("CAST(percentile_approx(n, 0.75, 10000) AS DOUBLE)").alias("approx"),
     ).collect()[0]
-    # exact is linearly interpolated; approx returns a realized value —
-    # allow one order-statistic of slack around the interpolation
-    assert abs(row["approx"] - row["exact"]) <= max(1.0, 0.01 * row["exact"]), row
+    assert row["lo"] - 1e-9 <= row["approx"] <= row["hi"] + 1e-9, (row, n_groups)
 
 
 def test_all_queries_have_entries():

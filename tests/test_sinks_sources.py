@@ -238,6 +238,16 @@ def test_compact_zone(spark, tmp_root):
     # deterministic override path
     assert compact_zone(frag, spark, f"{tmp_root}/c2", num_files=3) == 3
     assert len(spark.read.parquet(f"{tmp_root}/c2").inputFiles()) == 3
+    # partitioned compaction keeps the layout (and its pruning)
+    part_src = f"{tmp_root}/part_src"
+    events.withColumn("day", F.to_date("ts")).repartition(16).write.mode(
+        "overwrite"
+    ).partitionBy("day").parquet(part_src)
+    part_dst = f"{tmp_root}/part_dst"
+    compact_zone(part_src, spark, part_dst, num_files=1, partition_by=["day"])
+    back2 = spark.read.parquet(part_dst)
+    assert back2.count() == events.count()
+    assert "day=" in back2.inputFiles()[0]
 
 
 def test_summary_txt(tmp_root):
