@@ -146,6 +146,32 @@ def compact_zone(
     return num_files
 
 
+def upsert_zone(
+    spark,
+    df: DataFrame,
+    path: str,
+    key_cols: list[str],
+    partition_by: list[str],
+) -> None:
+    """Keyed upsert into a partitioned parquet zone: rows in ``df``
+    replace existing rows with the same key; everything else survives.
+
+    The merge touches ONLY the partitions present in ``df`` — existing
+    rows of those partitions are kept unless their key collides
+    (anti-join), unioned with the new rows, and landed via dynamic
+    partition overwrite; at 100 TB a daily correction reads and
+    rewrites one day, not the zone. The merged frame is eagerly
+    local-checkpointed before the write because Spark cannot overwrite
+    a path it is still reading from — the materialized footprint is
+    bounded by the affected partitions, not the zone."""
+    existing = spark.read.parquet(path)
+    parts = df.select(*partition_by).distinct()
+    affected = existing.join(F.broadcast(parts), partition_by, "left_semi")
+    keep = affected.join(df.select(*key_cols).distinct(), key_cols, "left_anti")
+    merged = keep.unionByName(df).localCheckpoint(eager=True)
+    write_zone(merged, path, partition_by=partition_by, dynamic_overwrite=True)
+
+
 def write_summary_txt(lines: dict[str, object], path: str) -> None:
     """Driver-side scalar summary (report artifact, not an engine op)."""
     with open(path, "w") as f:

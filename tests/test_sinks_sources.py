@@ -21,6 +21,7 @@ from big_data_analytics_final_project_spark.plans import (
 from big_data_analytics_final_project_spark.queries import all_queries
 from big_data_analytics_final_project_spark.sinks import (
     compact_zone,
+    upsert_zone,
     write_bucketed_table,
     write_report_csv,
     write_summary_txt,
@@ -220,6 +221,46 @@ def test_dynamic_partition_overwrite(spark, tmp_root):
     after = spark.read.parquet(zone)
     assert after.filter(F.col("day") == days[0]).count() == day1_before
     assert after.filter(F.col("day") == days[1]).count() == corrected.count()
+
+
+def test_upsert_zone(spark, tmp_root):
+    """Keyed upsert: an updated row replaces its key, a new row lands,
+    untouched partitions and non-colliding rows survive byte-for-byte."""
+    events = load_table(spark, SF_SMOKE, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    days = [
+        r["day"]
+        for r in events.select("day").distinct().orderBy("day").limit(2).collect()
+    ]
+    zone = f"{tmp_root}/upsert_zone"
+    base = events.filter(F.col("day").isin(days))
+    write_zone(base, zone, partition_by=["day"])
+    day1_rows = sorted(
+        map(tuple, spark.read.parquet(zone).filter(F.col("day") == days[0]).collect())
+    )
+    # one corrected existing event + one brand-new event, both in day 2
+    victim = base.filter(F.col("day") == days[1]).limit(1)
+    corrected = victim.withColumn("value", F.lit(9999.0))
+    new_row = victim.withColumn(
+        "event_id", F.col("event_id") + 10_000_000
+    ).withColumn("value", F.lit(-1.0))
+    upsert_zone(
+        spark,
+        corrected.unionByName(new_row),
+        zone,
+        key_cols=["event_id"],
+        partition_by=["day"],
+    )
+    after = spark.read.parquet(zone)
+    assert (
+        sorted(map(tuple, after.filter(F.col("day") == days[0]).collect()))
+        == day1_rows
+    )
+    vid = victim.collect()[0]["event_id"]
+    assert after.filter(F.col("event_id") == vid).collect()[0]["value"] == 9999.0
+    assert after.filter(F.col("event_id") == vid + 10_000_000).count() == 1
+    assert after.count() == base.count() + 1
 
 
 def test_compact_zone(spark, tmp_root):
