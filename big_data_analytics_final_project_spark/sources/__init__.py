@@ -42,10 +42,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one zone; Catalyst prunes columns/filters.
 
     The `events` zone stores TIMESTAMP(NANOS); Spark reads it as raw
-    nanos (`nanosAsLong`, see session.py) and we convert to
-    microsecond TimestampType here with integer division — same
-    truncation DuckDB applies, so both engines see identical instants.
+    nanos (`nanosAsLong`) and we convert to microsecond TimestampType
+    here with integer division — same truncation DuckDB applies, so
+    both engines see identical instants.
+
+    The nanos conf is set at runtime HERE, not only in session.py:
+    callers (driver harnesses, notebooks) hand us arbitrary plain
+    SparkSessions, and `spark.sql.legacy.parquet.nanosAsLong` is
+    runtime-settable, so the read must not depend on how the session
+    was built.
     """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
