@@ -85,7 +85,20 @@ def salted_join(
 ) -> DataFrame:
     """Skew-safe equi-join: fact salted deterministically, dim
     replicated per salt, join on (on + _salt). Result rows equal the
-    plain join's exactly; only the shuffle distribution changes."""
+    plain join's exactly; only the shuffle distribution changes.
+
+    Fact-preserving modes only (inner/left/left_semi/left_anti): the
+    dim side is replicated ``n_salts`` times, so any mode that emits
+    unmatched DIM rows (right/full outer) would emit each of them once
+    per salt copy — not the plain join's result. Salt the other side's
+    frame as the "fact" instead for those shapes."""
+    normalized = how.replace("_", "").replace("outer", "")
+    if normalized not in {"inner", "left", "leftsemi", "semi", "leftanti", "anti"}:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the replicated dim "
+            "side would emit unmatched rows once per salt. Swap the inputs "
+            "so the preserved side is the salted fact."
+        )
     f = with_salt(fact, n_salts, identity_cols)
     d = salted_broadcast_dim(dim, n_salts)
     return f.join(d, [*on, "_salt"], how).drop("_salt")

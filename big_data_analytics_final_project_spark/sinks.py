@@ -107,12 +107,20 @@ def compact_zone(
     sized from the source files (local filesystems only — for object
     stores pass ``num_files`` explicitly; guessing would silently
     funnel the zone through one task). Pass ``partition_by`` to keep a
-    partitioned zone's layout (and its pruning) through the rewrite.
+    partitioned zone's layout (and its pruning) through the rewrite;
+    in that mode ``num_files`` means files PER PARTITION (the auto
+    sizing divides the total target by the partition count), and rows
+    of each partition value are spread across that many tasks with a
+    deterministic hash spreader — without it, hash-repartitioning on
+    the partition columns alone lands every row of a hot partition in
+    ONE task and one oversized file.
     ``repartition`` (not ``coalesce``) is deliberate: compaction wants
     BALANCED target-size files, and coalesce's shuffle-free merge just
     glues adjacent input partitions into uneven ones. Never in place —
     a failed compaction leaves the source untouched. Returns the
-    output file count (per partition when partitioned)."""
+    target output file count: per partition when partitioned (the
+    actual per-partition count can fall slightly under when spreader
+    groups hash-collide into one task), total otherwise."""
     import math
     import os
     from urllib.parse import urlparse
@@ -121,6 +129,11 @@ def compact_zone(
         df = spark.read.parquet(df_or_path)
     else:
         df = df_or_path
+    n_parts = (
+        max(1, df.select(*partition_by).distinct().count())
+        if partition_by
+        else 1
+    )
     if num_files is None:
         sized = [urlparse(u) for u in df.inputFiles()]
         nonlocal_files = [u for u in sized if u.scheme not in ("file", "")]
@@ -132,9 +145,22 @@ def compact_zone(
         total = sum(
             os.path.getsize(u.path) for u in sized if os.path.exists(u.path)
         )
-        num_files = max(1, math.ceil(total / target_file_bytes))
+        num_files = max(1, math.ceil(total / target_file_bytes / n_parts))
     if partition_by:
-        out = df.repartition(num_files, *[F.col(c) for c in partition_by])
+        # Spreader over the non-partition columns (maps aren't hashable);
+        # pmod keeps it in [0, num_files) so each partition value fans out
+        # to ~num_files tasks, each writing one file into that partition.
+        hashable = [
+            f.name
+            for f in df.schema.fields
+            if not f.dataType.typeName().startswith("map")
+        ] or [partition_by[0]]
+        spreader = F.pmod(F.xxhash64(*hashable), F.lit(num_files))
+        out = df.repartition(
+            n_parts * num_files,
+            *[F.col(c) for c in partition_by],
+            spreader,
+        )
     else:
         out = df.repartition(num_files)
     if sort_within:
@@ -160,16 +186,32 @@ def upsert_zone(
     rows of those partitions are kept unless their key collides
     (anti-join), unioned with the new rows, and landed via dynamic
     partition overwrite; at 100 TB a daily correction reads and
-    rewrites one day, not the zone. The merged frame is eagerly
-    local-checkpointed before the write because Spark cannot overwrite
-    a path it is still reading from — the materialized footprint is
+    rewrites one day, not the zone. A not-yet-existing zone degrades to
+    a plain first write. The merged frame is staged to a sibling temp
+    path (then re-read for the overwrite) because Spark cannot
+    overwrite a path it is still reading from; staging to durable
+    storage — instead of localCheckpoint's unreplicated executor
+    blocks — survives executor loss mid-upsert, and its footprint is
     bounded by the affected partitions, not the zone."""
-    existing = spark.read.parquet(path)
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        existing = spark.read.parquet(path)
+    except AnalysisException:
+        write_zone(df, path, partition_by=partition_by)
+        return
     parts = df.select(*partition_by).distinct()
     affected = existing.join(F.broadcast(parts), partition_by, "left_semi")
     keep = affected.join(df.select(*key_cols).distinct(), key_cols, "left_anti")
-    merged = keep.unionByName(df).localCheckpoint(eager=True)
-    write_zone(merged, path, partition_by=partition_by, dynamic_overwrite=True)
+    merged = keep.unionByName(df)
+    staging = path.rstrip("/") + "__upsert_staging"
+    write_zone(merged, staging, partition_by=partition_by)
+    staged = spark.read.parquet(staging)
+    write_zone(staged, path, partition_by=partition_by, dynamic_overwrite=True)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(staging)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(hpath, True)
 
 
 def write_summary_txt(lines: dict[str, object], path: str) -> None:

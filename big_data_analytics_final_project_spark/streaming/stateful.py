@@ -93,9 +93,18 @@ def _make_fold(gap_us: int):
             start_us = last_us = -1
             n, sv = 0, 0.0
 
-        for pdf in pdfs:
-            if pdf.empty:
-                continue
+        # Materialize ALL of this group's chunks before folding:
+        # applyInPandasWithState may split one group's batch across
+        # several pandas chunks in arbitrary order, and folding a
+        # later-timestamp chunk first would merge sessions the batch
+        # sessionizer splits (session_start never moves backward). One
+        # concat+sort restores a global order; chunk sizes are bounded
+        # by spark.sql.execution.arrow.maxRecordsPerBatch, and a single
+        # group's per-trigger volume is micro-batch-bounded, so the
+        # buffering is small and per-group, never per-partition.
+        chunks = [pdf for pdf in pdfs if not pdf.empty]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
             pdf = pdf.sort_values("ts", kind="mergesort")
             ts_us = (pdf["ts"].astype("int64") // 1000).to_numpy()
             vals = pdf["value"].fillna(0.0).to_numpy()

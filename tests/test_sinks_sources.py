@@ -291,6 +291,56 @@ def test_compact_zone(spark, tmp_root):
     assert "day=" in back2.inputFiles()[0]
 
 
+def test_compact_zone_spreads_hot_partitions(spark, tmp_root):
+    """Partitioned compaction honors files-per-partition: the spreader
+    fans each partition value across ~num_files tasks instead of
+    funneling a hot partition into one oversized file."""
+    df = (
+        spark.range(20_000)
+        .withColumn("p", (F.col("id") % 3).cast("int"))
+        .withColumn("v", F.col("id") * 2)
+    )
+    dst = f"{tmp_root}/spread_dst"
+    got = compact_zone(df, spark, dst, num_files=6, partition_by=["p"])
+    assert got == 6
+    files = spark.read.parquet(dst).inputFiles()
+    per_part: dict[str, int] = {}
+    for f in files:
+        key = [seg for seg in f.split("/") if seg.startswith("p=")][0]
+        per_part[key] = per_part.get(key, 0) + 1
+    assert set(per_part) == {"p=0", "p=1", "p=2"}
+    # hash collisions can merge a couple of spreader groups, but every
+    # partition must clearly fan out past the old one-file behavior
+    assert all(3 <= n <= 6 for n in per_part.values()), per_part
+    assert spark.read.parquet(dst).count() == 20_000
+
+
+def test_upsert_zone_first_write(spark, tmp_root):
+    """Upserting into a not-yet-existing zone degrades to a plain first
+    write instead of failing on the read."""
+    zone = f"{tmp_root}/upsert_fresh"
+    df = (
+        spark.range(100)
+        .withColumn("p", (F.col("id") % 2).cast("int"))
+        .withColumn("v", F.lit(1))
+    )
+    upsert_zone(spark, df, zone, key_cols=["id"], partition_by=["p"])
+    assert spark.read.parquet(zone).count() == 100
+    # second upsert exercises the staging path and cleans it up
+    upd = (
+        spark.range(40)
+        .withColumn("p", (F.col("id") % 2).cast("int"))
+        .withColumn("v", F.lit(9))
+    )
+    upsert_zone(spark, upd, zone, key_cols=["id"], partition_by=["p"])
+    back = spark.read.parquet(zone)
+    assert back.count() == 100
+    assert back.filter(F.col("v") == 9).count() == 40
+    import os
+
+    assert not os.path.exists(f"{zone}__upsert_staging")
+
+
 def test_summary_txt(tmp_root):
     """SNK-4: scalar summary artifact."""
     path = f"{tmp_root}/summary.txt"

@@ -62,6 +62,25 @@ def test_salted_join_matches_plain(spark):
     assert a == b
 
 
+def test_salted_join_rejects_dim_preserving_modes(spark):
+    """right/full outer would emit unmatched dim rows once per salt copy;
+    the operator refuses instead of silently multiplying rows."""
+    import pytest
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_partkey")
+    part = load_table(spark, SF_SMOKE, "part").select("p_partkey")
+    for how in ("right", "right_outer", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="salted_join does not support"):
+            salted_join(
+                li.withColumnRenamed("l_partkey", "p_partkey"),
+                part,
+                on=["p_partkey"],
+                n_salts=4,
+                identity_cols=["p_partkey"],
+                how=how,
+            )
+
+
 def test_salt_is_deterministic(spark):
     events = load_table(spark, SF_SMOKE, "events")
     s1 = with_salt(events, 16, ["event_id"]).select("event_id", "_salt")

@@ -198,6 +198,58 @@ def test_stateful_sessionize_matches_batch(spark, stream_dirs):
     assert not missing, f"{len(missing)} successor-closed sessions not emitted"
 
 
+def test_stateful_sessionize_multi_chunk_groups(spark, stream_dirs):
+    """With a tiny Arrow batch size, one group's rows arrive as MANY
+    pandas chunks (in no particular order); the fold must concat+sort
+    before folding or sessions merge wrongly. Emitted sessions still
+    match the batch sessionizer exactly."""
+    gap_s = 1800
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "3")
+    try:
+        stream = read_event_stream(spark, stream_dirs["src"])
+        q = (
+            stateful_sessionize(stream, gap_seconds=gap_s)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("stateful_chunked_test")
+            .option(
+                "checkpointLocation", f"{stream_dirs['root']}/ckpt_chunked"
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300), "stream did not finish"
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    got = {
+        (r["user_id"], r["session_start"]): (
+            r["session_end"],
+            r["n_events"],
+            round(r["duration_s"], 6),
+        )
+        for r in spark.sql("SELECT * FROM stateful_chunked_test").collect()
+    }
+    batch_events = spark.read.schema(EVENT_SCHEMA).parquet(stream_dirs["src"])
+    want = {
+        (r["user_id"], r["session_start"]): (
+            r["session_end"],
+            r["n_events"],
+            round(r["duration_s"], 6),
+        )
+        for r in sessionize(
+            batch_events, gap_seconds=gap_s, tiebreak_col="event_id"
+        ).collect()
+    }
+    assert got, "no sessions were emitted"
+    for k, v in got.items():
+        assert k in want and want[k] == v, f"mismatch for {k}"
+
+
 def test_deduped_stream_drops_redelivery(spark, stream_dirs):
     """An at-least-once source (every chunk delivered twice, in
     separate micro-batches) must land each event_id exactly once
