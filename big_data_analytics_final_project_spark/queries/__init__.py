@@ -30,6 +30,7 @@ def all_queries() -> dict[str, QuerySpec]:
         generated,
         integrated,
         json_nested,
+        maintenance,
         multimodal,
         similarity,
         text,
@@ -47,6 +48,7 @@ def all_queries() -> dict[str, QuerySpec]:
         multimodal,
         json_nested,
         generated,
+        maintenance,
     ):
         for name, spec in mod.QUERIES.items():
             if name in merged:
