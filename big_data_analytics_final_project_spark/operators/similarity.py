@@ -140,12 +140,27 @@ ORDER BY query_id, rank
 
 def _ivf_ranked(base: DataFrame, n_centroids: int) -> DataFrame:
     """(_id, _v, cid, sim, rn): every vector's centroids ranked by
-    cosine (rn=1 is its cell). Centroids = first n_centroids ids — the
-    deterministic stand-in for a trained codebook."""
+    cosine (rn=1 is its cell).
+
+    Centroids = the n_centroids ids with the smallest md5(id) — a
+    deterministic uniform sample over the corpus (md5 scatters ids
+    uniformly), reproducible in the DuckDB oracle with the same
+    expression, and a stand-in for a trained k-means codebook that —
+    unlike "first n ids" — cannot inherit whatever locality the id
+    assignment encodes. Selection plans as TakeOrderedAndProject over
+    (hash, id): per-partition heaps of n_centroids rows, no global
+    sort, then the codebook broadcasts."""
     from pyspark.sql import Window
 
-    cents = base.filter(F.col("_id") < n_centroids).select(
-        F.col("_id").alias("cid"), F.col("_v").alias("cv")
+    cents = (
+        base.select(
+            F.col("_id").alias("cid"),
+            F.col("_v").alias("cv"),
+            F.md5(F.col("_id").cast("string")).alias("_h"),
+        )
+        .orderBy("_h", "cid")
+        .limit(n_centroids)
+        .drop("_h")
     )
     w_assign = Window.partitionBy("_id").orderBy(F.col("sim").desc(), F.col("cid"))
     return (
@@ -198,7 +213,10 @@ def embedding_near_dup_sql(threshold: float = 0.3, n_centroids: int = 16) -> str
 WITH base AS (
   SELECT vec_id AS _id, embedding::DOUBLE[] AS _v FROM embeddings
 ),
-cents AS (SELECT _id AS cid, _v AS cv FROM base WHERE _id < {n_centroids}),
+cents AS (
+  SELECT _id AS cid, _v AS cv FROM base
+  ORDER BY md5(CAST(_id AS VARCHAR)), _id LIMIT {n_centroids}
+),
 assign_scored AS (
   SELECT b._id, b._v, c.cid, {assign_cos} AS sim
   FROM base b CROSS JOIN cents c
@@ -282,7 +300,10 @@ def ann_ivf_sql(
 WITH base AS (
   SELECT vec_id AS _id, embedding::DOUBLE[] AS _v FROM embeddings
 ),
-cents AS (SELECT _id AS cid, _v AS cv FROM base WHERE _id < {n_centroids}),
+cents AS (
+  SELECT _id AS cid, _v AS cv FROM base
+  ORDER BY md5(CAST(_id AS VARCHAR)), _id LIMIT {n_centroids}
+),
 assign_scored AS (
   SELECT b._id, b._v, c.cid, {assign_cos} AS sim
   FROM base b CROSS JOIN cents c
@@ -320,24 +341,31 @@ ORDER BY query_id, rank
 
 # --- hyperplane LSH ----------------------------------------------------
 
-N_PLANES = 8
+# L independent hash tables of b planes each: a true neighbor is found
+# if it collides in ANY table — P(hit) = 1 - (1 - p_plane^b)^L. One
+# 8-plane table had ~0 recall on weakly-similar vectors (p ≈ 0.63 per
+# plane → 2.5% per-table collision); 8 tables × 6 planes lifts recall
+# to ~0.4-0.5 at a candidate volume comparable to IVF n_probe=2.
+N_PLANES = 6
+N_TABLES = 8
 
 
-def _bucket_expr(vec: str) -> F.Column:
-    """8-char '0'/'1' bucket id from md5-parity ±1 hyperplanes.
+def _bucket_expr(vec: str, n_planes: int = N_PLANES) -> F.Column:
+    """Per-table '0'/'1' bucket id from md5-parity ±1 hyperplanes;
+    requires a `t` (table index) column in scope.
 
-    Weight of plane p at dimension i is +1 iff the first hex digit of
-    md5('p:i') < '8'. The projection is an in-order fold; only its SIGN
-    is consumed, so float associativity is irrelevant — but it is
-    deterministic anyway.
+    Weight of plane p at dimension i in table t is +1 iff the first
+    hex digit of md5('t:p:i') < '8'. The projection is an in-order
+    fold; only its SIGN is consumed, so float associativity is
+    irrelevant — but it is deterministic anyway.
     """
     proj = (
         f"aggregate(zip_with({vec}, sequence(1, size({vec})), (x, i) -> "
-        f"CASE WHEN substring(md5(concat(CAST(p AS STRING), ':', CAST(i AS STRING))), 1, 1) < '8' "
+        f"CASE WHEN substring(md5(concat(CAST(t AS STRING), ':', CAST(p AS STRING), ':', CAST(i AS STRING))), 1, 1) < '8' "
         f"THEN x ELSE -x END), 0.0D, (acc, v) -> acc + v)"
     )
     return F.expr(
-        f"concat_ws('', transform(sequence(0, {N_PLANES - 1}), p -> "
+        f"concat_ws('', transform(sequence(0, {n_planes - 1}), p -> "
         f"CASE WHEN {proj} > 0 THEN '1' ELSE '0' END))"
     )
 
@@ -346,62 +374,87 @@ def ann_hyperplane_lsh(
     embeddings: DataFrame,
     query_pred,
     k: int = 3,
+    n_tables: int = N_TABLES,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k within LSH buckets: join queries to candidates
-    sharing the bucket id, exact cosine inside the bucket."""
+    """Approximate top-k within multi-table LSH buckets: each vector
+    hashes into one bucket per table, queries join candidates sharing
+    (table, bucket), the per-table hits are UNIONed (distinct pairs —
+    a neighbor colliding in 3 tables scores once), exact cosine ranks
+    the survivors.
+
+    Scale shape: the join key is (t, bucket) so both sides partition
+    by it; candidate volume is Σ_t Σ_buckets |q_b|·|c_b| — multi-table
+    multiplies work by L but each table stays bucket-bounded, never
+    N². The hash fan-out (one row per table) happens BEFORE the join
+    and adds L× rows of (id, vec) only."""
     from pyspark.sql import Window
 
-    base = embeddings.select(
-        F.col(id_col).alias("_id"), _as_double(vec_col).alias("_v")
-    ).withColumn("bucket", _bucket_expr("_v"))
+    base = (
+        embeddings.select(
+            F.col(id_col).alias("_id"), _as_double(vec_col).alias("_v")
+        )
+        .withColumn("t", F.explode(F.sequence(F.lit(0), F.lit(n_tables - 1))))
+        .withColumn("bucket", _bucket_expr("_v"))
+    )
     queries = base.filter(query_pred(F.col("_id"))).select(
-        F.col("_id").alias("query_id"), F.col("_v").alias("qv"), "bucket"
+        F.col("_id").alias("query_id"), F.col("_v").alias("qv"), "t", "bucket"
     )
     cands = base.select(
-        F.col("_id").alias("neighbor_id"), F.col("_v").alias("cv"), "bucket"
+        F.col("_id").alias("neighbor_id"), F.col("_v").alias("cv"), "t", "bucket"
     )
-    scored = (
-        cands.join(F.broadcast(queries), "bucket")
+    pairs = (
+        cands.join(F.broadcast(queries), ["t", "bucket"])
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .transform(lambda d: with_cosine(d, "qv", "cv"))
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        pairs.transform(lambda d: with_cosine(d, "qv", "cv"))
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "bucket", "neighbor_id", "rank", "cosine_sim")
+        .select("query_id", "neighbor_id", "rank", "cosine_sim")
         .orderBy("query_id", "rank")
     )
 
 
-def ann_hyperplane_lsh_sql(query_where: str, k: int = 3) -> str:
+def ann_hyperplane_lsh_sql(
+    query_where: str, k: int = 3, n_tables: int = N_TABLES
+) -> str:
     proj = (
         "list_aggregate(list_transform(range(1, len(_v) + 1), i -> "
-        "CASE WHEN md5(p || ':' || i)[1] < '8' THEN _v[i] ELSE -_v[i] END), 'sum')"
+        "CASE WHEN md5(t || ':' || p || ':' || i)[1] < '8' THEN _v[i] ELSE -_v[i] END), 'sum')"
     )
     bucket = (
         f"array_to_string(list_transform(range(0, {N_PLANES}), p -> "
         f"CASE WHEN {proj} > 0 THEN '1' ELSE '0' END), '')"
     )
-    cos = cosine_sql("q.qv", "c.cv")
+    cos = cosine_sql("qv", "cv")
     return f"""
 WITH base AS (
-  SELECT vec_id AS _id, embedding::DOUBLE[] AS _v,
-         {bucket} AS bucket
-  FROM embeddings
+  SELECT vec_id AS _id, embedding::DOUBLE[] AS _v FROM embeddings
 ),
-queries AS (SELECT _id AS query_id, _v AS qv, bucket FROM base WHERE {query_where}),
-cands AS (SELECT _id AS neighbor_id, _v AS cv, bucket FROM base),
-scored AS (
-  SELECT q.query_id, q.bucket, c.neighbor_id, {cos} AS cosine_sim
-  FROM cands c JOIN queries q USING (bucket)
+hashed AS (
+  SELECT _id, _v, t, {bucket} AS bucket
+  FROM base CROSS JOIN (SELECT unnest(range(0, {n_tables})) AS t)
+),
+queries AS (
+  SELECT _id AS query_id, _v AS qv, t, bucket FROM hashed WHERE {query_where}
+),
+cands AS (SELECT _id AS neighbor_id, _v AS cv, t, bucket FROM hashed),
+pairs AS (
+  SELECT DISTINCT query_id, qv, neighbor_id, cv
+  FROM cands c JOIN queries q USING (t, bucket)
   WHERE c.neighbor_id <> q.query_id
+),
+scored AS (
+  SELECT query_id, neighbor_id, {cos} AS cosine_sim FROM pairs
 )
-SELECT query_id, bucket, neighbor_id, rank, cosine_sim
+SELECT query_id, neighbor_id, rank, cosine_sim
 FROM (
   SELECT *, row_number() OVER (
     PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id
