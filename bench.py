@@ -45,6 +45,12 @@ HEADLINE = [
     "knn_bruteforce",
     "ann_ivf",
     "doc_quality_score",
+    # events-family heavyweights, benched under the repo session since
+    # round 2 (round 1 hid an events-session bug from the driver;
+    # keeping them here makes regressions visible round-over-round)
+    "events_hypertable_rollup",
+    "session_stats_per_user",
+    "daily_active_users",
 ]
 
 
