@@ -4,7 +4,9 @@ the algorithms and their 100 TB strategies)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from ..operators.components import connected_components
 from ..operators.dedup import (
     DEDUP_EXACT_SQL,
     dedup_exact,
@@ -53,6 +55,44 @@ def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS → duplicate CLUSTERS: connected components over
+    the MinHash-LSH pair graph (operators/components.py), cluster id =
+    min doc id of the component. This is the step that makes dedup
+    actionable — a cluster keeps one survivor, the pair list alone
+    keeps nothing. The iterative Spark fixpoint is checked against a
+    DuckDB recursive CTE computing the same reachability closure."""
+    pairs = minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=MINHASH_THRESHOLD
+    ).select("doc_a", "doc_b")
+    labels = connected_components(pairs, "doc_a", "doc_b")
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
+def doc_dedup_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's OUTPUT view: every document that survives
+    near-dup removal — cluster representatives (min doc id of each
+    component) plus all unpaired docs. At 100 TB this is the anti-join
+    that materializes the training corpus; the labels side is
+    candidate-sized, so it broadcasts or shuffles cheaply against the
+    full collection."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=MINHASH_THRESHOLD).select(
+        "doc_a", "doc_b"
+    )
+    labels = connected_components(pairs, "doc_a", "doc_b")
+    losers = labels.filter(F.col("node") != F.col("label")).select(
+        F.col("node").alias("doc_id")
+    )
+    return (
+        docs.join(losers, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(dedup_exact_q, DEDUP_EXACT_SQL),
     "dedup_jaccard_pairs": QuerySpec(
@@ -62,4 +102,45 @@ QUERIES: dict[str, QuerySpec] = {
         dedup_minhash_q, minhash_lsh_pairs_sql(MINHASH_THRESHOLD)
     ),
     "dedup_simhash": QuerySpec(dedup_simhash_q, simhash_pairs_sql(SIMHASH_MAX_HAMMING)),
+    "dedup_clusters": QuerySpec(
+        dedup_clusters_q,
+        f"""
+WITH RECURSIVE pairs AS ({minhash_lsh_pairs_sql(MINHASH_THRESHOLD)}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(node, root) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, min(root) AS cluster_id
+FROM reach GROUP BY node ORDER BY doc_id
+""",
+    ),
+    "doc_dedup_survivors": QuerySpec(
+        doc_dedup_survivors_q,
+        f"""
+WITH RECURSIVE pairs AS ({minhash_lsh_pairs_sql(MINHASH_THRESHOLD)}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(node, root) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+),
+losers AS (
+  SELECT node AS doc_id FROM reach GROUP BY node
+  HAVING node <> min(root)
+)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d ANTI JOIN losers l USING (doc_id)
+ORDER BY d.doc_id
+""",
+    ),
 }

@@ -226,8 +226,50 @@ ORDER BY doc_id
 """
 
 
+def doc_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — the corpus-curation step
+    that rebalances language mix before training (keep 50% of 'en',
+    20% of everything else here).
+
+    NOT `df.sample()`/`sampleBy()`: their seeded RNG is engine- and
+    partitioning-specific, so results are neither reproducible across
+    engines nor stable under repartitioning. Membership is instead a
+    pure hash predicate — doc kept iff the first 8 md5 hex digits of
+    its id, read as a uint32, fall under frac·2³². Bit-identical on
+    any engine, any partitioning, any scale; the filter pushes into
+    the scan and samples without a shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    u32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":sample"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    frac = F.when(F.col("lang") == "en", F.lit(0.5)).otherwise(F.lit(0.2))
+    return (
+        docs.filter(u32 < frac * F.lit(4294967296.0))
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+DOC_SAMPLE_STRATIFIED_SQL = """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE ('0x' || substr(md5(doc_id || ':sample'), 1, 8))::BIGINT
+      < (CASE WHEN lang = 'en' THEN 0.5 ELSE 0.2 END) * 4294967296.0
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "doc_token_stats": QuerySpec(doc_token_stats, DOC_TOKEN_STATS_SQL),
+    "doc_sample_stratified": QuerySpec(
+        doc_sample_stratified, DOC_SAMPLE_STRATIFIED_SQL
+    ),
     "doc_quality_score": QuerySpec(doc_quality_score, DOC_QUALITY_SCORE_SQL),
     "doc_lang_id": QuerySpec(doc_lang_id, DOC_LANG_ID_SQL),
     "doc_fingerprint": QuerySpec(doc_fingerprint, DOC_FINGERPRINT_SQL),

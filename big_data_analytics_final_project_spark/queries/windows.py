@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.numeric import exact_sum, exact_sum_sql
+from ..functions.numeric import DEC, exact_sum, exact_sum_sql
 from ..operators.asof import asof_join
 from ..operators.rangejoin import interval_join
 from ..operators.sessionize import sessionize, sessionize_sql
@@ -376,6 +376,141 @@ ORDER BY day
 """
 
 
+def daily_active_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct users per day — the 100 TB answer
+    where exact distinct means shuffling every user id: the sketch is
+    mergeable, so each partition contributes a fixed-size summary and
+    the shuffle carries sketches, not ids.
+
+    No SQL oracle by design: DuckDB's approx_count_distinct uses a
+    different sketch, so cross-engine hashes cannot match. Accuracy is
+    pinned instead by tests/test_ann_recall-style twin checks against
+    the exact `daily_active_users` (relative error well inside HLL's
+    rsd bound); the driver records a rows-only check."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias(
+                "n_users_approx"
+            )
+        )
+        .orderBy("day")
+    )
+
+
+def user_rolling_7d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day spend per customer via a RANGE interval frame —
+    the time-series window shape the reference's pandas post-processing
+    can't express at scale (SURVEY.md §2.6 upgrade family).
+
+    Scale: a RANGE frame is ONE shuffle on the partition key plus a
+    per-partition sort — the naive alternative (self-join on a 7-day
+    band) shuffles the fact table twice and explodes intermediate rows
+    by the window width. Frame bounds are in epoch days, so ties on the
+    same day aggregate identically on both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_date(F.col("order_day")))
+        .rangeBetween(-6, 0)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("order_day"),
+            "o_totalprice",
+        )
+        .withColumn(
+            "spend_7d",
+            F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double"),
+        )
+        .drop("o_totalprice")
+        .orderBy("o_custkey", "order_day", "o_orderkey")
+    )
+
+
+USER_ROLLING_7D_SPEND_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE) AS order_day,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+         PARTITION BY o_custkey
+         ORDER BY CAST(o_orderdate AS DATE)
+         RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS spend_7d
+FROM orders
+ORDER BY o_custkey, order_day, o_orderkey
+"""
+
+
+def events_gap_filled_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event counts over a CONTINUOUS hour spine: missing hours
+    appear with zero counts, and the hourly value-sum is forward-filled
+    (last observation carried forward) — the hypertable
+    gap-fill/`locf` shape time-series stores provide natively.
+
+    Scale: the spine is generated post-aggregation from min/max bounds
+    (a 1-row broadcast), so it is hours-sized, never event-sized; the
+    forward fill is one window over that small spine. The raw
+    aggregation below it stays the usual single-shuffle hash agg."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast(DEC)).alias("sum_dec"),
+    )
+    bounds = hourly.agg(
+        F.min("hour").alias("lo"), F.max("hour").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    w_fill = Window.orderBy("hour").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        spine.join(hourly, "hour", "left")
+        .select(
+            "hour",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            F.coalesce(F.col("sum_dec").cast("double"), F.lit(0.0)).alias(
+                "sum_value"
+            ),
+            F.last(F.col("sum_dec"), ignorenulls=True)
+            .over(w_fill)
+            .cast("double")
+            .alias("sum_value_ffill"),
+        )
+        .orderBy("hour")
+    )
+
+
+EVENTS_GAP_FILLED_HOURLY_SQL = """
+WITH hourly AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+         count(*) AS n,
+         SUM(CAST(value AS DECIMAL(38,6))) AS sum_dec
+  FROM events GROUP BY 1
+),
+bounds AS (SELECT min(hour) AS lo, max(hour) AS hi FROM hourly),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds
+)
+SELECT s.hour,
+       COALESCE(h.n, 0) AS n_events,
+       COALESCE(CAST(h.sum_dec AS DOUBLE), 0.0) AS sum_value,
+       CAST(last_value(h.sum_dec IGNORE NULLS) OVER (
+         ORDER BY s.hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS sum_value_ffill
+FROM spine s LEFT JOIN hourly h USING (hour)
+ORDER BY s.hour
+"""
+
+
 def purchase_last_click_matched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLT-1 null-row drop (reference `tx_products.dropna()`,
     spark_analysis.py:117) applied where nulls genuinely arise in this
@@ -445,6 +580,13 @@ QUERIES: dict[str, QuerySpec] = {
         events_hypertable_rollup, EVENTS_HYPERTABLE_ROLLUP_SQL
     ),
     "daily_active_users": QuerySpec(daily_active_users, DAILY_ACTIVE_USERS_SQL),
+    "daily_active_users_approx": QuerySpec(daily_active_users_approx, None),
+    "user_rolling_7d_spend": QuerySpec(
+        user_rolling_7d_spend, USER_ROLLING_7D_SPEND_SQL
+    ),
+    "events_gap_filled_hourly": QuerySpec(
+        events_gap_filled_hourly, EVENTS_GAP_FILLED_HOURLY_SQL
+    ),
     "customer_order_history": QuerySpec(
         customer_order_history, CUSTOMER_ORDER_HISTORY_SQL
     ),
