@@ -110,6 +110,65 @@ def deduped_stream(
     )
 
 
+def purchase_click_join_stream(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    lookback: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream interval self-join: each purchase is
+    matched to the same user's clicks in the preceding `lookback` —
+    the incremental twin of the batch interval join behind
+    `clicks_before_purchase` (operators/rangejoin.py).
+
+    Both sides carry watermarks and the join condition bounds
+    click_ts to a purchase-relative interval, so the state store
+    retains each side only for watermark + lookback: state is bounded
+    by arrival rate × horizon, never stream length — the property that
+    makes a stream-stream join survive at 100 TB/day. Inner join:
+    purchases with no preceding click produce nothing (the batch twin
+    counts them as zero; the streamed pairs are the join's raw
+    deliverable)."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_event_id"),
+            F.col("user_id").alias("click_user_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("value").alias("click_value"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            f"""
+            user_id = click_user_id
+            AND click_ts >= purchase_ts - INTERVAL {lookback}
+            AND click_ts < purchase_ts
+            """
+        ),
+        "inner",
+    ).select(
+        "purchase_event_id",
+        "user_id",
+        "purchase_ts",
+        "purchase_value",
+        "click_event_id",
+        "click_ts",
+        "click_value",
+    )
+
+
 def write_foreach_batch(df: DataFrame, out_dir: str, checkpoint: str, batch_fn=None):
     """foreachBatch sink — the engine's analog of the reference's
     batched wide-column writes with periodic flush (SNK-1,

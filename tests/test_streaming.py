@@ -21,6 +21,7 @@ from big_data_analytics_final_project_spark.sources import load_table
 from big_data_analytics_final_project_spark.streaming import (
     EVENT_SCHEMA,
     deduped_stream,
+    purchase_click_join_stream,
     read_event_stream,
     sessionized_stream,
     tumbling_counts,
@@ -275,6 +276,33 @@ def test_deduped_stream_drops_redelivery(spark, stream_dirs):
     ).collect()[0]
     want = base.select("event_id").distinct().count()
     assert got["n"] == got["nd"] == want
+
+
+def test_stream_stream_join_matches_batch(spark, stream_dirs):
+    """Watermarked stream-stream interval self-join lands exactly the
+    pairs the identical batch join produces over the same files."""
+    stream = read_event_stream(spark, stream_dirs["src"])
+    q = (
+        purchase_click_join_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_join_test")
+        .option("checkpointLocation", f"{stream_dirs['root']}/ckpt_ssjoin")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "stream did not finish"
+    got = {
+        (r["purchase_event_id"], r["click_event_id"])
+        for r in spark.sql("SELECT * FROM ss_join_test").collect()
+    }
+    batch = spark.read.schema(EVENT_SCHEMA).parquet(stream_dirs["src"])
+    want = {
+        (r["purchase_event_id"], r["click_event_id"])
+        for r in purchase_click_join_stream(batch).collect()
+    }
+    assert want, "batch twin produced no pairs — fixture too sparse"
+    assert got == want
 
 
 def test_session_window_stream_smoke(spark, stream_dirs):
