@@ -25,9 +25,11 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql import types as T
+
 from ..functions.numeric import exact_sum
-from ..sinks import upsert_zone, write_zone
-from ..sources import load_table
+from ..sinks import upsert_zone, write_report_csv, write_zone
+from ..sources import load_table, read_csv_zone, read_json_zone_with_skips
 from . import QuerySpec
 
 
@@ -91,8 +93,94 @@ ORDER BY day
 """
 
 
+def report_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNK-2 + SRC-6 under the oracle: the top-spenders report is
+    written as the reference's single-file header CSV
+    (spark_analysis.py:106-style artifact), read back with an explicit
+    schema, and returned — any row, header, type, or value the CSV
+    cycle mangles breaks the hash match against the direct SQL."""
+    from .batch import top_spenders
+
+    path = _scratch_zone("report_csv", sf_dir)
+    write_report_csv(top_spenders(spark, sf_dir), path)
+    schema = T.StructType(
+        [
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("total_spent", T.DoubleType()),
+            T.StructField("num_orders", T.LongType()),
+        ]
+    )
+    return read_csv_zone(spark, path, schema).orderBy(
+        F.col("total_spent").desc(), F.col("o_custkey")
+    )
+
+
+REPORT_CSV_ROUNDTRIP_SQL = """
+SELECT o_custkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_spent,
+       count(*) AS num_orders
+FROM orders
+GROUP BY o_custkey
+ORDER BY total_spent DESC, o_custkey
+LIMIT 10
+"""
+
+
+def json_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRC-1/SRC-5 + SNK-5 under the oracle: the events zone is
+    serialized to a JSON drop (the reference's sessions_*.json shape,
+    data_generator.py:241-248), re-ingested through the error-tolerant
+    PERMISSIVE loader (explicit schema, skip-and-count), and
+    re-aggregated. The result must match the aggregate computed on the
+    parquet source — any row dropped, timestamp re-parsed wrong, or
+    double mangled by the text cycle breaks the hash. The clean input
+    also pins counters['skipped'] == 0 via the n_rows totals."""
+    events = load_table(spark, sf_dir, "events")
+    path = _scratch_zone("json_drop", sf_dir)
+    events.write.mode("overwrite").json(path)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    good, counters = read_json_zone_with_skips(spark, path, schema)
+    if counters["skipped"]:
+        raise ValueError(f"clean drop reported skips: {counters}")
+    return (
+        good.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            exact_sum("value", "sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+JSON_INGEST_ROUNDTRIP_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "zone_roundtrip_daily": QuerySpec(
         zone_roundtrip_daily, ZONE_ROUNDTRIP_DAILY_SQL
+    ),
+    "report_csv_roundtrip": QuerySpec(
+        report_csv_roundtrip, REPORT_CSV_ROUNDTRIP_SQL
+    ),
+    "json_ingest_roundtrip": QuerySpec(
+        json_ingest_roundtrip, JSON_INGEST_ROUNDTRIP_SQL
     ),
 }
