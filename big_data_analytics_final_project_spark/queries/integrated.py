@@ -85,6 +85,39 @@ ORDER BY user_id
 """
 
 
+def user_spend_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """user_spend through the two-stage salted aggregation
+    (operators/skew.py) — the plan a 100 TB deployment switches to
+    when one key dominates so badly that even AQE's split partitions
+    leave a hot final-merge task. Same oracle as `user_spend`: salting
+    must be invisible in the result (decimal partials stay exact
+    through stage 1, finalized to double only in the merge), so the
+    hash match proves the skew path is a pure re-plan, not a
+    re-definition."""
+    from ..functions.numeric import DEC
+    from ..operators.skew import salted_agg
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_totalprice", "o_orderkey"
+    )
+    return salted_agg(
+        orders,
+        key_cols=["user_id"],
+        aggs={
+            "total_spent": (
+                F.sum(F.col("o_totalprice").cast(DEC)).alias("total_spent"),
+                lambda c: F.sum(c).cast("double"),
+            ),
+            "num_orders": (
+                F.count(F.lit(1)).alias("num_orders"),
+                lambda c: F.sum(c).cast("bigint"),
+            ),
+        },
+        n_salts=8,
+        identity_cols=["o_orderkey"],
+    ).orderBy("user_id")
+
+
 def _joined(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = user_engagement(spark, sf_dir)
     spend = user_spend(spark, sf_dir)
@@ -284,6 +317,7 @@ LIMIT 5
 QUERIES: dict[str, QuerySpec] = {
     "user_engagement": QuerySpec(user_engagement, USER_ENGAGEMENT_SQL),
     "user_spend": QuerySpec(user_spend, USER_SPEND_SQL),
+    "user_spend_salted": QuerySpec(user_spend_salted, USER_SPEND_SQL),
     "engagement_vs_spend": QuerySpec(engagement_vs_spend, ENGAGEMENT_VS_SPEND_SQL),
     "engagement_spend_correlation": QuerySpec(
         engagement_spend_correlation, ENGAGEMENT_SPEND_CORRELATION_SQL
