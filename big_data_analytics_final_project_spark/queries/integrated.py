@@ -85,6 +85,115 @@ ORDER BY user_id
 """
 
 
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered view → click → purchase funnel: a user counts
+    at a stage only if the stage's first event happens AFTER the
+    previous stage's first event. One row: users reaching each stage.
+
+    Scale: each stage is a keyed min-aggregate joined to the previous
+    stage's (shrinking) frontier — the frontier is user-cardinality,
+    broadcastable or cheap to shuffle; the raw log is scanned with a
+    pushed event_type filter per stage, never self-joined row×row."""
+    events = load_table(spark, sf_dir, "events")
+
+    def first_after(event_type: str, frontier, prev_ts: str, out: str):
+        stage = events.filter(F.col("event_type") == event_type)
+        if frontier is None:
+            return stage.groupBy("user_id").agg(F.min("ts").alias(out))
+        return (
+            stage.join(frontier, "user_id")
+            .filter(F.col("ts") > F.col(prev_ts))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out))
+        )
+
+    viewed = first_after("view", None, "", "first_view")
+    clicked = first_after("click", viewed, "first_view", "first_click")
+    purchased = first_after(
+        "purchase", clicked, "first_click", "first_purchase"
+    )
+    return (
+        viewed.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(clicked.agg(F.count(F.lit(1)).alias("n_clicked")))
+        .crossJoin(
+            purchased.agg(F.count(F.lit(1)).alias("n_purchased"))
+        )
+    )
+
+
+CONVERSION_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS first_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS first_click
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.first_view
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS first_purchase
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.first_click
+  GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM v) AS n_viewed,
+       (SELECT count(*) FROM c) AS n_clicked,
+       (SELECT count(*) FROM p) AS n_purchased
+"""
+
+
+def weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-activity week,
+    counted in every later week they return — the (cohort_week,
+    week_offset, n_users) triangle every analytics store ships.
+
+    Scale: two aggregations over the log (first-seen per user,
+    distinct user-weeks) and one user-keyed join — no per-cohort
+    scans; cohort count never touches the fan-out."""
+    events = load_table(spark, sf_dir, "events")
+    week = F.to_date(F.date_trunc("week", F.col("ts")))
+    first_seen = events.groupBy("user_id").agg(
+        F.min(week).alias("cohort_week")
+    )
+    activity = events.select(
+        "user_id", week.alias("week")
+    ).distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(
+                F.datediff(F.col("week"), F.col("cohort_week")) / 7
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+WEEKLY_RETENTION_SQL = """
+WITH first_seen AS (
+  SELECT user_id,
+         min(CAST(date_trunc('week', ts) AS DATE)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM events
+)
+SELECT f.cohort_week,
+       CAST((a.week - f.cohort_week) // 7 AS BIGINT) AS week_offset,
+       count(*) AS n_users
+FROM activity a JOIN first_seen f USING (user_id)
+GROUP BY f.cohort_week, week_offset
+ORDER BY f.cohort_week, week_offset
+"""
+
+
 def user_spend_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """user_spend through the two-stage salted aggregation
     (operators/skew.py) — the plan a 100 TB deployment switches to
@@ -318,6 +427,8 @@ QUERIES: dict[str, QuerySpec] = {
     "user_engagement": QuerySpec(user_engagement, USER_ENGAGEMENT_SQL),
     "user_spend": QuerySpec(user_spend, USER_SPEND_SQL),
     "user_spend_salted": QuerySpec(user_spend_salted, USER_SPEND_SQL),
+    "conversion_funnel": QuerySpec(conversion_funnel, CONVERSION_FUNNEL_SQL),
+    "weekly_retention": QuerySpec(weekly_retention, WEEKLY_RETENTION_SQL),
     "engagement_vs_spend": QuerySpec(engagement_vs_spend, ENGAGEMENT_VS_SPEND_SQL),
     "engagement_spend_correlation": QuerySpec(
         engagement_spend_correlation, ENGAGEMENT_SPEND_CORRELATION_SQL

@@ -511,6 +511,66 @@ ORDER BY s.hour
 """
 
 
+def concurrent_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency over derived sessions via a sweep line: +1 at
+    each session start, −1 at each end, running-sum the deltas in
+    (ts, starts-before-ends) order; the max is the peak and the
+    earliest ts attaining it is reported. Sessions count as active on
+    the closed interval [start, end].
+
+    Scale: the sweep runs over SESSION boundaries (two rows per
+    session), already ~1000× smaller than the event log; the single
+    global running-sum window is the textbook case where the ordered
+    data is post-aggregation-small. The alternative — joining events
+    against time buckets — shuffles the raw log."""
+    sess = events_sessionized(spark, sf_dir)
+    deltas = sess.select(
+        F.col("session_start").alias("ts"),
+        F.lit(0).alias("kind"),  # starts sort before ends at the same ts
+        F.lit(1).alias("delta"),
+    ).unionAll(
+        sess.select(
+            F.col("session_end").alias("ts"),
+            F.lit(1).alias("kind"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    w = Window.orderBy("ts", "kind").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    running = deltas.withColumn(
+        "conc", F.sum("delta").over(w).cast("bigint")
+    )
+    peaked = running.withColumn(
+        "peak", F.max("conc").over(Window.partitionBy(F.lit(1)))
+    )
+    return peaked.filter(F.col("conc") == F.col("peak")).agg(
+        F.max("conc").alias("peak_concurrency"),
+        F.min("ts").alias("first_peak_ts"),
+    )
+
+
+CONCURRENT_SESSIONS_PEAK_SQL = f"""
+WITH sessions AS ({EVENTS_SESSIONIZED_SQL}),
+deltas AS (
+  SELECT session_start AS ts, 0 AS kind, 1 AS delta FROM sessions
+  UNION ALL
+  SELECT session_end AS ts, 1 AS kind, -1 AS delta FROM sessions
+),
+running AS (
+  SELECT ts,
+         CAST(SUM(delta) OVER (
+           ORDER BY ts, kind ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS conc
+  FROM deltas
+)
+SELECT CAST(max(conc) AS BIGINT) AS peak_concurrency,
+       min(ts) AS first_peak_ts
+FROM running
+WHERE conc = (SELECT max(conc) FROM running)
+"""
+
+
 def purchase_last_click_matched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLT-1 null-row drop (reference `tx_products.dropna()`,
     spark_analysis.py:117) applied where nulls genuinely arise in this
@@ -586,6 +646,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "events_gap_filled_hourly": QuerySpec(
         events_gap_filled_hourly, EVENTS_GAP_FILLED_HOURLY_SQL
+    ),
+    "concurrent_sessions_peak": QuerySpec(
+        concurrent_sessions_peak, CONCURRENT_SESSIONS_PEAK_SQL
     ),
     "customer_order_history": QuerySpec(
         customer_order_history, CUSTOMER_ORDER_HISTORY_SQL
