@@ -100,3 +100,30 @@ def test_text_queries_scan_once_no_shuffle(spark):
         df = _df(spark, name)
         assert count_shuffles(df) <= 1, name  # the ORDER BY only
         assert count_scans(df) == 1, name
+
+
+def test_stratified_sample_pushes_into_scan(spark):
+    """The hash-predicate sample must stay a scan-side filter: one
+    scan, no shuffle beyond the output sort, no exchange introduced by
+    the sampling itself."""
+    df = _df(spark, "doc_sample_stratified")
+    assert count_scans(df) == 1
+    assert count_shuffles(df) <= 1  # the ORDER BY only
+
+
+def test_rolling_range_frame_single_shuffle(spark):
+    """The RANGE interval frame is one shuffle on the partition key
+    (+ the output sort) — the band self-join alternative would add a
+    second fact-side exchange and row fan-out."""
+    df = _df(spark, "user_rolling_7d_spend")
+    assert count_scans(df) == 1
+    assert count_shuffles(df) <= 2
+
+
+def test_salted_agg_two_stages_only(spark):
+    """The skew path pays exactly one extra exchange over the plain
+    aggregation ((key, salt) stage + key merge + output sort) — if
+    salting costs more than that, it stopped being a re-plan."""
+    df = _df(spark, "user_spend_salted")
+    assert count_shuffles(df) <= 3
+    assert count_scans(df) == 1
