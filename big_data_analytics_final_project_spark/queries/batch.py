@@ -20,7 +20,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import exact_sum, exact_sum_sql
@@ -111,6 +111,84 @@ SELECT p_brand,
 FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
 ORDER BY revenue DESC, p_brand
+"""
+
+
+def revenue_by_brand_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """revenue_by_brand through the salted-join path (operators/
+    skew.py): fact salted on row identity, dim replicated per salt,
+    join on (key, salt). Shares revenue_by_brand's oracle — the hash
+    match proves salting is a pure shuffle re-distribution, invisible
+    in results. This is the plan for the case the broadcast version
+    can't serve: a dim too big to broadcast AND a pathologically hot
+    fact key that AQE's skew split can't fully flatten."""
+    from ..operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_partkey").alias("p_partkey"),
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        salted_join(
+            li,
+            part,
+            on=["p_partkey"],
+            n_salts=8,
+            identity_cols=["l_orderkey", "p_partkey"],
+            how="left",
+        )
+        .groupBy("p_brand")
+        .agg(
+            exact_sum(_revenue_col(), "revenue"),
+            exact_sum("l_quantity", "units_sold"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("p_brand"))
+    )
+
+
+def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spend deciles: customers ranked by lifetime spend, cut into 10
+    ntile buckets, one summary row per decile — the distribution view
+    behind 'top 10% of customers drive X% of revenue'.
+
+    Scale: the decile assignment windows over CUSTOMER aggregates
+    (post-shuffle small), not raw orders; a unique tiebreak key makes
+    ntile's total order — and therefore every bucket — deterministic."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        exact_sum("o_totalprice", "total_spent")
+    )
+    w = Window.orderBy(F.col("total_spent").desc(), F.col("o_custkey"))
+    return (
+        per_cust.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            exact_sum("total_spent", "decile_spend"),
+        )
+        .orderBy("decile")
+    )
+
+
+CUSTOMER_SPEND_DECILES_SQL = f"""
+WITH per_cust AS (
+  SELECT o_custkey, {exact_sum_sql("o_totalprice", "total_spent")}
+  FROM orders GROUP BY o_custkey
+)
+SELECT decile, count(*) AS n_customers,
+       {exact_sum_sql("total_spent", "decile_spend")}
+FROM (
+  SELECT total_spent,
+         ntile(10) OVER (ORDER BY total_spent DESC, o_custkey) AS decile
+  FROM per_cust
+)
+GROUP BY decile
+ORDER BY decile
 """
 
 
@@ -420,6 +498,12 @@ ORDER BY user_id
 QUERIES: dict[str, QuerySpec] = {
     "pricing_summary": QuerySpec(pricing_summary, PRICING_SUMMARY_SQL),
     "revenue_by_brand": QuerySpec(revenue_by_brand, REVENUE_BY_BRAND_SQL),
+    "revenue_by_brand_salted": QuerySpec(
+        revenue_by_brand_salted, REVENUE_BY_BRAND_SQL
+    ),
+    "customer_spend_deciles": QuerySpec(
+        customer_spend_deciles, CUSTOMER_SPEND_DECILES_SQL
+    ),
     "top_spenders": QuerySpec(top_spenders, TOP_SPENDERS_SQL),
     "top_customers_top5": QuerySpec(top_customers_top5, TOP_CUSTOMERS_TOP5_SQL),
     "product_popularity": QuerySpec(product_popularity, PRODUCT_POPULARITY_SQL),
