@@ -305,6 +305,67 @@ def test_stream_stream_join_matches_batch(spark, stream_dirs):
     assert got == want
 
 
+def test_continuous_hourly_rollup(spark, stream_dirs):
+    """The streaming-maintained rollup zone must equal the batch
+    hourly aggregate over the same files, and re-folding an already
+    -applied batch (foreachBatch retry semantics) must change nothing."""
+    from big_data_analytics_final_project_spark.streaming.rollup import (
+        fold_hourly_batch,
+        maintain_hourly_rollup,
+        read_hourly_rollup,
+    )
+
+    root = stream_dirs["root"]
+    zone = f"{root}/rollup_zone"
+    stream = read_event_stream(spark, stream_dirs["src"])
+    q = (
+        maintain_hourly_rollup(stream, zone, f"{root}/ckpt_rollup")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "stream did not finish"
+
+    batch = spark.read.schema(EVENT_SCHEMA).parquet(stream_dirs["src"])
+    want = {
+        (r["hour"], r["n_events"], round(r["sum_value"], 6))
+        for r in (
+            batch.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(38,6)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+        ).collect()
+    }
+    got = {
+        (r["hour"], r["n_events"], round(r["sum_value"], 6))
+        for r in read_hourly_rollup(spark, zone).collect()
+    }
+    assert got == want
+
+    # retry of the LAST batch id must be a no-op (idempotent merge):
+    # re-deliver rows for exactly the hours that batch last touched
+    zone_df = spark.read.parquet(zone)
+    bmax = zone_df.agg(F.max("last_batch_id")).collect()[0][0]
+    hours_b = [
+        r["hour"]
+        for r in zone_df.filter(F.col("last_batch_id") == bmax)
+        .select("hour")
+        .collect()
+    ]
+    retry_rows = batch.filter(
+        F.date_trunc("hour", F.col("ts")).isin(hours_b)
+    )
+    assert retry_rows.take(1), "retry fixture is empty"
+    fold_hourly_batch(retry_rows, bmax, zone)
+    again = {
+        (r["hour"], r["n_events"], round(r["sum_value"], 6))
+        for r in read_hourly_rollup(spark, zone).collect()
+    }
+    assert again == want
+
+
 def test_session_window_stream_smoke(spark, stream_dirs):
     """session_window sessionization runs incrementally and yields
     per-user sessions with the declared schema."""
