@@ -234,3 +234,56 @@ def test_prefix_jaccard_equals_allpairs(spark, texts):
     ]
     key = lambda r: (r["doc_a"], r["doc_b"])  # noqa: E731
     assert sorted(map(tuple, fast)) == sorted(map(tuple, sorted(slow, key=key)))
+
+
+# --- connected components == union-find --------------------------------
+
+edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=12),
+        st.integers(min_value=0, max_value=12),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _components_reference(edges):
+    """Pure-Python union-find: node -> min id of its component."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict[int, int] = {}
+    for n in parent:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    return {n: comp_min[find(n)] for n in parent}
+
+
+@given(edges=edges_strategy)
+@settings(**_SETTINGS)
+def test_connected_components_matches_union_find(spark, edges):
+    """The iterative min-label fixpoint must produce exactly the
+    union-find labeling (min id per component) on arbitrary graphs —
+    self-loops, parallel edges, cycles, chains included."""
+    from big_data_analytics_final_project_spark.operators.components import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame(edges, schema="a long, b long")
+    got = {
+        r["node"]: r["label"]
+        for r in connected_components(df, "a", "b").collect()
+    }
+    assert got == _components_reference(edges)
