@@ -192,6 +192,57 @@ ORDER BY decile
 """
 
 
+def orders_status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two independent dimensions (status × priority): all
+    four grouping sets — both, each alone, grand total — in ONE pass.
+    Completes the grouping-sets family next to ROLLUP
+    (`revenue_rollup`, time hierarchy) and pivot (`event_type_pivot`).
+
+    Scale: like ROLLUP, Spark expands the grouping sets map-side into
+    a single shuffle with partial aggregation — 4 reports for the scan
+    cost of one."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("_gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum("o_totalprice", "total_price"),
+        )
+        .select(
+            F.when(F.col("_gid") == 3, F.lit("total"))
+            .when(F.col("_gid") == 2, F.lit("priority"))
+            .when(F.col("_gid") == 1, F.lit("status"))
+            .otherwise(F.lit("status_priority"))
+            .alias("grain"),
+            "o_orderstatus",
+            "o_orderpriority",
+            "n_orders",
+            "total_price",
+        )
+        .orderBy(
+            "grain",
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+ORDERS_STATUS_PRIORITY_CUBE_SQL = f"""
+SELECT CASE grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+         WHEN 3 THEN 'total'
+         WHEN 2 THEN 'priority'
+         WHEN 1 THEN 'status'
+         ELSE 'status_priority' END AS grain,
+       o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       {exact_sum_sql("o_totalprice", "total_price")}
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY grain, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
 def top_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 customers by spend — reference AGG-2/SRT-1
     (spark_analysis.py:90-106) and Mongo AGG-4 (TOP10.py).
@@ -503,6 +554,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "customer_spend_deciles": QuerySpec(
         customer_spend_deciles, CUSTOMER_SPEND_DECILES_SQL
+    ),
+    "orders_status_priority_cube": QuerySpec(
+        orders_status_priority_cube, ORDERS_STATUS_PRIORITY_CUBE_SQL
     ),
     "top_spenders": QuerySpec(top_spenders, TOP_SPENDERS_SQL),
     "top_customers_top5": QuerySpec(top_customers_top5, TOP_CUSTOMERS_TOP5_SQL),
