@@ -214,6 +214,71 @@ def upsert_zone(
     fs.delete(hpath, True)
 
 
+def zorder_zone(
+    df: DataFrame,
+    path: str,
+    zorder_by: list[str],
+    num_files: int = 16,
+    bits: int = 16,
+) -> None:
+    """Z-order (Morton-curve) clustered parquet zone: rows sorted by
+    the bit-interleaving of their rank along EACH zorder column, so
+    file/row-group min-max stats prune scans on ANY of the columns —
+    the multi-dimensional upgrade over `write_zone`'s single sort key,
+    and the layout Delta/Iceberg `OPTIMIZE ZORDER BY` applies at
+    100 TB.
+
+    Mechanics: each column is normalized to a `bits`-wide integer via
+    `percent_rank` (rank, not raw value — skewed distributions still
+    spread uniformly across the curve), the bit planes are interleaved
+    into one Morton key, and the frame is range-partitioned + sorted
+    on that key. A filter on any single dimension then touches
+    ~N^((d-1)/d) of the files instead of all of them; a plain sort
+    prunes only its leading column.
+
+    The rank windows are per-column global windows — at 100 TB swap
+    `percent_rank` for a sampled quantile discretizer (approx bins);
+    the interleave and layout stay identical. Deterministic ties via
+    the full row ordering inside percent_rank's orderBy."""
+    from pyspark.sql import Window
+
+    zcols = []
+    work = df
+    for i, c in enumerate(zorder_by):
+        q = f"_z_{i}"
+        w = Window.orderBy(F.col(c))
+        work = work.withColumn(
+            q,
+            F.least(
+                (F.percent_rank().over(w) * (1 << bits)).cast("bigint"),
+                F.lit((1 << bits) - 1),
+            ),
+        )
+        zcols.append(q)
+    # Morton interleave: output bit (b*d + i) = bit b of column i
+    d = len(zcols)
+    terms = []
+    for b in range(bits):
+        for i, q in enumerate(zcols):
+            terms.append(
+                F.shiftleft(
+                    F.shiftright(F.col(q), b).bitwiseAND(F.lit(1)),
+                    b * d + i,
+                )
+            )
+    zval = terms[0]
+    for t in terms[1:]:
+        zval = zval.bitwiseOR(t)
+    work = work.withColumn("_zval", zval)
+    (
+        work.repartitionByRange(num_files, F.col("_zval"))
+        .sortWithinPartitions("_zval")
+        .drop(*zcols, "_zval")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def write_summary_txt(lines: dict[str, object], path: str) -> None:
     """Driver-side scalar summary (report artifact, not an engine op)."""
     with open(path, "w") as f:

@@ -341,6 +341,57 @@ def test_upsert_zone_first_write(spark, tmp_root):
     assert not os.path.exists(f"{zone}__upsert_staging")
 
 
+def test_zorder_zone_prunes_both_dimensions(spark, tmp_root):
+    """Morton clustering must let file-level min/max stats prune scans
+    on EITHER z-order column; a linear sort only prunes its leading
+    column. Measured directly from the parquet footers."""
+    import pyarrow.parquet as pq
+    from big_data_analytics_final_project_spark.sinks import zorder_zone
+
+    n, card = 40_000, 200
+    df = (
+        spark.range(n)
+        .withColumn("x", (F.col("id") % card).cast("bigint"))
+        .withColumn("y", ((F.col("id") * 7919) % card).cast("bigint"))
+    )
+
+    def hits(path: str, col: str, lo: int, hi: int) -> tuple[int, int]:
+        """(row groups overlapping [lo, hi], total row groups)."""
+        overlap = total = 0
+        zone = spark.read.parquet(path)
+        for f in zone.inputFiles():
+            meta = pq.ParquetFile(f.removeprefix("file:")).metadata
+            idx = meta.schema.names.index(col)
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(idx).statistics
+                total += 1
+                if st.min <= hi and st.max >= lo:
+                    overlap += 1
+        return overlap, total
+
+    linear = f"{tmp_root}/linear_xy"
+    (
+        df.repartitionByRange(16, F.col("x"))
+        .sortWithinPartitions("x", "y")
+        .write.mode("overwrite")
+        .parquet(linear)
+    )
+    zoned = f"{tmp_root}/zorder_xy"
+    zorder_zone(df, zoned, ["x", "y"], num_files=16)
+
+    assert spark.read.parquet(zoned).count() == n
+
+    lo, hi = 40, 49  # 5% band
+    lin_y, lin_total = hits(linear, "y", lo, hi)
+    z_y, z_total = hits(zoned, "y", lo, hi)
+    z_x, _ = hits(zoned, "x", lo, hi)
+    # linear layout: y is unsorted within every x-run — no pruning
+    assert lin_y == lin_total
+    # z-order: the y band touches a strict subset on BOTH dimensions
+    assert z_y <= z_total // 2, (z_y, z_total)
+    assert z_x <= z_total // 2, (z_x, z_total)
+
+
 def test_summary_txt(tmp_root):
     """SNK-4: scalar summary artifact."""
     path = f"{tmp_root}/summary.txt"
