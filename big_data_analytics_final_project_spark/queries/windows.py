@@ -524,17 +524,24 @@ def concurrent_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     data is post-aggregation-small. The alternative — joining events
     against time buckets — shuffles the raw log."""
     sess = events_sessionized(spark, sf_dir)
+    # one row -> two delta rows via explode (NOT a union of two selects,
+    # which would duplicate the whole sessionize subplan: one scan)
     deltas = sess.select(
-        F.col("session_start").alias("ts"),
-        F.lit(0).alias("kind"),  # starts sort before ends at the same ts
-        F.lit(1).alias("delta"),
-    ).unionAll(
-        sess.select(
-            F.col("session_end").alias("ts"),
-            F.lit(1).alias("kind"),
-            F.lit(-1).alias("delta"),
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("session_start").alias("ts"),
+                    F.lit(0).alias("kind"),  # starts sort before ends
+                    F.lit(1).alias("delta"),
+                ),
+                F.struct(
+                    F.col("session_end").alias("ts"),
+                    F.lit(1).alias("kind"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("d")
+    ).select("d.ts", "d.kind", "d.delta")
     w = Window.orderBy("ts", "kind").rowsBetween(
         Window.unboundedPreceding, 0
     )
