@@ -173,9 +173,72 @@ ORDER BY event_type
 """
 
 
+def json_ingest_with_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRC-5's skip path under the oracle: the events JSON drop is
+    POLLUTED with malformed lines (truncated JSON, non-JSON text, type
+    garbage), re-ingested through the PERMISSIVE skip-and-count loader,
+    and aggregated. The result must still hash-match the aggregate of
+    the CLEAN source — the loader must drop exactly the garbage, count
+    it, and pass every clean row through untouched (the reference
+    loader's skip-and-report contract, load_hbase_sessions_stream.py:
+    85-91,121-134)."""
+    events = load_table(spark, sf_dir, "events")
+    path = _scratch_zone("json_errs", sf_dir)
+    events.write.mode("overwrite").json(path)
+    n_bad = 7
+    bad_lines = "\n".join(
+        [
+            '{"event_id": 1, "ts": "not-a-timestamp massively',  # truncated
+            "utter garbage, not json at all",
+            '{"event_id": "NaN-ish"',  # unclosed
+            "<xml>wrong format</xml>",
+            '{"event_id": 2 "ts": null}',  # missing comma
+            "}{",
+            '{"event_id":',
+        ]
+    )
+    assert n_bad == len(bad_lines.splitlines())
+    with open(os.path.join(path, "zz_corrupt.json"), "w") as f:
+        f.write(bad_lines + "\n")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    good, counters = read_json_zone_with_skips(spark, path, schema)
+    if counters["skipped"] != n_bad:
+        raise ValueError(f"expected {n_bad} skips, got {counters}")
+    return (
+        good.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value", "sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+JSON_INGEST_WITH_ERRORS_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "zone_roundtrip_daily": QuerySpec(
         zone_roundtrip_daily, ZONE_ROUNDTRIP_DAILY_SQL
+    ),
+    "json_ingest_with_errors": QuerySpec(
+        json_ingest_with_errors, JSON_INGEST_WITH_ERRORS_SQL
     ),
     "report_csv_roundtrip": QuerySpec(
         report_csv_roundtrip, REPORT_CSV_ROUNDTRIP_SQL

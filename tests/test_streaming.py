@@ -366,6 +366,49 @@ def test_continuous_hourly_rollup(spark, stream_dirs):
     assert again == want
 
 
+def test_stream_static_join_matches_batch(spark, stream_dirs):
+    """Stream-static dim join: each micro-batch joins the (broadcast)
+    static customer dim — no state store involved, the streaming twin
+    of every fact→dim join in the batch surface. Streamed result must
+    equal the batch join over the same files."""
+    static_dim = (
+        load_table(spark, SF_SMOKE, "customer")
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            "c_mktsegment",
+        )
+    )
+    stream = read_event_stream(spark, stream_dirs["src"])
+    joined = (
+        stream.join(F.broadcast(static_dim), "user_id")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    q = (
+        joined.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_static_test")
+        .option("checkpointLocation", f"{stream_dirs['root']}/ckpt_sstatic")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "stream did not finish"
+    got = {
+        (r["c_mktsegment"], r["n_events"])
+        for r in spark.sql("SELECT * FROM stream_static_test").collect()
+    }
+    batch = spark.read.schema(EVENT_SCHEMA).parquet(stream_dirs["src"])
+    want = {
+        (r["c_mktsegment"], r["n_events"])
+        for r in (
+            batch.join(F.broadcast(static_dim), "user_id")
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        ).collect()
+    }
+    assert want and got == want
+
+
 def test_session_window_stream_smoke(spark, stream_dirs):
     """session_window sessionization runs incrementally and yields
     per-user sessions with the declared schema."""
