@@ -52,6 +52,56 @@ ORDER BY media_id
 """
 
 
+def media_png_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural binary parse with PURE expressions — no UDF, no
+    codec: each doc gets a deterministic, spec-correct PNG header
+    (signature + IHDR chunk, width/height derived from doc_id), and
+    the query recovers the dimensions by offset arithmetic on the
+    binary (big-endian uint32 at bytes 17-20 / 21-24), plus the magic
+    sniff. The oracle re-derives width/height from first principles —
+    the hash match proves the parse reads exactly what was encoded.
+
+    At 100 TB this is the metadata pass a media lake runs BEFORE any
+    decode: JVM-side, codegen'd, one scan, zero Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    width = (F.col("doc_id") % 1920 + 16).cast("bigint")
+    height = ((F.col("doc_id") * 7) % 1080 + 16).cast("bigint")
+    payload = F.unhex(
+        F.concat(
+            F.lit("89504E470D0A1A0A0000000D49484452"),  # sig + len + IHDR
+            F.lpad(F.hex(width), 8, "0"),
+            F.lpad(F.hex(height), 8, "0"),
+            F.lit("0802000000"),  # bit depth, color, comp, filter, interlace
+        )
+    )
+    synthesized = docs.select(
+        F.col("doc_id").alias("media_id"), payload.alias("payload")
+    )
+    parsed = with_binary_meta(synthesized).select(
+        "media_id",
+        "format",
+        "byte_len",
+        F.conv(F.hex(F.substring(F.col("payload"), 17, 4)), 16, 10)
+        .cast("bigint")
+        .alias("width"),
+        F.conv(F.hex(F.substring(F.col("payload"), 21, 4)), 16, 10)
+        .cast("bigint")
+        .alias("height"),
+    )
+    return parsed.orderBy("media_id")
+
+
+MEDIA_PNG_DIMS_SQL = """
+SELECT doc_id AS media_id,
+       'png' AS format,
+       29 AS byte_len,
+       CAST(doc_id % 1920 + 16 AS BIGINT) AS width,
+       CAST((doc_id * 7) % 1080 + 16 AS BIGINT) AS height
+FROM documents
+ORDER BY media_id
+"""
+
+
 _N_MEDIA_QUERIES = 3
 _K_MEDIA = 3
 _N_FRAMES = 3
@@ -127,6 +177,7 @@ ORDER BY media_id, frame_idx
 
 QUERIES: dict[str, QuerySpec] = {
     "binary_meta": QuerySpec(binary_meta, BINARY_META_SQL),
+    "media_png_dims": QuerySpec(media_png_dims, MEDIA_PNG_DIMS_SQL),
     "media_feature_knn": QuerySpec(media_feature_knn, _media_feature_knn_sql()),
     "media_frame_sample": QuerySpec(media_frame_sample, MEDIA_FRAME_SAMPLE_SQL),
 }
