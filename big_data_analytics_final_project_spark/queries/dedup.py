@@ -55,6 +55,67 @@ def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_fuzzy_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs, prefix-blocked: docs sharing the
+    first 12 normalized characters are candidates; a pair survives if
+    the Levenshtein distance of their 48-char normalized prefixes is
+    ≤ 8. Completes the dedup family with the fuzzy-string member
+    (set-based Jaccard and hash-based MinHash/SimHash don't catch
+    small in-word edits; edit distance does).
+
+    Scale: the block key is the shuffle key — candidates ∝ prefix
+    collisions, never N²; Levenshtein (O(len²) per pair) runs only
+    inside blocks, on bounded 48-char slices. Documents differing in
+    their first 12 chars are out of scope BY DESIGN (the standard
+    blocking trade-off; rotate block keys for higher recall)."""
+    from ..functions.text import norm_text
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring(norm_text(F.col("text")), 1, 48).alias("slice")
+    )
+    a = docs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("slice").alias("slice_a"),
+        F.substring("slice", 1, 12).alias("block"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("slice").alias("slice_b"),
+        F.substring("slice", 1, 12).alias("block"),
+    )
+    return (
+        a.join(b, "block")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .withColumn(
+            "edit_dist",
+            F.levenshtein(F.col("slice_a"), F.col("slice_b")).cast("bigint"),
+        )
+        .filter(F.col("edit_dist") <= 8)
+        .select("doc_a", "doc_b", "edit_dist")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _fuzzy_pairs_sql() -> str:
+    from ..functions.text import norm_text_sql
+
+    norm = norm_text_sql("text")
+    return f"""
+WITH sliced AS (
+  SELECT doc_id, substring({norm}, 1, 48) AS slice FROM documents
+),
+blocked AS (
+  SELECT doc_id, slice, substring(slice, 1, 12) AS block FROM sliced
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.slice, b.slice) AS BIGINT) AS edit_dist
+FROM blocked a JOIN blocked b USING (block)
+WHERE a.doc_id < b.doc_id
+  AND levenshtein(a.slice, b.slice) <= 8
+ORDER BY doc_a, doc_b
+"""
+
+
 def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup PAIRS → duplicate CLUSTERS: connected components over
     the MinHash-LSH pair graph (operators/components.py), cluster id =
@@ -102,6 +163,7 @@ QUERIES: dict[str, QuerySpec] = {
         dedup_minhash_q, minhash_lsh_pairs_sql(MINHASH_THRESHOLD)
     ),
     "dedup_simhash": QuerySpec(dedup_simhash_q, simhash_pairs_sql(SIMHASH_MAX_HAMMING)),
+    "dedup_fuzzy_pairs": QuerySpec(dedup_fuzzy_pairs_q, _fuzzy_pairs_sql()),
     "dedup_clusters": QuerySpec(
         dedup_clusters_q,
         f"""
