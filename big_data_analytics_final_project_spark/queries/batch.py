@@ -114,6 +114,55 @@ ORDER BY revenue DESC, p_brand
 """
 
 
+def pricing_summary_sparksql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pricing_summary through the engine's OTHER front door: a Spark
+    SQL string over registered views (`register_views`) instead of the
+    DataFrame API. Shares pricing_summary's oracle — both entries must
+    produce bit-identical results because they build the same Catalyst
+    plan (the unified-frontend claim, SURVEY.md §1.2, verified rather
+    than asserted)."""
+    from ..sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               sum_qty, sum_base_price, sum_disc_price, sum_charge,
+               count_order,
+               sum_qty / count_order AS avg_qty,
+               sum_base_price / count_order AS avg_price
+        FROM (
+          SELECT l_returnflag, l_linestatus,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+                 CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+                 CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+                 count(*) AS count_order
+          FROM lineitem
+          WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+          GROUP BY l_returnflag, l_linestatus
+        )
+        ORDER BY l_returnflag, l_linestatus
+    """)
+
+
+def revenue_by_brand_sparksql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """revenue_by_brand as Spark SQL with an explicit BROADCAST hint —
+    the SQL-dialect spelling of the DataFrame `broadcast(part)` call,
+    sharing the same oracle."""
+    from ..sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT /*+ BROADCAST(part) */ p_brand,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS units_sold,
+               count(DISTINCT l_orderkey) AS n_orders
+        FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+        ORDER BY revenue DESC, p_brand
+    """)
+
+
 def revenue_by_brand_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """revenue_by_brand through the salted-join path (operators/
     skew.py): fact salted on row identity, dim replicated per salt,
@@ -548,6 +597,12 @@ ORDER BY user_id
 
 QUERIES: dict[str, QuerySpec] = {
     "pricing_summary": QuerySpec(pricing_summary, PRICING_SUMMARY_SQL),
+    "pricing_summary_sparksql": QuerySpec(
+        pricing_summary_sparksql, PRICING_SUMMARY_SQL
+    ),
+    "revenue_by_brand_sparksql": QuerySpec(
+        revenue_by_brand_sparksql, REVENUE_BY_BRAND_SQL
+    ),
     "revenue_by_brand": QuerySpec(revenue_by_brand, REVENUE_BY_BRAND_SQL),
     "revenue_by_brand_salted": QuerySpec(
         revenue_by_brand_salted, REVENUE_BY_BRAND_SQL
