@@ -87,10 +87,11 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY {user_col} ORDER BY {order})
 ),
 numbered AS (
-  SELECT *, SUM(new_session) OVER (
+  -- CAST: DuckDB SUM(int) yields HUGEINT; Spark's running sum is BIGINT.
+  SELECT *, CAST(SUM(new_session) OVER (
     PARTITION BY {user_col} ORDER BY {order}
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-  ) AS session_seq
+  ) AS BIGINT) AS session_seq
   FROM flagged
 )
 SELECT {user_col}, session_seq,

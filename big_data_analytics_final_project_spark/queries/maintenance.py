@@ -33,9 +33,18 @@ from ..sources import load_table, read_csv_zone, read_json_zone_with_skips
 from . import QuerySpec
 
 
+# Scratch paths carry a per-process token in addition to the sf_dir
+# digest: two harness runs over the same sf_dir (the grading driver and
+# a local check_parity, say) must never write/delete/read each other's
+# zones mid-query.
+_RUN_TOKEN = f"{os.getpid():x}"
+
+
 def _scratch_zone(tag: str, sf_dir: str) -> str:
     digest = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    return os.path.join(tempfile.gettempdir(), f"bdafp_{tag}_{digest}")
+    return os.path.join(
+        tempfile.gettempdir(), f"bdafp_{tag}_{digest}_{_RUN_TOKEN}"
+    )
 
 
 def zone_roundtrip_daily(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -208,7 +208,7 @@ WITH sessions AS ({EVENTS_SESSIONIZED_SQL.replace(";", "")})
 SELECT user_id,
        count(*) AS n_sessions,
        {exact_sum_sql("duration_s", "total_duration_s")},
-       sum(n_events) AS total_events,
+       CAST(sum(n_events) AS BIGINT) AS total_events,
        CAST(sum(n_events) AS DOUBLE) / count(*) AS avg_events_per_session
 FROM sessions
 GROUP BY user_id

@@ -192,14 +192,20 @@ def upsert_zone(
     overwrite a path it is still reading from; staging to durable
     storage — instead of localCheckpoint's unreplicated executor
     blocks — survives executor loss mid-upsert, and its footprint is
-    bounded by the affected partitions, not the zone."""
-    from pyspark.errors.exceptions.captured import AnalysisException
+    bounded by the affected partitions, not the zone.
 
-    try:
-        existing = spark.read.parquet(path)
-    except AnalysisException:
+    First-write-vs-merge is decided by an explicit filesystem existence
+    probe, NOT by catching the read's AnalysisException: a zone that
+    exists but fails to read (corrupt footer, incompatible types) must
+    abort the upsert, because falling back to a fresh overwrite would
+    silently truncate the whole zone to this delta batch."""
+    jvm = spark._jvm
+    zone_path = jvm.org.apache.hadoop.fs.Path(path)
+    fs = zone_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(zone_path):
         write_zone(df, path, partition_by=partition_by)
         return
+    existing = spark.read.parquet(path)
     parts = df.select(*partition_by).distinct()
     affected = existing.join(F.broadcast(parts), partition_by, "left_semi")
     keep = affected.join(df.select(*key_cols).distinct(), key_cols, "left_anti")
@@ -208,10 +214,7 @@ def upsert_zone(
     write_zone(merged, staging, partition_by=partition_by)
     staged = spark.read.parquet(staging)
     write_zone(staged, path, partition_by=partition_by, dynamic_overwrite=True)
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(staging)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.delete(hpath, True)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
 
 
 def zorder_zone(

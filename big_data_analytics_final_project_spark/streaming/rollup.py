@@ -10,9 +10,13 @@ integrated_query_engagement_vs_spend.py) as one standing pipeline.
 
 Exactly-once across retries: foreachBatch is at-least-once — a crashed
 trigger re-delivers the SAME batch id with the SAME rows. Additive
-merges are not idempotent, so every hour row carries `last_batch_id`;
-a re-delivered batch (id ≤ the zone's high-water mark for every hour
-it touches) is skipped wholesale — its contribution is already in.
+merges are not idempotent, so every hour row carries `last_batch_id`,
+and the retry guard is PER HOUR, not per batch: only the hours whose
+zone row already records this batch id (or later) are skipped; hours
+the original attempt never applied — a crash midway through a
+dynamic overwrite spanning several day partitions, or hours that are
+brand-new in this batch — are still folded. A wholesale skip keyed on
+hours-already-present would drop those contributions forever.
 
 Scale shape:
 - The per-batch aggregate is micro-batch-sized; the merge reads ONLY
@@ -46,24 +50,30 @@ def fold_hourly_batch(batch_df: DataFrame, batch_id: int, zone: str) -> None:
     )
     if not partial.take(1):
         return
-    try:
-        existing = spark.read.parquet(zone)
-    except Exception:  # first batch: the zone does not exist yet
+    # Existence probe, not exception-catching: a zone that exists but
+    # fails to READ must abort, never degrade to a fresh first write.
+    jvm = spark._jvm
+    zone_path = jvm.org.apache.hadoop.fs.Path(zone)
+    fs = zone_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(zone_path):
         upsert_zone(
             spark, partial, zone, key_cols=["hour"], partition_by=["day"]
         )
         return
-    touched = existing.join(
-        F.broadcast(partial.select("hour")), "hour", "left_semi"
-    )
-    # Retry of an already-folded batch: every touched hour has already
-    # recorded this batch id (or later) — skip, the contribution is in.
-    if touched.take(1) and (
-        touched.agg(F.min("last_batch_id")).collect()[0][0] >= batch_id
-    ):
+    existing = spark.read.parquet(zone)
+    # Per-hour retry guard: an hour whose zone row already records this
+    # batch id (or later) has this batch's contribution folded in; every
+    # other hour of the batch — new hours, or hours a partially-applied
+    # earlier attempt missed — still needs folding.
+    covered = existing.filter(F.col("last_batch_id") >= batch_id).select("hour")
+    todo = partial.join(F.broadcast(covered), "hour", "left_anti")
+    if not todo.take(1):
         return
+    touched = existing.join(
+        F.broadcast(todo.select("hour")), "hour", "left_semi"
+    )
     merged = (
-        touched.unionByName(partial)
+        touched.unionByName(todo)
         .groupBy("hour", "day")
         .agg(
             F.sum("n_events").alias("n_events"),
