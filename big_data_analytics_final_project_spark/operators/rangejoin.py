@@ -56,8 +56,10 @@ def interval_join(
     hi_us = int(upper_s * 1_000_000)
     w = max(hi_us - lo_us, 1)
 
-    l_us = F.unix_micros(F.col(left_ts))
-    r_us = F.unix_micros(F.col(right_ts))
+    # cast: unix_micros rejects TIMESTAMP_NTZ inputs; no-op for
+    # TIMESTAMP, value-preserving for NTZ under the pinned-UTC session.
+    l_us = F.unix_micros(F.col(left_ts).cast("timestamp"))
+    r_us = F.unix_micros(F.col(right_ts).cast("timestamp"))
 
     lhs = left.withColumn("_l_us", l_us).withColumn(
         "_bucket",

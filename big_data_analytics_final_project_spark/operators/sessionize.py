@@ -42,7 +42,10 @@ def sessionize(
     w = Window.partitionBy(user_col).orderBy(*order)
     w_running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     flagged = (
-        events.withColumn("_ts_us", F.unix_micros(F.col(ts_col)))
+        # cast: unix_micros rejects TIMESTAMP_NTZ inputs; for TIMESTAMP
+        # the cast is a no-op, for NTZ it is value-preserving under the
+        # engine's pinned-UTC session (sources.load_table).
+        events.withColumn("_ts_us", F.unix_micros(F.col(ts_col).cast("timestamp")))
         .withColumn("_prev_us", F.lag("_ts_us").over(w))
         .withColumn(
             "_new_session",

@@ -46,7 +46,8 @@ def events_props_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_PROPS_PARSE_SQL = """
 SELECT event_type,
        count(*) AS n_events,
-       SUM(CAST(json_extract_string(props, 'k') AS INT)) AS sum_k,
+       -- CAST: DuckDB SUM(int) yields HUGEINT; Spark sum(int) is BIGINT
+       CAST(SUM(CAST(json_extract_string(props, 'k') AS INT)) AS BIGINT) AS sum_k,
        MIN(CAST(json_extract_string(props, 'k') AS INT)) AS min_k,
        MAX(CAST(json_extract_string(props, 'k') AS INT)) AS max_k
 FROM events
@@ -113,10 +114,16 @@ def nested_order_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast(DEC),
         lambda acc, x: acc + x["price"].cast(DEC),
     ).cast("double")
+    # part_keys is serialized (array_join), not emitted as a raw array:
+    # the driver's pandas canonicalization cannot sort/hash list cells
+    # ("unhashable type: list" — CORRECTNESS_r03), and a delimited
+    # string proves the same ARR-1 field-path extraction.
     return nested.select(
         "l_orderkey",
         F.size("items").alias("n_items"),
-        F.transform(F.col("items"), lambda x: x["pk"]).alias("part_keys"),
+        F.array_join(
+            F.transform(F.col("items"), lambda x: x["pk"]), ","
+        ).alias("part_keys"),
         total.alias("order_total"),
         F.array_max(F.transform(F.col("items"), lambda x: x["qty"])).alias("max_qty"),
     ).orderBy("l_orderkey")
@@ -134,7 +141,7 @@ WITH nested AS (
 )
 SELECT l_orderkey,
        len(items) AS n_items,
-       list_transform(items, x -> x.pk) AS part_keys,
+       array_to_string(list_transform(items, x -> x.pk), ',') AS part_keys,
        {dec2dbl_sql("list_aggregate(list_transform(items, x -> CAST(x.price AS DECIMAL(38,6))), 'sum')")}
          AS order_total,
        list_max(list_transform(items, x -> x.qty)) AS max_qty
@@ -178,7 +185,8 @@ carts AS (
   FROM per_part GROUP BY l_orderkey
 )
 SELECT l_orderkey,
-       cardinality(cart) AS n_distinct_parts,
+       -- CAST: DuckDB cardinality() yields UBIGINT; Spark size() is INT
+       CAST(cardinality(cart) AS INT) AS n_distinct_parts,
        list_min(map_keys(cart)) AS first_part,
        element_at(cart, list_min(map_keys(cart)))[1] AS first_part_qty
 FROM carts

@@ -41,22 +41,30 @@ BROADCASTABLE = {"region", "nation", "part", "customer", "supplier"}
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one zone; Catalyst prunes columns/filters.
 
-    The `events` zone stores TIMESTAMP(NANOS); Spark reads it as raw
-    nanos (`nanosAsLong`) and we convert to microsecond TimestampType
-    here with integer division — same truncation DuckDB applies, so
-    both engines see identical instants.
+    The `events` zone's `ts` physical type has varied across testdata
+    generations — TIMESTAMP(NANOS) (which Spark can only read as raw
+    nanos via `nanosAsLong`) and plain TIMESTAMP(MICROS) with no
+    timezone (which Spark reads as TIMESTAMP_NTZ). Normalize both to
+    microsecond TimestampType HERE so every downstream consumer
+    (`unix_micros`, window gaps, as-of joins) sees one type. The NTZ
+    cast is value-preserving because the session timezone is pinned
+    UTC — the same instant DuckDB's naive `epoch_us` computes.
 
-    The nanos conf is set at runtime HERE, not only in session.py:
-    callers (driver harnesses, notebooks) hand us arbitrary plain
-    SparkSessions, and `spark.sql.legacy.parquet.nanosAsLong` is
-    runtime-settable, so the read must not depend on how the session
-    was built.
+    Confs are set at runtime HERE, not only in session.py: callers
+    (driver harnesses, notebooks) hand us arbitrary plain
+    SparkSessions, and both confs are runtime-settable, so the read
+    must not depend on how the session was built.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
