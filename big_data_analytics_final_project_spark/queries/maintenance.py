@@ -18,8 +18,10 @@ merge cost is one day's footprint, not the zone's.
 
 from __future__ import annotations
 
+import atexit
 import hashlib
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -36,15 +38,30 @@ from . import QuerySpec
 # Scratch paths carry a per-process token in addition to the sf_dir
 # digest: two harness runs over the same sf_dir (the grading driver and
 # a local check_parity, say) must never write/delete/read each other's
-# zones mid-query.
+# zones mid-query. Zones cannot be deleted inside the query (the
+# returned DataFrame lazily reads them until the caller collects), so
+# cleanup is deferred to process exit — without it every harness run
+# leaks bdafp_* dirs into /tmp, and pid reuse could collide with a
+# crashed run's stale zone (the overwrite-mode first write handles the
+# collision; atexit handles the leak).
 _RUN_TOKEN = f"{os.getpid():x}"
+_SCRATCH_ZONES: set[str] = set()
+
+
+@atexit.register
+def _cleanup_scratch_zones() -> None:
+    for path in _SCRATCH_ZONES:
+        shutil.rmtree(path, ignore_errors=True)
+        shutil.rmtree(path + "__upsert_staging", ignore_errors=True)
 
 
 def _scratch_zone(tag: str, sf_dir: str) -> str:
     digest = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    return os.path.join(
+    path = os.path.join(
         tempfile.gettempdir(), f"bdafp_{tag}_{digest}_{_RUN_TOKEN}"
     )
+    _SCRATCH_ZONES.add(path)
+    return path
 
 
 def zone_roundtrip_daily(spark: SparkSession, sf_dir: str) -> DataFrame:

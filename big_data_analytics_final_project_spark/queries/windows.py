@@ -518,42 +518,75 @@ def concurrent_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     earliest ts attaining it is reported. Sessions count as active on
     the closed interval [start, end].
 
-    Scale: the sweep runs over SESSION boundaries (two rows per
-    session), already ~1000× smaller than the event log; the single
-    global running-sum window is the textbook case where the ordered
-    data is post-aggregation-small. The alternative — joining events
-    against time buckets — shuffles the raw log."""
+    Scale — a TWO-LEVEL sweep, not one global ordered window (which
+    would funnel every session boundary, billions at 100 TB, through a
+    single task):
+
+    1. bucket each delta by coarse time range (hour); within a bucket,
+       an ordinary partitioned running-sum window — parallel across
+       buckets, and (bucket, ts, kind) order equals (ts, kind) order
+       because the bucket is monotone in ts;
+    2. per-bucket totals (one row per hour) get the global prefix sum —
+       the only single-partition step, over thousands of rows however
+       big the log is — and are broadcast back as offsets;
+    3. global running value = bucket offset + local running sum; the
+       peak and its earliest ts come from ONE parallel
+       max(struct(conc, −ts)) aggregation (map-side partials), not a
+       second windowed pass or a join-back against the global max."""
     sess = events_sessionized(spark, sf_dir)
     # one row -> two delta rows via explode (NOT a union of two selects,
     # which would duplicate the whole sessionize subplan: one scan)
-    deltas = sess.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.col("session_start").alias("ts"),
-                    F.lit(0).alias("kind"),  # starts sort before ends
-                    F.lit(1).alias("delta"),
-                ),
-                F.struct(
-                    F.col("session_end").alias("ts"),
-                    F.lit(1).alias("kind"),
-                    F.lit(-1).alias("delta"),
-                ),
-            )
-        ).alias("d")
-    ).select("d.ts", "d.kind", "d.delta")
-    w = Window.orderBy("ts", "kind").rowsBetween(
+    deltas = (
+        sess.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("session_start").alias("ts"),
+                        F.lit(0).alias("kind"),  # starts sort before ends
+                        F.lit(1).alias("delta"),
+                    ),
+                    F.struct(
+                        F.col("session_end").alias("ts"),
+                        F.lit(1).alias("kind"),
+                        F.lit(-1).alias("delta"),
+                    ),
+                )
+            ).alias("d")
+        )
+        .select("d.ts", "d.kind", "d.delta")
+        .withColumn("_us", F.unix_micros(F.col("ts").cast("timestamp")))
+    )
+    bucket_us = 3600 * 1_000_000  # hourly sweep buckets
+    deltas = deltas.withColumn(
+        # exact floor division (pmod form survives pre-epoch timestamps)
+        "_bucket",
+        (
+            (F.col("_us") - F.pmod(F.col("_us"), F.lit(bucket_us))) / bucket_us
+        ).cast("long"),
+    )
+    w_local = Window.partitionBy("_bucket").orderBy("ts", "kind").rowsBetween(
         Window.unboundedPreceding, 0
     )
-    running = deltas.withColumn(
-        "conc", F.sum("delta").over(w).cast("bigint")
+    local = deltas.withColumn("_local", F.sum("delta").over(w_local))
+    totals = deltas.groupBy("_bucket").agg(F.sum("delta").alias("_btot"))
+    w_prefix = Window.orderBy("_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    peaked = running.withColumn(
-        "peak", F.max("conc").over(Window.partitionBy(F.lit(1)))
+    offsets = totals.select(
+        "_bucket",
+        F.coalesce(F.sum("_btot").over(w_prefix), F.lit(0)).alias("_offset"),
     )
-    return peaked.filter(F.col("conc") == F.col("peak")).agg(
-        F.max("conc").alias("peak_concurrency"),
-        F.min("ts").alias("first_peak_ts"),
+    running = local.join(F.broadcast(offsets), "_bucket").withColumn(
+        "conc", (F.col("_offset") + F.col("_local")).cast("bigint")
+    )
+    best = running.agg(
+        F.max(
+            F.struct(F.col("conc"), (-F.col("_us")).alias("_neg_us"))
+        ).alias("b")
+    )
+    return best.select(
+        F.col("b.conc").alias("peak_concurrency"),
+        F.timestamp_micros(-F.col("b._neg_us")).alias("first_peak_ts"),
     )
 
 

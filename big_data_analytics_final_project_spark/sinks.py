@@ -172,6 +172,22 @@ def compact_zone(
     return num_files
 
 
+def _has_committed_files(fs, zone_path) -> bool:
+    """True iff the zone holds committed data: a _SUCCESS marker or any
+    *.parquet file not under a _temporary/ attempt directory (failed
+    writes leave task-attempt parquet files there — those are debris,
+    not data)."""
+    it = fs.listFiles(zone_path, True)
+    while it.hasNext():
+        p = it.next().getPath()
+        name = p.getName()
+        if "_temporary" in str(p.toUri().getPath()).split("/"):
+            continue
+        if name == "_SUCCESS" or name.endswith(".parquet"):
+            return True
+    return False
+
+
 def upsert_zone(
     spark,
     df: DataFrame,
@@ -194,15 +210,19 @@ def upsert_zone(
     blocks — survives executor loss mid-upsert, and its footprint is
     bounded by the affected partitions, not the zone.
 
-    First-write-vs-merge is decided by an explicit filesystem existence
-    probe, NOT by catching the read's AnalysisException: a zone that
-    exists but fails to read (corrupt footer, incompatible types) must
-    abort the upsert, because falling back to a fresh overwrite would
-    silently truncate the whole zone to this delta batch."""
+    First-write-vs-merge is decided by probing for COMMITTED data
+    files (*.parquet outside _temporary/, or a _SUCCESS marker), NOT by
+    catching the read's AnalysisException and NOT by bare
+    `fs.exists`: a crashed first write can leave the zone directory
+    existing but holding only _temporary/ debris — that must degrade
+    to a fresh first write (self-heal), while a zone with real data
+    files that fails to read (corrupt footer, incompatible types) must
+    abort, because falling back to overwrite would silently truncate
+    the whole zone to this delta batch."""
     jvm = spark._jvm
     zone_path = jvm.org.apache.hadoop.fs.Path(path)
     fs = zone_path.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(zone_path):
+    if not fs.exists(zone_path) or not _has_committed_files(fs, zone_path):
         write_zone(df, path, partition_by=partition_by)
         return
     existing = spark.read.parquet(path)

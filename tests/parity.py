@@ -23,6 +23,11 @@ def _canon(v, tol: float):
     if isinstance(v, int):
         return ("int", v)
     if isinstance(v, Decimal):
+        if tol > 0:
+            # mirror the float branch: tolerance-based comparisons
+            # quantize Decimals the same way (the "dec" tag still keeps
+            # them from comparing equal to a float column).
+            return ("dec", round(float(v) / tol) * tol)
         return ("dec", v.normalize())
     if isinstance(v, float):
         if math.isnan(v):

@@ -120,6 +120,22 @@ def test_rolling_range_frame_single_shuffle(spark):
     assert count_shuffles(df) <= 2
 
 
+def test_peak_sweep_never_globally_windows_deltas(spark):
+    """The concurrency sweep is two-level: session-boundary rows only
+    ever meet a window PARTITIONED by time bucket; the sole
+    unpartitioned (single-task) window runs over the per-bucket totals
+    (one row per hour). An unpartitioned windowspec lists its first
+    ORDER column immediately, so any spec opening with a non-bucket
+    ordered column is a single-task sweep regression."""
+    plan = physical_plan(_df(spark, "concurrent_sessions_peak"))
+    import re
+
+    unpartitioned = re.findall(
+        r"windowspecdefinition\((\w+)#\d+L? ASC", plan
+    )
+    assert unpartitioned and set(unpartitioned) == {"_bucket"}, unpartitioned
+
+
 def test_salted_agg_two_stages_only(spark):
     """The skew path pays exactly one extra exchange over the plain
     aggregation ((key, salt) stage + key merge + output sort) — if

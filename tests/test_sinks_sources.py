@@ -341,6 +341,27 @@ def test_upsert_zone_first_write(spark, tmp_root):
     assert not os.path.exists(f"{zone}__upsert_staging")
 
 
+def test_upsert_zone_self_heals_crashed_first_write(spark, tmp_root):
+    """A zone directory left by a crashed first write (exists, but holds
+    only _temporary/ debris — including task-attempt parquet files — and
+    no committed data) must degrade to a fresh first write, not wedge
+    the upsert on an unreadable read."""
+    import os
+
+    zone = f"{tmp_root}/upsert_crashed"
+    debris = f"{zone}/_temporary/0/task_0/part-00000.parquet"
+    os.makedirs(os.path.dirname(debris))
+    with open(debris, "wb") as f:
+        f.write(b"not a real footer")
+    df = (
+        spark.range(10)
+        .withColumn("p", (F.col("id") % 2).cast("int"))
+        .withColumn("v", F.lit(1))
+    )
+    upsert_zone(spark, df, zone, key_cols=["id"], partition_by=["p"])
+    assert spark.read.parquet(zone).count() == 10
+
+
 def test_zorder_zone_prunes_both_dimensions(spark, tmp_root):
     """Morton clustering must let file-level min/max stats prune scans
     on EITHER z-order column; a linear sort only prunes its leading
