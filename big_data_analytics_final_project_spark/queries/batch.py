@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ..functions.numeric import exact_sum, exact_sum_sql
 from ..operators.pairs import copurchase_pairs, copurchase_pairs_hof
+from ..operators.ranks import with_global_ntile
 from ..sources import load_table
 from . import QuerySpec
 
@@ -205,17 +206,25 @@ def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntile buckets, one summary row per decile — the distribution view
     behind 'top 10% of customers drive X% of revenue'.
 
-    Scale: the decile assignment windows over CUSTOMER aggregates
-    (post-shuffle small), not raw orders; a unique tiebreak key makes
-    ntile's total order — and therefore every bucket — deterministic."""
+    Scale: customer aggregates are "post-shuffle small" but still
+    10^8+ rows at 100 TB, so the decile assignment uses the
+    distributed two-level ntile (operators/ranks.py) — bit-identical
+    to `ntile(10) OVER (ORDER BY ...)` without funnelling every
+    customer through one ranking task. A unique tiebreak key
+    (o_custkey) makes the total order — and every bucket —
+    deterministic."""
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         exact_sum("o_totalprice", "total_spent")
     )
-    w = Window.orderBy(F.col("total_spent").desc(), F.col("o_custkey"))
+    tiled = with_global_ntile(
+        per_cust,
+        10,
+        [F.col("total_spent").desc(), F.col("o_custkey")],
+        out_col="decile",
+    )
     return (
-        per_cust.withColumn("decile", F.ntile(10).over(w))
-        .groupBy("decile")
+        tiled.groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
             exact_sum("total_spent", "decile_spend"),

@@ -252,28 +252,32 @@ def zorder_zone(
     100 TB.
 
     Mechanics: each column is normalized to a `bits`-wide integer via
-    `percent_rank` (rank, not raw value — skewed distributions still
-    spread uniformly across the curve), the bit planes are interleaved
-    into one Morton key, and the frame is range-partitioned + sorted
-    on that key. A filter on any single dimension then touches
+    its exact global rank (rank, not raw value — skewed distributions
+    still spread uniformly across the curve), the bit planes are
+    interleaved into one Morton key, and the frame is range-partitioned
+    + sorted on that key. A filter on any single dimension then touches
     ~N^((d-1)/d) of the files instead of all of them; a plain sort
     prunes only its leading column.
 
-    The rank windows are per-column global windows — at 100 TB swap
-    `percent_rank` for a sampled quantile discretizer (approx bins);
-    the interleave and layout stay identical. Deterministic ties via
-    the full row ordering inside percent_rank's orderBy."""
-    from pyspark.sql import Window
+    The per-column ranks come from the distributed two-level
+    row-number (operators/ranks.py) — one partitioned ranking pass per
+    z column, never a single-task global window over the zone being
+    laid out (the write path sees the FULL 100 TB frame, where an
+    unpartitioned `percent_rank` window would be the slowest task in
+    the job)."""
+    from .operators.ranks import with_global_row_number
 
+    n_rows = df.count()
     zcols = []
     work = df
     for i, c in enumerate(zorder_by):
         q = f"_z_{i}"
-        w = Window.orderBy(F.col(c))
+        work = with_global_row_number(work, [F.col(c)], out_col=q)
         work = work.withColumn(
             q,
             F.least(
-                (F.percent_rank().over(w) * (1 << bits)).cast("bigint"),
+                (((F.col(q) - 1) * (1 << bits)) / F.lit(max(n_rows, 1)))
+                .cast("bigint"),
                 F.lit((1 << bits) - 1),
             ),
         )

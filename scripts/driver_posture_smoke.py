@@ -42,9 +42,12 @@ def main(argv: list[str]) -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    from pyspark.sql import types as T
+
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
     failures: list[str] = []
     for name, fn in sorted(qs.items()):
         if only and name not in only:
@@ -52,6 +55,24 @@ def main(argv: list[str]) -> int:
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
+            # Oracle-graded output must stay pandas-hashable: the
+            # driver's canonicalization sorts result columns, and a raw
+            # array/map/struct cell kills it with "unhashable type"
+            # (round-3 `nested_order_items`). Serialize such columns
+            # (array_join / to_json) before returning them.
+            if name in oracles:
+                bad = [
+                    f.name
+                    for f in df.schema.fields
+                    if isinstance(
+                        f.dataType, (T.ArrayType, T.MapType, T.StructType)
+                    )
+                ]
+                if bad:
+                    raise TypeError(
+                        f"driver-unhashable output columns {bad} in an "
+                        "oracle-graded query"
+                    )
             df.limit(5).collect()
             print(f"OK    {name} ({time.time() - t0:.1f}s)", flush=True)
         except Exception as exc:  # noqa: BLE001 — report every query

@@ -341,6 +341,48 @@ def test_upsert_zone_first_write(spark, tmp_root):
     assert not os.path.exists(f"{zone}__upsert_staging")
 
 
+def test_load_table_normalizes_every_ts_layout(spark, tmp_root):
+    """The events zone's physical `ts` type has shifted across testdata
+    generations — TIMESTAMP(NANOS) (readable only as raw int64 nanos)
+    and timezone-less TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ, which
+    `unix_micros` rejects: the round-3 breaker). load_table must hand
+    every consumer plain TimestampType with identical UTC instants
+    regardless of layout."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_analytics_final_project_spark.operators.sessionize import (
+        sessionize,
+    )
+
+    micros = [1_700_000_000_000_000, 1_700_000_004_000_000]
+    layouts = {
+        "ntz_us": pa.array(micros, type=pa.timestamp("us")),
+        "nanos": pa.array([m * 1000 for m in micros], type=pa.timestamp("ns")),
+        "tz_us": pa.array(micros, type=pa.timestamp("us", tz="UTC")),
+    }
+    for tag, ts_arr in layouts.items():
+        zone = f"{tmp_root}/layout_{tag}"
+        os.makedirs(zone, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([1, 2], type=pa.int64()),
+                    "ts": ts_arr,
+                    "user_id": pa.array([7, 7], type=pa.int64()),
+                }
+            ),
+            f"{zone}/events.parquet",
+        )
+        df = load_table(spark, zone, "events")
+        assert dict(df.dtypes)["ts"] == "timestamp", (tag, df.dtypes)
+        sessions = sessionize(df, gap_seconds=1).collect()
+        assert len(sessions) == 2, (tag, sessions)  # 4s gap > 1s splits
+        assert sessions[0]["session_start"].timestamp() == 1_700_000_000.0, tag
+
+
 def test_upsert_zone_self_heals_crashed_first_write(spark, tmp_root):
     """A zone directory left by a crashed first write (exists, but holds
     only _temporary/ debris — including task-attempt parquet files — and
