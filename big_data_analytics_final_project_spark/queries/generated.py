@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.numeric import exact_sum, exact_sum_sql, guarded_div
+from ..functions.numeric import DEC, exact_sum, exact_sum_sql, guarded_div
 from ..generator import (
     gen_products,
     gen_sessions,
@@ -79,13 +79,20 @@ def gen_revenue_by_category(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("item.quantity").alias("quantity"),
         F.col("item.subtotal").alias("item_subtotal"),
     )
+    # two-phase distinct (pre-aggregate per transaction, then roll up)
+    # — same Expand-avoiding shape as revenue_by_brand
     return (
         items.join(F.broadcast(p), "product_id", "left")
+        .groupBy("category_id", "transaction_id")
+        .agg(
+            F.sum(F.col("item_subtotal").cast(DEC)).alias("_rev"),
+            F.sum("quantity").alias("_qty"),
+        )
         .groupBy("category_id")
         .agg(
-            exact_sum("item_subtotal", "revenue"),
-            F.sum("quantity").cast("bigint").alias("units_sold"),
-            F.countDistinct("transaction_id").alias("n_orders"),
+            F.sum("_rev").cast("double").alias("revenue"),
+            F.sum("_qty").cast("bigint").alias("units_sold"),
+            F.count(F.lit(1)).alias("n_orders"),
         )
         .orderBy(F.col("revenue").desc(), "category_id")
     )

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from pyspark.sql import types as T
 
-from ..functions.numeric import exact_sum
+from ..functions.numeric import DEC, exact_sum
 from ..sinks import upsert_zone, write_report_csv, write_zone
 from ..sources import load_table, read_csv_zone, read_json_zone_with_skips
 from . import QuerySpec
@@ -97,12 +97,20 @@ def zone_roundtrip_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         partition_by=["day"],
     )
     back = spark.read.parquet(zone)
+    # two-phase distinct (pre-aggregate per (day, user), then roll up):
+    # avoids the Expand plan that doubles every event row through the
+    # shuffle when countDistinct mixes with sums — see revenue_by_brand
     return (
-        back.groupBy("day")
+        back.groupBy("day", "user_id")
         .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.countDistinct("user_id").alias("n_users"),
-            exact_sum("value", "sum_value"),
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col("value").cast(DEC)).alias("_v"),
+        )
+        .groupBy("day")
+        .agg(
+            F.sum("_n").alias("n_events"),
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("_v").cast("double").alias("sum_value"),
         )
         .orderBy("day")
     )
