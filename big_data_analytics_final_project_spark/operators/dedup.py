@@ -131,7 +131,13 @@ def jaccard_pairs(
         if use_shingles
         else _word_sets(docs, text_col, id_col)
     )
-    inv = sets.select("doc_id", F.explode("terms").alias("term"))
+    inv = sets.select(
+        "doc_id",
+        # set size rides along from the pre-explode array — saves a
+        # second (count-over-doc) window pass on the inverted index
+        F.size("terms").alias("sz"),
+        F.explode("terms").alias("term"),
+    )
     if threshold > 0:
         from pyspark.sql import Window
 
@@ -144,7 +150,6 @@ def jaccard_pairs(
                     Window.partitionBy("doc_id").orderBy("df", "term")
                 ),
             )
-            .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
             .filter(
                 F.col("rn") <= F.floor((1.0 - threshold) * F.col("sz")) + F.lit(2)
             )
