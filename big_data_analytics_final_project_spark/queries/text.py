@@ -265,6 +265,147 @@ ORDER BY doc_id
 """
 
 
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition metrics — the C4/Gopher-style quality filters that
+    drop boilerplate-heavy documents before training: duplicate-line
+    fraction, duplicate-token fraction, and the share of all bigrams
+    taken by the single most frequent bigram.
+
+    All per-row array work (split → distinct → HOF counting) inside
+    codegen and embarrassingly parallel at corpus scale. The top-bigram
+    count is an O(n log n) sort + ONE aggregate() pass over adjacent
+    runs — NOT the tempting `transform(distinct, d -> count(filter))`
+    nesting, which re-inlines the whole bigram-build expression inside
+    the inner lambda (Catalyst does no CSE across lambda boundaries)
+    and degrades to cubic per row (measured: 122s for 500 docs). The
+    bigram build guards n<2 explicitly — Spark's sequence(1, 0) would
+    helpfully count DOWN."""
+    docs = load_table(spark, sf_dir, "documents")
+    lines = F.split(F.col("text"), "\n")
+    toks = tokens(F.col("text"))
+    n_l = F.size(lines)
+    n_t = F.size(toks)
+    bigrams = F.when(
+        n_t >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n_t - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_b = F.size(bigrams)
+    # longest run of equal adjacent elements in the sorted list == max
+    # bigram frequency; accumulator: (prev element, current run, best).
+    # init prev="" can never match a real bigram (tokens are non-empty).
+    def _run(a, x):
+        return F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1))
+
+    top_bigram = F.aggregate(
+        F.array_sort(bigrams),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            _run(a, x).alias("run"),
+            F.greatest(a["best"], _run(a, x)).alias("best"),
+        ),
+        lambda a: a["best"],
+    )
+    frac = lambda num, den: F.when(  # noqa: E731 — local twice-used guard
+        den > 0, num.cast("double") / den
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        "doc_id",
+        n_l.alias("n_lines"),
+        frac(n_l - F.size(F.array_distinct(lines)), n_l).alias("dup_line_frac"),
+        frac(n_t - F.size(F.array_distinct(toks)), n_t).alias("dup_token_frac"),
+        frac(top_bigram, n_b).alias("top_bigram_frac"),
+    ).orderBy("doc_id")
+
+
+DOC_REPETITION_STATS_SQL = f"""
+WITH arr AS (
+  SELECT doc_id,
+         string_split(text, chr(10)) AS lines,
+         {_TOKS} AS t
+  FROM documents
+),
+big AS (
+  SELECT doc_id, lines, t,
+         CASE WHEN len(t) >= 2 THEN
+           list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+         ELSE [] END AS g
+  FROM arr
+)
+SELECT doc_id,
+       len(lines) AS n_lines,
+       CASE WHEN len(lines) > 0 THEN
+         CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines)
+       ELSE 0.0 END AS dup_line_frac,
+       CASE WHEN len(t) > 0 THEN
+         CAST(len(t) - len(list_distinct(t)) AS DOUBLE) / len(t)
+       ELSE 0.0 END AS dup_token_frac,
+       CASE WHEN len(g) > 0 THEN
+         CAST(COALESCE(list_max(list_transform(list_distinct(g),
+                d -> len(list_filter(g, x -> x = d)))), 0) AS DOUBLE) / len(g)
+       ELSE 0.0 END AS top_bigram_frac
+FROM big
+ORDER BY doc_id
+"""
+
+
+# PII patterns written to the RE2 ∩ Java common subset (no lookaround,
+# explicit character classes) so Spark and DuckDB redact identically;
+# text is lowered first so case classes cannot diverge. The SQL twin is
+# derived from these same literals.
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_LONGNUM_RE = r"[0-9]{7,}"
+
+
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction pass a training-data pipeline runs
+    before anything else: emails and long digit runs replaced by
+    placeholder tokens, with per-doc match counts for audit and the
+    scrubbed text fingerprinted (md5) rather than re-emitted.
+
+    Redaction order matters (emails contain digits): emails first,
+    then long numbers — both engines apply the same order."""
+    docs = load_table(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(low, _EMAIL_RE, "<EMAIL>"), _LONGNUM_RE, "<NUM>"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(low, F.lit(_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(low, F.lit(_LONGNUM_RE), 0)).alias(
+            "n_long_numbers"
+        ),
+        F.length(scrubbed).alias("n_chars_scrubbed"),
+        F.md5(scrubbed).alias("scrubbed_fp"),
+    ).orderBy("doc_id")
+
+
+DOC_PII_SCRUB_SQL = f"""
+WITH low AS (SELECT doc_id, lower(text) AS t FROM documents),
+scrub AS (
+  SELECT doc_id, t,
+         regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                        '{_LONGNUM_RE}', '<NUM>', 'g') AS s
+  FROM low
+)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(t, '{_LONGNUM_RE}')) AS n_long_numbers,
+       length(s) AS n_chars_scrubbed,
+       md5(s) AS scrubbed_fp
+FROM scrub
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "doc_token_stats": QuerySpec(doc_token_stats, DOC_TOKEN_STATS_SQL),
     "doc_sample_stratified": QuerySpec(
@@ -276,4 +417,8 @@ QUERIES: dict[str, QuerySpec] = {
     "doc_bpe_token_stats": QuerySpec(
         doc_bpe_token_stats, DOC_BPE_TOKEN_STATS_SQL
     ),
+    "doc_repetition_stats": QuerySpec(
+        doc_repetition_stats, DOC_REPETITION_STATS_SQL
+    ),
+    "doc_pii_scrub": QuerySpec(doc_pii_scrub, DOC_PII_SCRUB_SQL),
 }

@@ -96,6 +96,8 @@ def test_text_queries_scan_once_no_shuffle(spark):
         "doc_quality_score",
         "doc_lang_id",
         "doc_bpe_token_stats",
+        "doc_repetition_stats",
+        "doc_pii_scrub",
     ):
         df = _df(spark, name)
         assert count_shuffles(df) <= 1, name  # the ORDER BY only
