@@ -52,6 +52,8 @@ GRADING_PRIORITY: tuple[str, ...] = (
     "nested_order_items",
     "order_cart_map",
     "zone_roundtrip_daily",
+    "gen_revenue_by_category",
+    "embedding_kmeans",
     # -- not graded by the driver since r2: spark.sql front door +
     #    salting twins (share their plain forms' oracles)
     "pricing_summary_sparksql",
@@ -96,8 +98,6 @@ GRADING_PRIORITY: tuple[str, ...] = (
     "top_customers_top5",
     "product_popularity",
     "order_item_stats",
-    "user_engagement",
-    "user_spend",
     "engagement_vs_spend",
     "dedup_jaccard_pairs",
     "dedup_minhash_lsh",

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..operators.kmeans import kmeans_assign, kmeans_assign_sql
 from ..operators.similarity import (
     ann_hyperplane_lsh,
     ann_hyperplane_lsh_sql,
@@ -54,5 +55,14 @@ QUERIES: dict[str, QuerySpec] = {
             load_table(spark, sf_dir, "embeddings"), threshold=_NEAR_DUP_T
         ),
         embedding_near_dup_sql(_NEAR_DUP_T),
+    ),
+    # iterative Lloyd's k-means, deterministic end-to-end — the trained
+    # upgrade of ann_ivf's first-k codebook, and the semantic-bucketing
+    # op itself (operators/kmeans.py)
+    "embedding_kmeans": QuerySpec(
+        lambda spark, sf_dir: kmeans_assign(
+            load_table(spark, sf_dir, "embeddings"), n_clusters=8, n_iters=3
+        ),
+        kmeans_assign_sql(n_clusters=8, n_iters=3),
     ),
 }
