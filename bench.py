@@ -44,7 +44,9 @@ HEADLINE = [
     "dedup_jaccard_pairs",
     "knn_bruteforce",
     "ann_ivf",
+    "embedding_kmeans",
     "doc_quality_score",
+    "doc_repetition_stats",
     # events-family heavyweights, benched under the repo session since
     # round 2 (round 1 hid an events-session bug from the driver;
     # keeping them here makes regressions visible round-over-round)

@@ -277,24 +277,42 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs — NOT the tempting `transform(distinct, d -> count(filter))`
     nesting, which re-inlines the whole bigram-build expression inside
     the inner lambda (Catalyst does no CSE across lambda boundaries)
-    and degrades to cubic per row (measured: 122s for 500 docs). The
-    bigram build guards n<2 explicitly — Spark's sequence(1, 0) would
-    helpfully count DOWN."""
+    and degrades to cubic per row (measured: 122s for 500 docs).
+
+    Staging discipline (the same rule shingles3_from_tokens documents):
+    tokenization and the bigram build are materialized as PROJECTION
+    ALIASES before anything references them — a lambda that touches a
+    computed expression (element_at(tokens(text), i)) re-tokenizes the
+    whole document per element (measured: 65s at sf0.1; staged: ~2s).
+    The bigram build guards n<2 explicitly — Spark's sequence(1, 0)
+    would helpfully count DOWN."""
     docs = load_table(spark, sf_dir, "documents")
-    lines = F.split(F.col("text"), "\n")
-    toks = tokens(F.col("text"))
-    n_l = F.size(lines)
-    n_t = F.size(toks)
-    bigrams = F.when(
-        n_t >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n_t - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+    staged = docs.select(
+        "doc_id",
+        F.split(F.col("text"), "\n").alias("lines"),
+        tokens(F.col("text")).alias("toks"),
+    )
+    n_t = F.size(F.col("toks"))
+    with_bigrams = staged.select(
+        "doc_id",
+        "lines",
+        "toks",
+        F.when(
+            n_t >= 2,
+            F.transform(
+                F.sequence(F.lit(1), n_t - 1),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("toks"), i),
+                    F.element_at(F.col("toks"), i + 1),
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    n_b = F.size(bigrams)
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("bigrams"),
+    )
+    n_l = F.size(F.col("lines"))
+    n_b = F.size(F.col("bigrams"))
     # longest run of equal adjacent elements in the sorted list == max
     # bigram frequency; accumulator: (prev element, current run, best).
     # init prev="" can never match a real bigram (tokens are non-empty).
@@ -302,7 +320,7 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1))
 
     top_bigram = F.aggregate(
-        F.array_sort(bigrams),
+        F.array_sort(F.col("bigrams")),
         F.struct(
             F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
         ),
@@ -316,11 +334,15 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     frac = lambda num, den: F.when(  # noqa: E731 — local twice-used guard
         den > 0, num.cast("double") / den
     ).otherwise(F.lit(0.0))
-    return docs.select(
+    return with_bigrams.select(
         "doc_id",
         n_l.alias("n_lines"),
-        frac(n_l - F.size(F.array_distinct(lines)), n_l).alias("dup_line_frac"),
-        frac(n_t - F.size(F.array_distinct(toks)), n_t).alias("dup_token_frac"),
+        frac(n_l - F.size(F.array_distinct(F.col("lines"))), n_l).alias(
+            "dup_line_frac"
+        ),
+        frac(n_t - F.size(F.array_distinct(F.col("toks"))), n_t).alias(
+            "dup_token_frac"
+        ),
         frac(top_bigram, n_b).alias("top_bigram_frac"),
     ).orderBy("doc_id")
 
