@@ -94,16 +94,16 @@ def main() -> int:
     else:
         spark.range(1).count()
 
-    # Two timed runs per query, report the min: the faster run is the
-    # one least disturbed by unrelated load on the box (standard
-    # practice; the queries are deterministic so both runs do the same
-    # work). Fault-isolated: one broken query must never zero the whole
-    # round's perf signal (round 3 lost its entire bench to a single
-    # AnalysisException) — failures are reported in the JSON, the rest
-    # keep their timings.
+    # Three timed runs per query, report the min: the fastest run is
+    # the one least disturbed by unrelated load on the box (observed
+    # run-to-run noise on shared VMs exceeds 40%; the queries are
+    # deterministic so every run does the same work). Fault-isolated:
+    # one broken query must never zero the whole round's perf signal
+    # (round 3 lost its entire bench to a single AnalysisException) —
+    # failures are reported in the JSON, the rest keep their timings.
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for _ in range(2):
+    for _ in range(3):
         for name in names:
             if name in errors:
                 continue

@@ -101,46 +101,57 @@ def kmeans_assign(
         F.col(id_col).alias("_id"),
         F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("_v"),
     )
-    seeds = (
-        base.orderBy(F.md5(F.col("_id").cast("string")), "_id")
-        .limit(n_clusters)
-        .collect()
-    )
-    centroids = [(i, list(r["_v"])) for i, r in enumerate(seeds)]
-    for _ in range(n_iters):
-        assigned = _assign(base, centroids)
+    # persist across the training jobs (seed collect + one update job
+    # per round) — the MLlib iteration pattern; at 100 TB this is the
+    # difference between one scan and n_iters+1 scans of the corpus.
+    # Released before returning: the lazily-evaluated final assignment
+    # recomputes from the source, so nothing leaks past the call.
+    base = base.persist()
+    try:
+        seeds = (
+            base.orderBy(F.md5(F.col("_id").cast("string")), "_id")
+            .limit(n_clusters)
+            .collect()
+        )
+        centroids = [(i, list(r["_v"])) for i, r in enumerate(seeds)]
         # quantize in double arithmetic (engine-portable bits), sum
         # exactly as integer decimals; the resulting sums stay < 2^53
         # at oracle scales, so the double cast is exact on both engines
         fixed = F.floor(F.col("x") * F.lit(1.0e9) + F.lit(0.5)).cast(
             "decimal(38,0)"
         )
-        comps = (
-            assigned.select("cluster", F.posexplode("_v").alias("dim", "x"))
-            .groupBy("cluster", "dim")
-            .agg(
-                F.sum(fixed).cast("double").alias("s"),
-                F.count(F.lit(1)).alias("n"),
+        for _ in range(n_iters):
+            assigned = _assign(base, centroids)
+            comps = (
+                assigned.select(
+                    "cluster", F.posexplode("_v").alias("dim", "x")
+                )
+                .groupBy("cluster", "dim")
+                .agg(
+                    F.sum(fixed).cast("double").alias("s"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .select(
+                    "cluster",
+                    "dim",
+                    (
+                        F.col("s") / (F.lit(1.0e9) * F.col("n").cast("double"))
+                    ).alias("comp"),
+                )
+                .collect()
             )
-            .select(
-                "cluster",
-                "dim",
+            new: dict[int, dict[int, float]] = {}
+            for r in comps:
+                new.setdefault(r["cluster"], {})[r["dim"]] = r["comp"]
+            centroids = [
                 (
-                    F.col("s") / (F.lit(1.0e9) * F.col("n").cast("double"))
-                ).alias("comp"),
-            )
-            .collect()
-        )
-        new: dict[int, dict[int, float]] = {}
-        for r in comps:
-            new.setdefault(r["cluster"], {})[r["dim"]] = r["comp"]
-        centroids = [
-            (
-                cid,
-                [v[d] for d in sorted(v)] if (v := new.get(cid)) else old,
-            )
-            for cid, old in centroids
-        ]
+                    cid,
+                    [v[d] for d in sorted(v)] if (v := new.get(cid)) else old,
+                )
+                for cid, old in centroids
+            ]
+    finally:
+        base.unpersist()
     return (
         _assign(base, centroids)
         .select(
