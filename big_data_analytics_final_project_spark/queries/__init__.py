@@ -110,6 +110,7 @@ GRADING_PRIORITY: tuple[str, ...] = (
 def all_queries() -> dict[str, QuerySpec]:
     from . import (
         batch,
+        curation,
         dedup,
         generated,
         integrated,
@@ -133,6 +134,7 @@ def all_queries() -> dict[str, QuerySpec]:
         json_nested,
         generated,
         maintenance,
+        curation,
     ):
         for name, spec in mod.QUERIES.items():
             if name in merged:
