@@ -53,7 +53,11 @@ GRADING_PRIORITY: tuple[str, ...] = (
     "order_cart_map",
     "zone_roundtrip_daily",
     "gen_revenue_by_category",
+    # -- new this round: first-ever driver rows
     "embedding_kmeans",
+    "corpus_curation_report",
+    "doc_repetition_stats",
+    "doc_pii_scrub",
     # -- not graded by the driver since r2: spark.sql front door +
     #    salting twins (share their plain forms' oracles)
     "pricing_summary_sparksql",
@@ -95,9 +99,6 @@ GRADING_PRIORITY: tuple[str, ...] = (
     "also_bought_pairs",
     "pairs_via_hof",
     "top_spenders",
-    "top_customers_top5",
-    "product_popularity",
-    "order_item_stats",
     "engagement_vs_spend",
     "dedup_jaccard_pairs",
     "dedup_minhash_lsh",
