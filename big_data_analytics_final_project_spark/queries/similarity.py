@@ -20,6 +20,10 @@ from ..sources import load_table
 from . import QuerySpec
 
 _N_QUERIES = 5  # vec_id < 5 are the query vectors
+_RP_IN_DIMS = 64  # embeddings zone vector width (zip_with pads a
+# mismatched weight row with nulls and the whole fold goes NULL — the
+# oracle catches exactly this)
+_RP_OUT_DIMS = 6
 _K_EXACT = 5
 _K_ANN = 3
 # the corpus has no planted duplicates (max pairwise cosine ≈ 0.48);
@@ -40,6 +44,77 @@ def ann_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return ann_ivf(emb, lambda c: c < _N_QUERIES, k=_K_ANN)
+
+
+def _rp_weights(out_dims: int, in_dims: int) -> list[list[float]]:
+    """±1 Achlioptas-style projection matrix from md5 parity — the same
+    deterministic derivation the hyperplane LSH uses, so both engines
+    (and every rerun) share one matrix without shipping RNG state."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"rp:{j}:{d}".encode()).hexdigest(), 16) % 2 == 0
+            else -1.0
+            for d in range(in_dims)
+        ]
+        for j in range(out_dims)
+    ]
+
+
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction: project the
+    embedding column onto `_RP_OUT_DIMS` fixed ±1 hyperplanes — the
+    cheap dense preprocessing before ANN indexing or k-means at scale
+    (distances preserved within JL distortion at a fraction of the
+    width).
+
+    Scale: map-only — one in-order fold per output dim against literal
+    weights, no shuffle, no UDF; output columns are scalars (p0..p5)
+    so the result stays driver-hashable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from pyspark.sql import functions as F
+
+    v = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    base = emb.select("vec_id", "label", v.alias("_v"))
+    weights = _rp_weights(_RP_OUT_DIMS, _RP_IN_DIMS)
+    projs = [
+        F.aggregate(
+            F.zip_with(
+                F.col("_v"),
+                F.array(*[F.lit(w) for w in row]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias(f"p{j}")
+        for j, row in enumerate(weights)
+    ]
+    return base.select("vec_id", "label", *projs).orderBy("vec_id")
+
+
+def embedding_random_projection_sql() -> str:
+    weights = _rp_weights(_RP_OUT_DIMS, _RP_IN_DIMS)
+    cols = []
+    for j, row in enumerate(weights):
+        lit = "[" + ", ".join(f"{w:.1f}" for w in row) + "]"
+        cols.append(
+            "list_aggregate(list_transform(range(1, len(_v) + 1), "
+            f"i -> _v[i] * ({lit})[i]), 'sum') AS p{j}"
+        )
+    cols_sql = ",\n       ".join(cols)
+    return f"""
+WITH base AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS _v
+  FROM embeddings
+)
+SELECT vec_id, label,
+       {cols_sql}
+FROM base
+ORDER BY vec_id
+"""
 
 
 QUERIES: dict[str, QuerySpec] = {
@@ -64,5 +139,8 @@ QUERIES: dict[str, QuerySpec] = {
             load_table(spark, sf_dir, "embeddings"), n_clusters=8, n_iters=3
         ),
         kmeans_assign_sql(n_clusters=8, n_iters=3),
+    ),
+    "embedding_random_projection": QuerySpec(
+        embedding_random_projection, embedding_random_projection_sql()
     ),
 }

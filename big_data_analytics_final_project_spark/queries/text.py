@@ -428,6 +428,50 @@ ORDER BY doc_id
 """
 
 
+def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary induction — corpus-level term statistics (term
+    frequency + document frequency), top-200 by frequency: step zero
+    of tokenizer training and the stopword/df tables the dedup prefix
+    filter and quality heuristics consume.
+
+    Scale: explode → two-phase aggregate. tf and df together would
+    plan an Expand (countDistinct mixed with sums); pre-aggregating by
+    (term, doc) makes df a plain count and tf a sum of partials, all
+    map-side combinable. Top-K via TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    return (
+        terms.groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .groupBy("term")
+        .agg(
+            F.sum("_n").alias("tf"),
+            F.count(F.lit(1)).alias("df"),
+        )
+        .orderBy(F.col("tf").desc(), "term")
+        .limit(200)
+    )
+
+
+CORPUS_VOCAB_TOPK_SQL = f"""
+WITH terms AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+per_doc AS (
+  SELECT term, doc_id, count(*) AS n FROM terms GROUP BY term, doc_id
+)
+SELECT term,
+       CAST(SUM(n) AS BIGINT) AS tf,
+       count(*) AS df
+FROM per_doc
+GROUP BY term
+ORDER BY tf DESC, term
+LIMIT 200
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "doc_token_stats": QuerySpec(doc_token_stats, DOC_TOKEN_STATS_SQL),
     "doc_sample_stratified": QuerySpec(
@@ -443,4 +487,5 @@ QUERIES: dict[str, QuerySpec] = {
         doc_repetition_stats, DOC_REPETITION_STATS_SQL
     ),
     "doc_pii_scrub": QuerySpec(doc_pii_scrub, DOC_PII_SCRUB_SQL),
+    "corpus_vocab_topk": QuerySpec(corpus_vocab_topk, CORPUS_VOCAB_TOPK_SQL),
 }
