@@ -23,7 +23,8 @@ _N_QUERIES = 5  # vec_id < 5 are the query vectors
 _RP_IN_DIMS = 64  # embeddings zone vector width (zip_with pads a
 # mismatched weight row with nulls and the whole fold goes NULL — the
 # oracle catches exactly this)
-_RP_OUT_DIMS = 6
+_RP_OUT_DIMS = 16  # 4x compression; JL distortion at 6 dims was too
+# coarse to preserve distance ordering (corr ~0.2 vs ~0.5 at 16)
 _K_EXACT = 5
 _K_ANN = 3
 # the corpus has no planted duplicates (max pairwise cosine ≈ 0.48);
