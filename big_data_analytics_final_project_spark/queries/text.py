@@ -472,6 +472,77 @@ LIMIT 200
 """
 
 
+def doc_top_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction: top-3 terms per document by a tf-idf-style
+    weight. The idf factor is the PLAIN rarity ratio N/df, not
+    log(N/df): log routes through libm, whose last-ulp results differ
+    between the JVM and C++ engines and would break bit-exact oracle
+    matching — multiplication and division are IEEE-identical
+    everywhere. Ranking (the thing keyword extraction is for) is
+    preserved for any monotone idf.
+
+    Scale: one (doc, term) pre-aggregate (map-side combinable), a
+    broadcastable vocab-sized df table, a scalar N attach, and a
+    per-document window — nothing global, nothing quadratic."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    per_doc_term = terms.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_tbl = per_doc_term.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        per_doc_term.join(F.broadcast(df_tbl), "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * (F.col("n_docs").cast("double") / F.col("df").cast("double")),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "term", "tf", "df", "score")
+        .orderBy("doc_id", "rank")
+    )
+
+
+DOC_TOP_KEYWORDS_SQL = f"""
+WITH terms AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+per_doc_term AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term
+),
+df_tbl AS (
+  SELECT term, count(*) AS df FROM per_doc_term GROUP BY term
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT p.doc_id, p.term, p.tf, d.df,
+         CAST(p.tf AS DOUBLE)
+           * (CAST(n.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE)) AS score
+  FROM per_doc_term p JOIN df_tbl d USING (term) CROSS JOIN n
+)
+SELECT doc_id, rank, term, tf, df, score FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term
+  ) AS rank
+  FROM scored
+)
+WHERE rank <= 3
+ORDER BY doc_id, rank
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "doc_token_stats": QuerySpec(doc_token_stats, DOC_TOKEN_STATS_SQL),
     "doc_sample_stratified": QuerySpec(
@@ -488,4 +559,5 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "doc_pii_scrub": QuerySpec(doc_pii_scrub, DOC_PII_SCRUB_SQL),
     "corpus_vocab_topk": QuerySpec(corpus_vocab_topk, CORPUS_VOCAB_TOPK_SQL),
+    "doc_top_keywords": QuerySpec(doc_top_keywords, DOC_TOP_KEYWORDS_SQL),
 }
