@@ -61,5 +61,16 @@ def count_scans(df: DataFrame) -> int:
     return len(re.findall(r"\(\d+\) Scan parquet", physical_plan(df)))
 
 
+def count_broadcast_hints(df: DataFrame) -> int:
+    """Number of EXPLICIT broadcast hints (`ResolvedHint` nodes) in
+    the analyzed logical plan. Distinct from `count_broadcasts`: AQE
+    choosing a broadcast from runtime stats is adaptive and safe, but
+    a FORCED hint on an unbounded-cardinality side is a 100 TB OOM no
+    optimizer can undo — tests pin hint counts to the bounded-side
+    joins that were designed to carry them."""
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    return len(re.findall(r"ResolvedHint \(strategy=broadcast\)", analyzed))
+
+
 # Back-compat alias (previous name counted raw substring occurrences).
 count_exchanges = count_shuffles

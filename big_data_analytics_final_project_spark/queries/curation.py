@@ -18,6 +18,8 @@ a pushed hash predicate, and the report is one small aggregation.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -73,7 +75,17 @@ def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _strip_order(sql: str) -> str:
-    return sql.rsplit("ORDER BY", 1)[0]
+    """Drop a wrapped query's TRAILING ORDER BY so it can embed as a
+    CTE. Guarded: the stripped tail must be a bare column-list sort —
+    if a wrapped query ever gains an inner window ORDER BY after the
+    outer one (or loses its trailing sort), rsplit would silently
+    truncate the CTE mid-query, so fail loudly instead."""
+    head, sep, tail = sql.rstrip().rpartition("ORDER BY")
+    if not sep or not re.fullmatch(r"[\s\w,.]+(DESC|ASC)?[\s\w,.]*", tail):
+        raise ValueError(
+            f"refusing to strip non-trailing ORDER BY (tail={tail!r})"
+        )
+    return head
 
 
 def corpus_curation_report_sql() -> str:

@@ -482,8 +482,14 @@ def doc_top_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     preserved for any monotone idf.
 
     Scale: one (doc, term) pre-aggregate (map-side combinable), a
-    broadcastable vocab-sized df table, a scalar N attach, and a
-    per-document window — nothing global, nothing quadratic."""
+    shuffle join against the per-term df table, a scalar N attach, and
+    a per-document window — nothing global, nothing quadratic. The df
+    table is the CORPUS VOCABULARY — unbounded cardinality (typos,
+    numbers, unicode junk run to billions of distinct tokens at
+    100 TB), so it must NEVER carry a forced broadcast hint; the
+    (term)-keyed shuffle join is correct at any scale, and AQE may
+    still choose broadcast from runtime stats when the vocab is small.
+    The one-row n_docs attach stays broadcast."""
     docs = load_table(spark, sf_dir, "documents")
     terms = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("term")
@@ -494,7 +500,7 @@ def doc_top_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_tbl = per_doc_term.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        per_doc_term.join(F.broadcast(df_tbl), "term")
+        per_doc_term.join(df_tbl, "term")
         .join(F.broadcast(n_docs))
         .withColumn(
             "score",

@@ -237,13 +237,12 @@ def upsert_zone(
     fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
 
 
-def zorder_zone(
+def zorder_frame(
     df: DataFrame,
-    path: str,
     zorder_by: list[str],
     num_files: int = 16,
     bits: int = 16,
-) -> None:
+) -> DataFrame:
     """Z-order (Morton-curve) clustered parquet zone: rows sorted by
     the bit-interleaving of their rank along EACH zorder column, so
     file/row-group min-max stats prune scans on ANY of the columns —
@@ -264,7 +263,8 @@ def zorder_zone(
     z column, never a single-task global window over the zone being
     laid out (the write path sees the FULL 100 TB frame, where an
     unpartitioned `percent_rank` window would be the slowest task in
-    the job)."""
+    the job). Split from `zorder_zone` so tests can plan-assert the
+    ranking never degenerates to a single-task window."""
     from .operators.ranks import with_global_row_number
 
     n_rows = df.count()
@@ -297,13 +297,25 @@ def zorder_zone(
     for t in terms[1:]:
         zval = zval.bitwiseOR(t)
     work = work.withColumn("_zval", zval)
-    (
+    return (
         work.repartitionByRange(num_files, F.col("_zval"))
         .sortWithinPartitions("_zval")
         .drop(*zcols, "_zval")
-        .write.mode("overwrite")
-        .parquet(path)
     )
+
+
+def zorder_zone(
+    df: DataFrame,
+    path: str,
+    zorder_by: list[str],
+    num_files: int = 16,
+    bits: int = 16,
+) -> None:
+    """Write ``df`` as a Z-order clustered parquet zone (see
+    `zorder_frame` for the layout mechanics)."""
+    zorder_frame(df, zorder_by, num_files=num_files, bits=bits).write.mode(
+        "overwrite"
+    ).parquet(path)
 
 
 def write_summary_txt(lines: dict[str, object], path: str) -> None:

@@ -145,3 +145,39 @@ def test_salted_agg_two_stages_only(spark):
     df = _df(spark, "user_spend_salted")
     assert count_shuffles(df) <= 3
     assert count_scans(df) == 1
+
+
+def test_doc_top_keywords_no_vocab_broadcast_hint(spark):
+    """The per-term document-frequency table IS the corpus vocabulary
+    — unbounded cardinality at 100 TB (round-4 verdict: billions of
+    distinct tokens in web text), so it must never carry a forced
+    broadcast hint. The only designed hint is the one-row n_docs
+    scalar attach; AQE remains free to broadcast the vocab from
+    runtime stats when it is actually small."""
+    from big_data_analytics_final_project_spark.plans import (
+        count_broadcast_hints,
+    )
+
+    df = _df(spark, "doc_top_keywords")
+    assert count_broadcast_hints(df) == 1
+
+
+def test_zorder_frame_never_single_task_windows(spark):
+    """The z-order write path ranks the FULL zone being laid out; its
+    per-column ranking must stay the two-level distributed scheme.
+    The only unpartitioned (single-task) windows allowed in the plan
+    are the prefix sums over per-partition counts (one row per
+    partition, keyed _rnk_pid) — an unpartitioned window ordered by
+    anything else means a column's ranks funnelled through one task."""
+    import re
+
+    from big_data_analytics_final_project_spark.sinks import zorder_frame
+    from big_data_analytics_final_project_spark.sources import load_table
+
+    df = load_table(spark, SF_SMOKE, "lineitem")
+    frame = zorder_frame(df, ["l_shipdate", "l_extendedprice"], num_files=4)
+    plan = physical_plan(frame)
+    unpartitioned = re.findall(
+        r"windowspecdefinition\((\w+)#\d+L? ASC", plan
+    )
+    assert unpartitioned and set(unpartitioned) == {"_rnk_pid"}, unpartitioned

@@ -54,3 +54,36 @@ def test_row_number_plan_has_no_unpartitioned_ranking_window(spark):
     plan = physical_plan(df)
     unpartitioned = re.findall(r"windowspecdefinition\((\w+)#\d+L? ASC", plan)
     assert unpartitioned and set(unpartitioned) == {"_rnk_pid"}, unpartitioned
+
+
+def test_ntile_bucket_arithmetic_property(spark):
+    """Hypothesis sweep of the q/r bucket arithmetic (q = N div n,
+    r = N mod n; first r buckets get q+1 rows): random row counts,
+    tile counts, and partition counts must all reproduce
+    `ntile(n).over(global window)` bit-exactly — including N < n,
+    N == n, and tie-heavy orders."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        n=st.integers(min_value=0, max_value=400),
+        tiles=st.integers(min_value=1, max_value=23),
+        parts=st.integers(min_value=1, max_value=9),
+    )
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    def check(n, tiles, parts):
+        df = _frame(spark, n)
+        order = [F.col("v"), F.col("id")]
+        got = with_global_ntile(
+            df, tiles, order, out_col="t", num_partitions=parts
+        )
+        want = df.withColumn(
+            "t", F.ntile(tiles).over(Window.orderBy(*order))
+        )
+        assert sorted(got.collect()) == sorted(want.collect())
+
+    check()
