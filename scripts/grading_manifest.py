@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Grading-window completeness gate.
+
+The driver grades only the FIRST 50 entries of `grading_order()` each
+round, so any query whose implementation or oracle changed since the
+last driver grading MUST sit inside that window — otherwise the round
+ships changed-but-unverified code (round 4's three late-landing
+queries; nearly round 3 too).
+
+Mechanics: `scripts/grading_manifest.json` holds a fingerprint per
+query (sha256 of the query function's source + its oracle SQL), frozen
+at the END of each round — i.e. the state the driver last graded.
+
+    python scripts/grading_manifest.py            # check (preflight step)
+    python scripts/grading_manifest.py --freeze   # refresh at end of round,
+                                                  # AFTER the window rotation,
+                                                  # as part of the final commit
+
+Check fails if any new-or-changed query (vs the frozen manifest) is
+absent from the first 50 of `grading_order()`.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import inspect
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from big_data_analytics_final_project_spark.queries import (
+    all_queries,
+    grading_order,
+)
+
+MANIFEST = os.path.join(os.path.dirname(os.path.abspath(__file__)), "grading_manifest.json")
+WINDOW = 50
+
+
+def fingerprints() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for name, spec in all_queries().items():
+        try:
+            src = inspect.getsource(spec.fn)
+        except (OSError, TypeError):
+            src = repr(spec.fn)
+        h = hashlib.sha256()
+        h.update(src.encode())
+        h.update(b"\x00")
+        h.update((spec.sql or "").encode())
+        out[name] = h.hexdigest()
+    return out
+
+
+def main() -> int:
+    current = fingerprints()
+    if "--freeze" in sys.argv:
+        with open(MANIFEST, "w") as f:
+            json.dump(current, f, indent=1, sort_keys=True)
+            f.write("\n")
+        print(f"froze {len(current)} fingerprints -> {MANIFEST}")
+        return 0
+
+    if not os.path.exists(MANIFEST):
+        print(f"FAIL: {MANIFEST} missing — run with --freeze once")
+        return 1
+    with open(MANIFEST) as f:
+        frozen = json.load(f)
+    changed = sorted(
+        n for n, fp in current.items() if frozen.get(n) != fp
+    )
+    window = list(grading_order())[:WINDOW]
+    outside = [n for n in changed if n not in window]
+    print(
+        f"{len(changed)} queries new/changed since last freeze; "
+        f"window holds {sum(1 for n in changed if n in window)} of them"
+    )
+    if outside:
+        print(
+            "FAIL: new/changed queries OUTSIDE the driver's "
+            f"{WINDOW}-entry grading window (rotate GRADING_PRIORITY):"
+        )
+        for n in outside:
+            print(f"  - {n}")
+        return 1
+    print("OK: every new/changed query is inside the grading window")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -6,12 +6,18 @@ in one command, before committing:
 
 Sequence (each in its own subprocess so Spark sessions never overlap):
   1. pytest tests/ (full suite; skipped with --fast)
-  2. scripts/check_parity.py at sf0.01   — the driver's correctness gate
-  3. scripts/driver_posture_smoke.py     — plain-session execution of
+  2. scripts/grading_manifest.py         — every query new/changed since
+     the last end-of-round freeze must be inside the driver's 50-entry
+     grading window (the rule that bit rounds 3 AND 4)
+  3. scripts/check_parity.py at sf0.01   — the driver's correctness gate
+  4. scripts/driver_posture_smoke.py     — plain-session execution of
      every queries() entry + output-hashability guard
-  4. bench.py                            — must emit parseable JSON
-  5. scripts/check_determinism.py        — 3-vs-32-partition bit-equality
+  5. bench.py                            — must emit parseable JSON
+  6. scripts/check_determinism.py        — 3-vs-32-partition bit-equality
      (skipped with --fast)
+
+End-of-round order: rotate GRADING_PRIORITY -> preflight GREEN ->
+`python scripts/grading_manifest.py --freeze` -> final commit.
 
 Round 3 shipped a one-line breakage that errored 4 graded queries,
 failed pytest, and zeroed the bench — every one of those was catchable
@@ -50,6 +56,7 @@ def main() -> int:
     if not fast:
         steps.append(("pytest", [py, "-m", "pytest", "tests/", "-q"]))
     steps += [
+        ("grading-window", [py, "scripts/grading_manifest.py"]),
         ("parity@sf0.01", [py, "scripts/check_parity.py", "/root/testdata/sf0.01"]),
         ("posture", [py, "scripts/driver_posture_smoke.py", "/root/testdata/sf0.001"]),
         ("bench", [py, "bench.py"]),
