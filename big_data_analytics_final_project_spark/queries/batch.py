@@ -626,6 +626,213 @@ ORDER BY user_id
 """
 
 
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped shipping priority: unshipped revenue of
+    BUILDING-segment orders placed before / shipped after a cutoff,
+    top 10 orders by revenue (reference JOIN-1/AGG-1/SRT-2 composed on
+    a 3-table star, spark_analysis.py:70-101's join+agg+top-N shape at
+    multi-join depth).
+
+    Scale: both big sides (lineitem, orders) carry pushed-down date
+    filters into the scan; the orders↔customer and lineitem↔orders
+    joins shuffle on their keys (customer is NOT broadcast — at 100 TB
+    a 1/5-segment slice of customers is still billions of rows; AQE
+    may still pick broadcast from runtime stats). Top-10 plans as
+    TakeOrderedAndProject."""
+    cutoff = F.to_timestamp(F.lit("1998-06-01 00:00:00"))
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(exact_sum(_revenue_col(), "revenue"))
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+SHIPPING_PRIORITY_SQL = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       {exact_sum_sql(_REVENUE, "revenue")}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+def regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped local-supplier volume: revenue from ASIA
+    customers served by suppliers in the SAME nation, one year of
+    orders, by nation — the deepest join in the registry (6 tables)
+    and the canonical star-join broadcast test.
+
+    Scale: lineitem↔orders shuffle on orderkey and orders↔customer on
+    custkey (both sides unbounded); supplier/nation/region are
+    broadcast dims, so the nation-equality residual
+    (c_nationkey = s_nationkey) evaluates map-side with no extra
+    shuffle."""
+    region = (
+        load_table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    asia_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")))
+            & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01 00:00:00")))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(
+            F.broadcast(asia_nations),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(exact_sum(_revenue_col(), "revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+REGIONAL_SUPPLIER_VOLUME_SQL = f"""
+SELECT n_name, {exact_sum_sql(_REVENUE, "revenue")}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND c_nationkey = s_nationkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-shaped promo share: percentage of one month's revenue
+    from PROMO-type parts — conditional aggregation over a broadcast
+    dim join, one output row.
+
+    Scale: the month filter is pushed to the lineitem scan; part is a
+    broadcast dim; promo/total are two conditional exact-decimal sums
+    in ONE aggregation pass (no second scan, no self-join)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-09-01 00:00:00")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-10-01 00:00:00")))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    promo_rev = F.when(F.col("p_type") == "PROMO", _revenue_col()).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            exact_sum(promo_rev, "promo_revenue"),
+            exact_sum(_revenue_col(), "total_revenue"),
+        )
+        .withColumn(
+            "promo_share",
+            100.0 * F.col("promo_revenue") / F.col("total_revenue"),
+        )
+    )
+
+
+PROMO_REVENUE_SHARE_SQL = f"""
+SELECT promo_revenue, total_revenue,
+       100.0 * promo_revenue / total_revenue AS promo_share
+FROM (
+  SELECT
+    {exact_sum_sql(f"CASE WHEN p_type = 'PROMO' THEN {_REVENUE} ELSE 0.0 END", "promo_revenue")},
+    {exact_sum_sql(_REVENUE, "total_revenue")}
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+)
+"""
+
+
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS through the SQL front door: independent per-status
+    and per-priority rollups plus the grand total in ONE pass —
+    completing the multi-level-aggregate family next to CUBE
+    (orders_status_priority_cube) and ROLLUP (revenue_rollup).
+
+    Scale: Spark plans grouping sets as a single Expand + one hash
+    aggregate — one shuffle regardless of how many sets, vs one
+    scan+shuffle per set if issued separately. grouping() disambiguates
+    the level, replacing NULL-ambiguity."""
+    from ..sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT CASE WHEN grouping(o_orderstatus) = 0 THEN 'by_status'
+                    WHEN grouping(o_orderpriority) = 0 THEN 'by_priority'
+                    ELSE 'total' END AS level,
+               o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                 AS sum_total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY level, o_orderstatus, o_orderpriority
+    """)
+
+
+ORDERS_GROUPING_SETS_SQL = """
+SELECT CASE WHEN grouping(o_orderstatus) = 0 THEN 'by_status'
+            WHEN grouping(o_orderpriority) = 0 THEN 'by_priority'
+            ELSE 'total' END AS level,
+       o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+         AS sum_total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY level, o_orderstatus, o_orderpriority
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "pricing_summary": QuerySpec(pricing_summary, PRICING_SUMMARY_SQL),
     "pricing_summary_sparksql": QuerySpec(
@@ -661,5 +868,15 @@ QUERIES: dict[str, QuerySpec] = {
     "event_type_pivot": QuerySpec(event_type_pivot, EVENT_TYPE_PIVOT_SQL),
     "customer_cohort_setops": QuerySpec(
         customer_cohort_setops, CUSTOMER_COHORT_SETOPS_SQL
+    ),
+    "shipping_priority": QuerySpec(shipping_priority, SHIPPING_PRIORITY_SQL),
+    "regional_supplier_volume": QuerySpec(
+        regional_supplier_volume, REGIONAL_SUPPLIER_VOLUME_SQL
+    ),
+    "promo_revenue_share": QuerySpec(
+        promo_revenue_share, PROMO_REVENUE_SHARE_SQL
+    ),
+    "orders_grouping_sets": QuerySpec(
+        orders_grouping_sets, ORDERS_GROUPING_SETS_SQL
     ),
 }

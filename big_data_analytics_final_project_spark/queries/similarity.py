@@ -118,6 +118,104 @@ ORDER BY vec_id
 """
 
 
+def embedding_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding zone — the 4x
+    compression pass run before shipping vectors to an ANN index —
+    with per-vector reconstruction error so the quality loss is
+    measured, not assumed: per-dim global [min, max] → 0..255 codes →
+    dequantize → per-vector MSE + mean code.
+
+    Scale: posexplode → one (dim)-keyed partial aggregate whose output
+    is bounded by DIMENSIONALITY (64 rows — broadcast justified by
+    construction, unlike a data-sized table), a map-side quantize, and
+    one (vec_id)-keyed aggregate. Cross-engine exactness: rounding is
+    floor(x + 0.5) in double arithmetic (never a decimal cast — the
+    HALF_UP/HALF_EVEN tie split), and the MSE accumulates floor-
+    quantized INTEGER squared errors (order-independent sums; the
+    operators/kmeans.py pattern)."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+        ).alias("pos", "x"),
+    ).select("vec_id", (F.col("pos") + 1).alias("dim"), "x")
+    stats = dims.groupBy("dim").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    spread = F.col("mx") - F.col("mn")
+    code = F.when(
+        F.col("mx") > F.col("mn"),
+        F.floor((F.col("x") - F.col("mn")) * 255.0 / spread + 0.5),
+    ).otherwise(F.lit(0)).cast("bigint")
+    quant = dims.join(F.broadcast(stats), "dim").select(
+        "vec_id", "x", "mn", "mx", code.alias("code")
+    )
+    err = F.col("x") - (
+        F.col("mn")
+        + F.col("code").cast("double") * (F.col("mx") - F.col("mn")) / 255.0
+    )
+    e2q = F.floor(err * err * 1e12 + 0.5).cast("bigint")
+    return (
+        quant.select("vec_id", "code", e2q.alias("e2q"))
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dims"),
+            F.sum("e2q").alias("_se"),
+            F.sum("code").alias("_sc"),
+        )
+        .select(
+            "vec_id",
+            "n_dims",
+            ((F.col("_se").cast("double") / F.col("n_dims")) / 1e12).alias(
+                "mse"
+            ),
+            (F.col("_sc").cast("double") / F.col("n_dims")).alias("mean_code"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+EMBEDDING_SCALAR_QUANTIZE_SQL = """
+WITH dims0 AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) AS dim,
+         unnest(embedding) AS xf
+  FROM embeddings
+),
+dims AS (
+  SELECT vec_id, dim, CAST(xf AS DOUBLE) AS x FROM dims0
+),
+stats AS (
+  SELECT dim, min(x) AS mn, max(x) AS mx FROM dims GROUP BY dim
+),
+quant AS (
+  SELECT d.vec_id, d.x, s.mn, s.mx,
+         CASE WHEN s.mx > s.mn THEN
+           CAST(floor((d.x - s.mn) * 255.0 / (s.mx - s.mn) + 0.5) AS BIGINT)
+         ELSE 0 END AS code
+  FROM dims d JOIN stats s USING (dim)
+),
+errs AS (
+  SELECT vec_id, code,
+         CAST(floor(
+           (x - (mn + CAST(code AS DOUBLE) * (mx - mn) / 255.0))
+           * (x - (mn + CAST(code AS DOUBLE) * (mx - mn) / 255.0))
+           * 1e12 + 0.5) AS BIGINT) AS e2q
+  FROM quant
+)
+SELECT vec_id,
+       count(*) AS n_dims,
+       (CAST(CAST(SUM(e2q) AS BIGINT) AS DOUBLE) / count(*)) / 1e12 AS mse,
+       CAST(CAST(SUM(code) AS BIGINT) AS DOUBLE) / count(*) AS mean_code
+FROM errs
+GROUP BY vec_id
+ORDER BY vec_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "knn_bruteforce": QuerySpec(
         knn_bruteforce_q, knn_bruteforce_sql(f"_id < {_N_QUERIES}", _K_EXACT)
@@ -140,6 +238,9 @@ QUERIES: dict[str, QuerySpec] = {
             load_table(spark, sf_dir, "embeddings"), n_clusters=8, n_iters=3
         ),
         kmeans_assign_sql(n_clusters=8, n_iters=3),
+    ),
+    "embedding_scalar_quantize": QuerySpec(
+        embedding_scalar_quantize, EMBEDDING_SCALAR_QUANTIZE_SQL
     ),
     "embedding_random_projection": QuerySpec(
         embedding_random_projection, embedding_random_projection_sql()

@@ -549,6 +549,185 @@ ORDER BY doc_id, rank
 """
 
 
+def doc_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check — the eval-hygiene pass every
+    training pipeline runs before a model ships: for each candidate
+    document, the fraction of its distinct 3-token shingles that also
+    appear anywhere in a held-out benchmark set (here the
+    deterministic doc_id % 13 == 0 slice standing in for an eval
+    suite). Docs with high overlap are leaked eval data and must be
+    dropped from training.
+
+    Scale: candidate shingles deduplicate per doc BEFORE the join
+    (bounded postings); the benchmark shingle set is corpus-size-
+    independent (eval suites are ~10^5 docs, not 100 TB), so AQE will
+    broadcast it from runtime stats — no forced hint, the shuffle join
+    stays correct if someone feeds a giant benchmark. Ratios are
+    int/int divisions (exact cross-engine)."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    sh = staged.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(shingles3_from_tokens(F.col("toks")))
+        ).alias("shingle"),
+    )
+    bench = (
+        sh.filter(F.col("doc_id") % 13 == 0).select("shingle").distinct()
+    )
+    cand = sh.filter(F.col("doc_id") % 13 != 0)
+    hits = cand.join(
+        bench.withColumn("_hit", F.lit(1)), "shingle", "left"
+    )
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("_hit").alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination_rate",
+            F.col("n_contaminated").cast("double") / F.col("n_shingles"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SHINGLES = shingles3_from_tokens_sql("toks")
+
+DOC_NGRAM_CONTAMINATION_SQL = f"""
+WITH staged AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS shingle FROM staged
+),
+bench AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % 13 = 0
+)
+SELECT s.doc_id,
+       count(*) AS n_shingles,
+       count(b.shingle) AS n_contaminated,
+       CAST(count(b.shingle) AS DOUBLE) / count(*) AS contamination_rate
+FROM sh s LEFT JOIN bench b USING (shingle)
+WHERE s.doc_id % 13 <> 0
+GROUP BY s.doc_id
+ORDER BY s.doc_id
+"""
+
+
+def corpus_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-100 bigrams by frequency (with document
+    frequency) — the phrase-table / tokenizer-merges counterpart of
+    `corpus_vocab_topk`.
+
+    Scale: same two-phase shape as vocab induction — (bigram, doc)
+    pre-aggregate makes df a plain count and tf a sum of map-side
+    partials (no Expand); top-K is TakeOrderedAndProject. The bigram
+    build stages the token array as a projection alias first (Catalyst
+    does no CSE across lambda boundaries — the round-4 cubic-blowup
+    lesson, functions/text.py shingles3_from_tokens)."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    n_t = F.size(F.col("toks"))
+    bigrams = F.when(
+        n_t >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n_t - 1),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("toks"), i),
+                F.element_at(F.col("toks"), i + 1),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = staged.select(
+        "doc_id", F.explode(bigrams).alias("bigram")
+    )
+    return (
+        exploded.groupBy("bigram", "doc_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .groupBy("bigram")
+        .agg(
+            F.sum("_n").alias("tf"),
+            F.count(F.lit(1)).alias("df"),
+        )
+        .orderBy(F.col("tf").desc(), "bigram")
+        .limit(100)
+    )
+
+
+CORPUS_BIGRAM_TOPK_SQL = f"""
+WITH staged AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+exploded AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) >= 2 THEN
+            list_transform(range(1, len(toks)),
+                           i -> toks[i] || ' ' || toks[i+1])
+            ELSE [] END) AS bigram
+  FROM staged
+),
+per_doc AS (
+  SELECT bigram, doc_id, count(*) AS n FROM exploded GROUP BY bigram, doc_id
+)
+SELECT bigram,
+       CAST(SUM(n) AS BIGINT) AS tf,
+       count(*) AS df
+FROM per_doc
+GROUP BY bigram
+ORDER BY tf DESC, bigram
+LIMIT 100
+"""
+
+
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length profile: power-of-two char-length buckets per
+    language — the distribution every curation run inspects before
+    setting min/max-length filters.
+
+    Scale: pure integer CASE bucketing (no libm log2 — its last-ulp
+    results differ across engines), one narrow scan, one map-side-
+    combinable aggregate; the output is bounded by |langs| × |buckets|.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.col("n_chars")
+    bucket_lo = (
+        F.when(n < 64, 0)
+        .when(n < 128, 64)
+        .when(n < 256, 128)
+        .when(n < 512, 256)
+        .when(n < 1024, 512)
+        .otherwise(1024)
+    )
+    return (
+        docs.select("lang", bucket_lo.alias("bucket_lo"), "n_chars")
+        .groupBy("lang", "bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang", "bucket_lo")
+    )
+
+
+DOC_LENGTH_HISTOGRAM_SQL = """
+SELECT lang,
+       CASE WHEN n_chars < 64 THEN 0
+            WHEN n_chars < 128 THEN 64
+            WHEN n_chars < 256 THEN 128
+            WHEN n_chars < 512 THEN 256
+            WHEN n_chars < 1024 THEN 512
+            ELSE 1024 END AS bucket_lo,
+       count(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY lang, bucket_lo
+ORDER BY lang, bucket_lo
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "doc_token_stats": QuerySpec(doc_token_stats, DOC_TOKEN_STATS_SQL),
     "doc_sample_stratified": QuerySpec(
@@ -566,4 +745,11 @@ QUERIES: dict[str, QuerySpec] = {
     "doc_pii_scrub": QuerySpec(doc_pii_scrub, DOC_PII_SCRUB_SQL),
     "corpus_vocab_topk": QuerySpec(corpus_vocab_topk, CORPUS_VOCAB_TOPK_SQL),
     "doc_top_keywords": QuerySpec(doc_top_keywords, DOC_TOP_KEYWORDS_SQL),
+    "doc_ngram_contamination": QuerySpec(
+        doc_ngram_contamination, DOC_NGRAM_CONTAMINATION_SQL
+    ),
+    "corpus_bigram_topk": QuerySpec(corpus_bigram_topk, CORPUS_BIGRAM_TOPK_SQL),
+    "doc_length_histogram": QuerySpec(
+        doc_length_histogram, DOC_LENGTH_HISTOGRAM_SQL
+    ),
 }
