@@ -222,6 +222,119 @@ ORDER BY doc_a, doc_b
 """
 
 
+def overlap_coeff_pairs(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact overlap-coefficient near-dup pairs:
+    |A∩B| / min(|A|, |B|) ≥ threshold over distinct 3-shingle sets.
+
+    The asymmetric companion to `jaccard_pairs`: overlap÷min catches
+    CONTAINMENT duplication — a document quoted or wholly embedded
+    inside a larger one — which Jaccard misses (a small doc inside a
+    10× larger one has Jaccard ≤ 0.1 but overlap 1.0). This is the
+    quotation/subset case web-corpus dedup must handle separately.
+
+    Scale (prefix filter, smaller-side variant): a qualifying pair
+    needs n_common ≥ ⌈t·|A|⌉ (A the smaller set), so by pigeonhole A
+    must share one of its first |A| − ⌈t·|A|⌉ + 1 terms under the
+    global (df, term) order with B — rare terms first, so candidate
+    fan-out tracks near-dup density, not N². Only the SMALLER side is
+    prefix-truncated (the bound gives the larger side no usable
+    prefix); the larger side joins its full posting list. Exact, then
+    verified via array_intersect like jaccard_pairs; the all-pairs
+    oracle (`overlap_coeff_pairs_sql`) must and does match."""
+    sets = _shingle_sets(docs, text_col, id_col)
+    inv = sets.select(
+        "doc_id", F.size("terms").alias("sz"), F.explode("terms").alias("term")
+    )
+    from pyspark.sql import Window
+
+    df_counts = inv.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ranked = inv.join(df_counts, "term").withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "term")),
+    )
+    # +1 pigeonhole bound, +1 pad absorbing float ceil fuzz (a longer
+    # prefix only adds candidates, never loses any)
+    prefix = ranked.filter(
+        F.col("rn")
+        <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + F.lit(2)
+    ).select("doc_id", "sz", "term")
+    a = prefix.alias("a")
+    b = inv.alias("b")
+    cands = (
+        a.join(b, "term")
+        .where(
+            (F.col("a.sz") < F.col("b.sz"))
+            | (
+                (F.col("a.sz") == F.col("b.sz"))
+                & (F.col("a.doc_id") < F.col("b.doc_id"))
+            )
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_small"),
+            F.col("b.doc_id").alias("doc_big"),
+        )
+        .dropDuplicates()
+    )
+    sets_s = sets.select(
+        F.col("doc_id").alias("doc_small"), F.col("terms").alias("terms_s")
+    )
+    sets_b = sets.select(
+        F.col("doc_id").alias("doc_big"), F.col("terms").alias("terms_b")
+    )
+    verified = (
+        cands.join(sets_s, "doc_small")
+        .join(sets_b, "doc_big")
+        .withColumn(
+            "n_common", F.size(F.array_intersect("terms_s", "terms_b"))
+        )
+        .withColumn(
+            "overlap_coeff",
+            F.col("n_common").cast("double") / F.size("terms_s"),
+        )
+        .filter(F.col("overlap_coeff") >= threshold)
+    )
+    # re-emit id-ordered (doc_a < doc_b) with sizes tracking their doc
+    swap = F.col("doc_small") > F.col("doc_big")
+    return (
+        verified.select(
+            F.when(swap, F.col("doc_big")).otherwise(F.col("doc_small")).alias("doc_a"),
+            F.when(swap, F.col("doc_small")).otherwise(F.col("doc_big")).alias("doc_b"),
+            F.when(swap, F.size("terms_b")).otherwise(F.size("terms_s")).alias("sz_a"),
+            F.when(swap, F.size("terms_s")).otherwise(F.size("terms_b")).alias("sz_b"),
+            "n_common",
+            "overlap_coeff",
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def overlap_coeff_pairs_sql(threshold: float = 0.6) -> str:
+    """All-pairs spec of `overlap_coeff_pairs` (id-ordered output,
+    overlap normalized by the smaller set)."""
+    return f"""
+WITH {_SHINGLE_SETS_CTE},
+sizes AS (SELECT doc_id, len(terms) AS sz FROM sets),
+inv AS (SELECT doc_id, unnest(terms) AS term FROM sets),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM inv a JOIN inv b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b
+)
+SELECT doc_a, doc_b, sa.sz AS sz_a, sb.sz AS sz_b, n_common,
+       CAST(n_common AS DOUBLE) / least(sa.sz, sb.sz) AS overlap_coeff
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE) / least(sa.sz, sb.sz) >= {threshold}
+ORDER BY doc_a, doc_b
+"""
+
+
 # -------------------------------------------------------------- minhash
 
 N_SEEDS = 8

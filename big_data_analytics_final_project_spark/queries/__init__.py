@@ -25,15 +25,21 @@ class QuerySpec:
 
 # The grading driver checks the FIRST 50 entries of the driver-facing
 # registry (`__spark_entry__.queries()`) per round, so that iteration
-# order is the grading surface. Round-4 rotation: queries whose
-# implementation or oracle changed this round come first, then every
-# oracle-bearing query that r3's window missed (the sparksql/salted/
-# pivot/cube/windows/text families, green in r2 and continuously
-# re-proven by the local parity harness but without a recent driver
-# row), then a stable-flagship remainder for round-over-round
-# regression coverage. The 29 r3-green extension queries (dedup/ANN/
-# multimodal/generated/maintenance) rotate OUT this round — they ride
-# on their r3 driver rows + local parity.
+# order is the grading surface.
+#
+# ROTATION SCHEDULE (2-round coverage: with ~95 registered queries and
+# a 50-row window, every query gets a driver row at least every 2
+# rounds): each round the window holds, in order, (1) every query
+# whose implementation or oracle is new or changed this round —
+# mechanically enforced by scripts/grading_manifest.py in preflight;
+# (2) every query whose latest driver row is 2 rounds old; (3) a
+# stable-flagship remainder for round-over-round regression coverage.
+# Round-5 instance: the 3 queries that landed after r4's rotation and
+# were never driver-graded + this round's 9 new queries + the
+# de-broadcast doc_top_keywords fix, then the 32 queries whose latest
+# row is r3 (the extension families rotated out in r4), then 6
+# flagships. Round-6 should rotate in the ~44 r4-green queries resting
+# this round.
 #
 # `daily_active_users_approx` is ORACLE-EXEMPT BY DESIGN: it computes
 # an approx_count_distinct (HLL) sketch, whose estimates differ across
@@ -42,68 +48,66 @@ class QuerySpec:
 # (tests/test_windows.py) and deliberately kept OUT of the graded
 # window — a permanent rows-only row there would read as a failure.
 GRADING_PRIORITY: tuple[str, ...] = (
-    # -- changed this round: NTZ ts normalization (sessionize/rangejoin
-    #    consumers), two-level sweep rewrite, oracle type casts,
-    #    part_keys serialization, upsert first-write probe -- re-grade
-    "events_sessionized",
-    "session_stats_per_user",
-    "concurrent_sessions_peak",
-    "events_props_parse",
-    "nested_order_items",
-    "order_cart_map",
-    "zone_roundtrip_daily",
-    "gen_revenue_by_category",
-    # -- new this round: first-ever driver rows
-    "embedding_kmeans",
-    "corpus_curation_report",
-    "doc_repetition_stats",
-    "doc_pii_scrub",
-    # -- not graded by the driver since r2: spark.sql front door +
-    #    salting twins (share their plain forms' oracles)
-    "pricing_summary_sparksql",
-    "revenue_by_brand_sparksql",
-    "revenue_by_brand_salted",
-    "user_spend_salted",
-    # -- not graded since r2: relational analytics tail
-    "customer_spend_deciles",
-    "orders_status_priority_cube",
-    "international_revenue",
-    "event_type_pivot",
-    "engagement_spend_correlation",
-    "segment_counts",
-    "user_events_lookup",
-    "top_order_per_customer",
-    # -- not graded since r2: time/window family (as-of, range join,
-    #    rollup, gap-fill) — clicks_before_purchase also carries the
-    #    rangejoin NTZ fix
-    "purchase_last_click",
-    "purchase_last_click_matched",
-    "clicks_before_purchase",
-    "events_hypertable_rollup",
-    "daily_active_users",
-    "user_rolling_7d_spend",
-    "events_gap_filled_hourly",
-    "customer_order_history",
-    "events_tumbling_hourly",
-    "events_sliding_2h",
-    # -- not graded since r2: text-analysis family
-    "doc_sample_stratified",
-    "doc_quality_score",
-    "doc_lang_id",
-    "doc_fingerprint",
-    "doc_bpe_token_stats",
-    "dedup_exact",
-    # -- stable flagships (green r3): continuous regression coverage
+    # -- changed this round: vocab join de-broadcast (r4 verdict #2)
+    "doc_top_keywords",
+    # -- landed after r4's rotation commit; never driver-graded
+    "corpus_vocab_topk",
+    "embedding_random_projection",
+    # -- new this round: relational depth (TPC-H Q3/Q5/Q14 shapes,
+    #    GROUPING SETS front door)
+    "shipping_priority",
+    "regional_supplier_volume",
+    "promo_revenue_share",
+    "orders_grouping_sets",
+    # -- new this round: training-data pipeline extensions
+    "doc_ngram_contamination",
+    "corpus_bigram_topk",
+    "doc_length_histogram",
+    "embedding_scalar_quantize",
+    "dedup_overlap_pairs",
+    # -- latest driver row is r3: analytics + retention tail
+    "top_customers_top5",
+    "product_popularity",
+    "order_item_stats",
+    "customers_without_orders",
+    "segment_purchasing_power",
+    "revenue_rollup",
+    "customer_cohort_setops",
+    "user_engagement",
+    "user_spend",
+    "conversion_funnel",
+    "weekly_retention",
+    # -- latest row r3: text/dedup/similarity extensions
+    "doc_token_stats",
+    "dedup_simhash",
+    "dedup_fuzzy_pairs",
+    "dedup_clusters",
+    "doc_dedup_survivors",
+    "ann_hyperplane_lsh",
+    "embedding_near_dup",
+    # -- latest row r3: multimodal family
+    "binary_meta",
+    "media_png_dims",
+    "media_feature_knn",
+    "media_frame_sample",
+    # -- latest row r3: export/roundtrip/generated/maintenance
+    "events_rowkey_export",
+    "events_json_roundtrip",
+    "gen_transactions_flat",
+    "gen_engagement_vs_spend",
+    "gen_top_spenders",
+    "gen_product_popularity",
+    "gen_also_bought_pairs",
+    "json_ingest_with_errors",
+    "report_csv_roundtrip",
+    "json_ingest_roundtrip",
+    # -- stable flagships (green r4): continuous regression coverage
     "pricing_summary",
     "revenue_by_brand",
-    "also_bought_pairs",
-    "pairs_via_hof",
     "top_spenders",
-    "engagement_vs_spend",
+    "also_bought_pairs",
     "dedup_jaccard_pairs",
-    "dedup_minhash_lsh",
-    "knn_bruteforce",
-    "ann_ivf",
+    "embedding_kmeans",
     # ---- driver's 50-entry window ends here ----
 )
 

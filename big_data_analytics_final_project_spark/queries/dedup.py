@@ -14,6 +14,8 @@ from ..operators.dedup import (
     jaccard_pairs_sql,
     minhash_lsh_pairs,
     minhash_lsh_pairs_sql,
+    overlap_coeff_pairs,
+    overlap_coeff_pairs_sql,
     simhash_pairs,
     simhash_pairs_sql,
 )
@@ -23,6 +25,16 @@ from . import QuerySpec
 JACCARD_THRESHOLD = 0.8
 MINHASH_THRESHOLD = 0.8
 SIMHASH_MAX_HAMMING = 3
+OVERLAP_THRESHOLD = 0.6
+
+
+def dedup_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dups: overlap coefficient |A∩B|/min(|A|,|B|)
+    over 3-shingle sets — catches a doc quoted/embedded inside a
+    larger one, which Jaccard's symmetric normalization misses."""
+    return overlap_coeff_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=OVERLAP_THRESHOLD
+    )
 
 
 def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -163,6 +175,9 @@ QUERIES: dict[str, QuerySpec] = {
         dedup_minhash_q, minhash_lsh_pairs_sql(MINHASH_THRESHOLD)
     ),
     "dedup_simhash": QuerySpec(dedup_simhash_q, simhash_pairs_sql(SIMHASH_MAX_HAMMING)),
+    "dedup_overlap_pairs": QuerySpec(
+        dedup_overlap_q, overlap_coeff_pairs_sql(OVERLAP_THRESHOLD)
+    ),
     "dedup_fuzzy_pairs": QuerySpec(dedup_fuzzy_pairs_q, _fuzzy_pairs_sql()),
     "dedup_clusters": QuerySpec(
         dedup_clusters_q,

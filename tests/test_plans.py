@@ -181,3 +181,36 @@ def test_zorder_frame_never_single_task_windows(spark):
         r"windowspecdefinition\((\w+)#\d+L? ASC", plan
     )
     assert unpartitioned and set(unpartitioned) == {"_rnk_pid"}, unpartitioned
+
+
+def test_new_relational_queries_plan_shape(spark):
+    """Q3-shape: no forced broadcast hints (customer/orders are
+    unbounded at 100 TB; AQE may still pick broadcast from stats),
+    top-10 via TakeOrderedAndProject. Q5-shape: exactly the three
+    bounded dims (supplier/nation/region) carry hints, no cartesian.
+    Q14-shape: only the part dim hinted, one aggregation shuffle."""
+    from big_data_analytics_final_project_spark.plans import (
+        count_broadcast_hints,
+    )
+
+    q3 = _df(spark, "shipping_priority")
+    assert count_broadcast_hints(q3) == 0
+    assert "TakeOrderedAndProject" in physical_plan(q3)
+
+    q5 = _df(spark, "regional_supplier_volume")
+    assert count_broadcast_hints(q5) == 3
+    assert_no_cartesian(q5)
+
+    q14 = _df(spark, "promo_revenue_share")
+    assert count_broadcast_hints(q14) == 1
+    assert count_shuffles(q14) <= 1
+
+
+def test_grouping_sets_single_expand_aggregate(spark):
+    """GROUPING SETS must plan one Expand + one aggregation shuffle
+    (plus the output sort) — never one scan per set."""
+    df = _df(spark, "orders_grouping_sets")
+    plan = physical_plan(df)
+    assert "Expand" in plan
+    assert count_scans(df) == 1
+    assert count_shuffles(df) <= 2
