@@ -65,6 +65,10 @@ GRADING_PRIORITY: tuple[str, ...] = (
     "doc_length_histogram",
     "embedding_scalar_quantize",
     "dedup_overlap_pairs",
+    # -- new this round, second batch: iterative graph analytics +
+    #    MOSS-style fingerprint sampling
+    "part_pagerank",
+    "doc_winnowing_fingerprint",
     # -- latest driver row is r3: analytics + retention tail
     "top_customers_top5",
     "product_popularity",
@@ -104,10 +108,8 @@ GRADING_PRIORITY: tuple[str, ...] = (
     # -- stable flagships (green r4): continuous regression coverage
     "pricing_summary",
     "revenue_by_brand",
-    "top_spenders",
     "also_bought_pairs",
     "dedup_jaccard_pairs",
-    "embedding_kmeans",
     # ---- driver's 50-entry window ends here ----
 )
 

@@ -833,6 +833,69 @@ ORDER BY level, o_orderstatus, o_orderpriority
 """
 
 
+def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the co-purchase graph (3 damped
+    rounds): which products sit at the CENTER of basket co-occurrence,
+    not merely in the most frequent single pair — the graph upgrade of
+    `also_bought_pairs`. See operators/pagerank.py for the exact-
+    arithmetic iteration discipline (quantized integer contribution
+    sums; bit-reproducible across partitionings and engines).
+
+    Scale: edge build is the bounded-basket pair self-join (dedup
+    before join); each round is one src-join shuffle + one dst-keyed
+    exact aggregate; rank state never leaves the cluster. Top-100 via
+    TakeOrderedAndProject."""
+    from ..operators.pagerank import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("order_id"),
+        F.col("l_partkey").alias("product_id"),
+    ).dropDuplicates()
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(b, F.col("a.order_id") == F.col("b.order_id"))
+        .where(F.col("a.product_id") < F.col("b.product_id"))
+        .select(
+            F.col("a.product_id").alias("pa"),
+            F.col("b.product_id").alias("pb"),
+        )
+        .dropDuplicates()
+    )
+    edges = pairs.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionAll(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    return (
+        pagerank(edges, n_iters=3, damping=0.85)
+        .orderBy(F.col("pagerank").desc(), "node")
+        .limit(100)
+    )
+
+
+def _part_pagerank_sql() -> str:
+    from ..operators.pagerank import pagerank_sql
+
+    edges_cte = """
+  WITH items AS (
+    SELECT DISTINCT l_orderkey AS order_id, l_partkey AS product_id
+    FROM lineitem
+  ),
+  pairs AS (
+    SELECT a.product_id AS pa, b.product_id AS pb
+    FROM items a JOIN items b
+      ON a.order_id = b.order_id AND a.product_id < b.product_id
+    GROUP BY pa, pb
+  )
+  SELECT pa AS src, pb AS dst FROM pairs
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM pairs
+"""
+    return (
+        pagerank_sql(edges_cte, n_iters=3, damping=0.85)
+        + "\nORDER BY pagerank DESC, node\nLIMIT 100"
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "pricing_summary": QuerySpec(pricing_summary, PRICING_SUMMARY_SQL),
     "pricing_summary_sparksql": QuerySpec(
@@ -879,4 +942,5 @@ QUERIES: dict[str, QuerySpec] = {
     "orders_grouping_sets": QuerySpec(
         orders_grouping_sets, ORDERS_GROUPING_SETS_SQL
     ),
+    "part_pagerank": QuerySpec(part_pagerank, _part_pagerank_sql()),
 }

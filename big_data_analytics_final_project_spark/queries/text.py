@@ -728,6 +728,100 @@ ORDER BY lang, bucket_lo
 """
 
 
+_WINNOW_W = 4  # hashes per winnowing window
+
+
+def doc_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm): hash every positional 3-shingle, slide a w-hash
+    window, keep each window's minimum — the selected hash set is the
+    document fingerprint, guaranteeing any shared run of ≥ w+2 tokens
+    between two docs shares a fingerprint. The sampling upgrade over
+    `doc_fingerprint`'s whole-doc rolling hash: robust to edits, with
+    density 2/(w+1) instead of every shingle.
+
+    Scale: per-row array HOFs only (map-only, codegen, no shuffle
+    before the final sort). Staging discipline: the hash array is
+    bound as a projection alias BEFORE the window lambda slices it —
+    a lambda referencing the computed hash-transform directly would
+    re-hash the whole doc per window (no CSE across lambda
+    boundaries). Hashes are the first 15 md5 hex digits as BIGINT —
+    bit-identical on both engines (functions/text.py rationale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    wins = winnow_frame(docs)
+    fps = F.array_sort(F.array_distinct(F.col("mins")))
+    return wins.select(
+        "doc_id",
+        F.size("h").alias("n_hashes"),
+        F.size(fps).alias("n_fingerprints"),
+        F.md5(
+            F.concat_ws(",", F.transform(fps, lambda x: x.cast("string")))
+        ).alias("fp_digest"),
+    ).orderBy("doc_id")
+
+
+def winnow_frame(docs: DataFrame, w: int = _WINNOW_W) -> DataFrame:
+    """(doc_id, h, mins): positional shingle hashes + per-window
+    minima — the winnowing core, exposed so tests can check the
+    match guarantee on the raw fingerprint sets."""
+    staged = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    shs = staged.select(
+        "doc_id", shingles3_from_tokens(F.col("toks")).alias("sh")
+    )
+    hashed = shs.select(
+        "doc_id",
+        F.transform(
+            "sh",
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast(
+                "bigint"
+            ),
+        ).alias("h"),
+    )
+    n = F.size("h")
+    return hashed.select(
+        "doc_id",
+        "h",
+        F.when(
+            n >= w,
+            F.transform(
+                F.sequence(F.lit(1), n - (w - 1)),
+                lambda i: F.array_min(F.slice("h", i, w)),
+            ),
+        )
+        .otherwise(F.array(F.array_min("h")))
+        .alias("mins"),
+    )
+
+
+DOC_WINNOWING_FINGERPRINT_SQL = f"""
+WITH staged AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+shs AS (
+  SELECT doc_id, {_SHINGLES} AS sh FROM staged
+),
+hashed AS (
+  SELECT doc_id,
+         list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS h
+  FROM shs
+),
+wins AS (
+  SELECT doc_id, h,
+         CASE WHEN len(h) >= {_WINNOW_W} THEN
+           list_transform(range(1, len(h) - {_WINNOW_W - 2}),
+                          i -> list_min(list_slice(h, i, i + {_WINNOW_W - 1})))
+         ELSE [list_min(h)] END AS mins
+  FROM hashed
+)
+SELECT doc_id,
+       len(h) AS n_hashes,
+       len(list_distinct(mins)) AS n_fingerprints,
+       md5(array_to_string(list_sort(list_distinct(mins)), ',')) AS fp_digest
+FROM wins
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "doc_token_stats": QuerySpec(doc_token_stats, DOC_TOKEN_STATS_SQL),
     "doc_sample_stratified": QuerySpec(
@@ -751,5 +845,8 @@ QUERIES: dict[str, QuerySpec] = {
     "corpus_bigram_topk": QuerySpec(corpus_bigram_topk, CORPUS_BIGRAM_TOPK_SQL),
     "doc_length_histogram": QuerySpec(
         doc_length_histogram, DOC_LENGTH_HISTOGRAM_SQL
+    ),
+    "doc_winnowing_fingerprint": QuerySpec(
+        doc_winnowing_fingerprint, DOC_WINNOWING_FINGERPRINT_SQL
     ),
 }
