@@ -66,6 +66,16 @@ def get_session(
     only real mistake at scale.
     """
     builder = SparkSession.builder.appName(app_name).master(master or default_master())
+    # Local mode runs driver + all 32 executor threads in ONE JVM;
+    # Spark's 1g default heap is sized for a thin cluster driver, not
+    # for 32 concurrent sort/aggregate tasks plus cached frames (the
+    # pagerank edge cache OOM'd it at sf0.1). On a real cluster
+    # executor memory is provisioned by the resource manager and this
+    # knob only feeds the (thin again) driver. Env-overridable;
+    # extra_conf still wins (tests pin 8g).
+    builder = builder.config(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+    )
     for k, v in _BASE_CONF.items():
         builder = builder.config(k, v)
     n_shuffle = shuffle_partitions or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
