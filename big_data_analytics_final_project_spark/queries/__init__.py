@@ -35,11 +35,17 @@ class QuerySpec:
 # (2) every query whose latest driver row is 2 rounds old; (3) a
 # stable-flagship remainder for round-over-round regression coverage.
 # Round-5 instance: the 3 queries that landed after r4's rotation and
-# were never driver-graded + this round's 9 new queries + the
-# de-broadcast doc_top_keywords fix, then the 32 queries whose latest
-# row is r3 (the extension families rotated out in r4), then 6
-# flagships. Round-6 should rotate in the ~44 r4-green queries resting
-# this round.
+# were never driver-graded + this round's 17 new queries + the
+# de-broadcast doc_top_keywords fix, then the queries whose latest
+# row is r3 (the extension families rotated out in r4). Squeezed out
+# to fit the second new-query batch in the 50: the 4 r4-green
+# flagships (pricing_summary, revenue_by_brand, also_bought_pairs,
+# dedup_jaccard_pairs) and 4 r3 roundtrip/generated entries
+# (json_ingest_roundtrip, json_ingest_with_errors,
+# report_csv_roundtrip, gen_also_bought_pairs — suite-covered
+# maintenance paths, the lowest-risk holders of a stale row).
+# Round-6 should rotate in: those 4 r3-stale entries FIRST, then the
+# ~40 r4-green queries resting this round.
 #
 # `daily_active_users_approx` is ORACLE-EXEMPT BY DESIGN: it computes
 # an approx_count_distinct (HLL) sketch, whose estimates differ across
@@ -69,6 +75,18 @@ GRADING_PRIORITY: tuple[str, ...] = (
     #    MOSS-style fingerprint sampling
     "part_pagerank",
     "doc_winnowing_fingerprint",
+    # -- new this round, third batch: TPC-H Q4/Q12/Q13/Q18/Q22 shapes
+    #    (semi/anti/outer joins, HAVING join-back, scalar-subquery
+    #    threshold), triangle census, entropy scoring, deterministic
+    #    mode
+    "order_priority_returns",
+    "late_shipments_by_priority",
+    "customer_order_distribution",
+    "large_volume_customers",
+    "dormant_high_value_customers",
+    "part_triangle_count",
+    "doc_unigram_entropy",
+    "top_event_type_per_user",
     # -- latest driver row is r3: analytics + retention tail
     "top_customers_top5",
     "product_popularity",
@@ -101,15 +119,6 @@ GRADING_PRIORITY: tuple[str, ...] = (
     "gen_engagement_vs_spend",
     "gen_top_spenders",
     "gen_product_popularity",
-    "gen_also_bought_pairs",
-    "json_ingest_with_errors",
-    "report_csv_roundtrip",
-    "json_ingest_roundtrip",
-    # -- stable flagships (green r4): continuous regression coverage
-    "pricing_summary",
-    "revenue_by_brand",
-    "also_bought_pairs",
-    "dedup_jaccard_pairs",
     # ---- driver's 50-entry window ends here ----
 )
 

@@ -896,6 +896,309 @@ def _part_pagerank_sql() -> str:
     )
 
 
+def order_priority_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-shaped priority check: orders with at least one
+    RETURNED line item, counted per priority — the EXISTS-subquery
+    front door, planned as a LEFT SEMI join (the one §2.4 join flavor
+    no other registry query exercised).
+
+    Scale: the returned-lines side carries its filter into the scan and
+    projects to the bare key before the semi join; a semi join never
+    fans out (at most one output row per order) so no dedup of the
+    many-per-order match side is needed, and both sides shuffle once
+    on orderkey. The post-join aggregate is 5 groups."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    returned = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(
+            returned, orders.o_orderkey == returned.l_orderkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORDER_PRIORITY_RETURNS_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def late_shipments_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q12-shaped shipping-lateness report (shipmode column does
+    not exist in this data model, so the Q12 split runs on lateness
+    instead): per order priority, how many line items shipped more than
+    a year after the order date, split urgent-vs-low (reference FN-4's
+    CASE bucketing, integrated_query_engagement_vs_spend.py:161-170,
+    composed with a fact-fact join).
+
+    Scale: lineitem↔orders is a fact-fact equi-join — both sides
+    shuffle on orderkey (neither is broadcastable); the lateness
+    predicate needs both sides so it evaluates post-join (no pushdown
+    possible, by construction); the final aggregate is 5 groups with
+    map-side partials."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 365 DAYS"
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(late.cast("bigint")).alias("n_late"),
+            F.sum((late & urgent).cast("bigint")).alias("n_late_urgent"),
+            F.sum((late & ~urgent).cast("bigint")).alias("n_late_low"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+LATE_SHIPMENTS_BY_PRIORITY_SQL = """
+SELECT o_orderpriority,
+       count(*) AS n_lines,
+       CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 365 DAY
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 365 DAY
+                      AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late_urgent,
+       CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 365 DAY
+                      AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late_low
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-shaped customer distribution: histogram of customers
+    by how many orders they placed (0-order customers included via the
+    outer join — reference JOIN-3's null-fill shape,
+    integrated_query_engagement_vs_spend.py:104-111, re-aggregated).
+
+    Scale: two cascading aggregates — (custkey) then (order count) —
+    each a single shuffle; the second input is one row per customer and
+    the output is bounded by the max order count. The left outer join
+    keeps customers with no orders (count 0), which an inner-join
+    formulation silently drops."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.col("n_customers").desc(), F.col("n_orders").desc())
+    )
+
+
+CUSTOMER_ORDER_DISTRIBUTION_SQL = """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS n_orders
+  FROM customer
+  LEFT OUTER JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT n_orders, count(*) AS n_customers
+FROM per_cust
+GROUP BY n_orders
+ORDER BY n_customers DESC, n_orders DESC
+"""
+
+
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-shaped large-volume customers: orders whose total
+    quantity tops 250 units, with the customer who placed them — the
+    HAVING-on-aggregate + join-back shape.
+
+    Scale: one (orderkey) aggregate over lineitem with map-side
+    partials, the HAVING filter collapses it to the rare heavy tail
+    (~1% of orders), and only THEN do the orders/customer joins run —
+    joining fully-aggregated-then-filtered data, so the expensive
+    3-table join touches a sliver of the fact table. AQE sees the
+    post-filter size and broadcasts the tiny side at runtime."""
+    qty = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(exact_sum("l_quantity", "sum_qty"))
+        .filter(F.col("sum_qty") > 250.0)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        qty.join(orders, qty.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.col("sum_qty").desc(), "o_orderkey")
+    )
+
+
+LARGE_VOLUME_CUSTOMERS_SQL = f"""
+WITH qty AS (
+  SELECT l_orderkey, {exact_sum_sql("l_quantity", "sum_qty")}
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR)
+              AS DOUBLE) > 250.0
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM qty
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY sum_qty DESC, o_orderkey
+"""
+
+
+def dormant_high_value_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-shaped dormant-account report: customers whose balance
+    beats the positive-balance average but who placed NO order in the
+    final year of the data, rolled up per market segment — the
+    scalar-subquery-threshold + NOT EXISTS anti-join shape.
+
+    Scale: the threshold is a 1-row aggregate attached by broadcast
+    (never a driver round-trip); the anti join shuffles on custkey with
+    the recent-orders side pre-projected to the bare key; the segment
+    rollup is 5 groups. All three patterns survive a 1000-executor
+    scale-up unchanged."""
+    cutoff = F.to_timestamp(F.lit("2000-09-01 00:00:00"))
+    cust = load_table(spark, sf_dir, "customer")
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= cutoff)
+        .select("o_custkey")
+    )
+    # exact-decimal sum / count, NOT each engine's native decimal AVG
+    # (whose internal rounding differs) — the threshold double is then
+    # bit-identical across engines and partitionings, so boundary
+    # membership cannot flip.
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            exact_sum("c_acctbal", "_s"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select((F.col("_s") / F.col("_n")).alias("_avg_bal"))
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(
+            recent, cust.c_custkey == recent.o_custkey, "left_anti"
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            exact_sum("c_acctbal", "sum_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+DORMANT_HIGH_VALUE_CUSTOMERS_SQL = f"""
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       {exact_sum_sql("c_acctbal", "sum_acctbal")}
+FROM customer
+WHERE c_acctbal > (
+        SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS VARCHAR)
+                    AS DOUBLE) / count(*)
+        FROM customer WHERE c_acctbal > 0.0
+      )
+  AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '2000-09-01 00:00:00'
+      )
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def part_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the co-purchase graph: how many part triples
+    are pairwise co-purchased — the graph-cohesion statistic next to
+    `part_pagerank` (centrality) and `dedup_clusters` (connectivity).
+    See operators/triangles.py for the degree-ordered orientation that
+    makes the wedge join skew-proof at 100 TB.
+
+    Edge build is the same bounded-basket dedup-then-self-join as
+    `also_bought_pairs` (operators/pairs.py, reference `PRODUCTS BOUGHT
+    IN PAIRS  MOST FREQUENTLY`:1-40)."""
+    from ..operators.triangles import triangle_count
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("order_id"),
+        F.col("l_partkey").alias("product_id"),
+    ).dropDuplicates()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(b, F.col("a.order_id") == F.col("b.order_id"))
+        .where(F.col("a.product_id") < F.col("b.product_id"))
+        .select(
+            F.col("a.product_id").alias("u"),
+            F.col("b.product_id").alias("v"),
+        )
+        .dropDuplicates()
+    )
+    return triangle_count(edges)
+
+
+PART_TRIANGLE_COUNT_SQL = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS order_id, l_partkey AS product_id
+  FROM lineitem
+),
+edges AS (
+  SELECT DISTINCT a.product_id AS u, b.product_id AS v
+  FROM items a JOIN items b
+    ON a.order_id = b.order_id AND a.product_id < b.product_id
+)
+SELECT
+  (SELECT count(*) FROM (
+     SELECT u AS n FROM edges UNION SELECT v FROM edges)) AS n_nodes,
+  (SELECT count(*) FROM edges) AS n_edges,
+  (SELECT count(*) FROM edges e1
+     JOIN edges e2 ON e2.u = e1.v
+     JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "pricing_summary": QuerySpec(pricing_summary, PRICING_SUMMARY_SQL),
     "pricing_summary_sparksql": QuerySpec(
@@ -943,4 +1246,22 @@ QUERIES: dict[str, QuerySpec] = {
         orders_grouping_sets, ORDERS_GROUPING_SETS_SQL
     ),
     "part_pagerank": QuerySpec(part_pagerank, _part_pagerank_sql()),
+    "order_priority_returns": QuerySpec(
+        order_priority_returns, ORDER_PRIORITY_RETURNS_SQL
+    ),
+    "late_shipments_by_priority": QuerySpec(
+        late_shipments_by_priority, LATE_SHIPMENTS_BY_PRIORITY_SQL
+    ),
+    "customer_order_distribution": QuerySpec(
+        customer_order_distribution, CUSTOMER_ORDER_DISTRIBUTION_SQL
+    ),
+    "large_volume_customers": QuerySpec(
+        large_volume_customers, LARGE_VOLUME_CUSTOMERS_SQL
+    ),
+    "dormant_high_value_customers": QuerySpec(
+        dormant_high_value_customers, DORMANT_HIGH_VALUE_CUSTOMERS_SQL
+    ),
+    "part_triangle_count": QuerySpec(
+        part_triangle_count, PART_TRIANGLE_COUNT_SQL
+    ),
 }

@@ -423,8 +423,63 @@ LIMIT 5
 """
 
 
+def top_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user modal event type — the MODE aggregate, spelled as
+    count + row_number so the tie-break is DETERMINISTIC (highest
+    count, then lexicographically first type). Native `mode()` in both
+    engines picks an arbitrary element on ties, which can never
+    hash-match across engines; this formulation is the portable form
+    (reference AGG-12's value_counts, integrated_query_engagement_vs_
+    spend.py:160-168, reduced to its argmax).
+
+    Scale: one (user, type) aggregate with map-side partials, then a
+    window PARTITIONED by user over ≤5 rows per user — bounded frame,
+    never a global sort."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    cnt = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n").desc(), F.col("event_type")
+    )
+    return (
+        cnt.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("top_event_type"),
+            F.col("n").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+TOP_EVENT_TYPE_PER_USER_SQL = """
+WITH cnt AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events
+  GROUP BY user_id, event_type
+),
+ranked AS (
+  SELECT user_id, event_type, n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY n DESC, event_type) AS rn
+  FROM cnt
+)
+SELECT user_id, event_type AS top_event_type, n AS n_events
+FROM ranked
+WHERE rn = 1
+ORDER BY user_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "user_engagement": QuerySpec(user_engagement, USER_ENGAGEMENT_SQL),
+    "top_event_type_per_user": QuerySpec(
+        top_event_type_per_user, TOP_EVENT_TYPE_PER_USER_SQL
+    ),
     "user_spend": QuerySpec(user_spend, USER_SPEND_SQL),
     "user_spend_salted": QuerySpec(user_spend_salted, USER_SPEND_SQL),
     "conversion_funnel": QuerySpec(conversion_funnel, CONVERSION_FUNNEL_SQL),

@@ -96,13 +96,20 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_random_projection_sql() -> str:
+    # Width guard keeps the engines' failure modes IDENTICAL: Spark's
+    # zip_with null-pads any vector whose width != the 64-wide weight
+    # rows and the whole fold goes NULL, so the twin must also yield
+    # NULL — iterating range(1, len(_v)+1) instead would silently
+    # compute a truncated dot product on short vectors and surface only
+    # as an opaque oracle hash mismatch (r4 advice).
     weights = _rp_weights(_RP_OUT_DIMS, _RP_IN_DIMS)
     cols = []
     for j, row in enumerate(weights):
         lit = "[" + ", ".join(f"{w:.1f}" for w in row) + "]"
         cols.append(
-            "list_aggregate(list_transform(range(1, len(_v) + 1), "
-            f"i -> _v[i] * ({lit})[i]), 'sum') AS p{j}"
+            f"CASE WHEN len(_v) = {_RP_IN_DIMS} THEN "
+            f"list_aggregate(list_transform(range(1, {_RP_IN_DIMS} + 1), "
+            f"i -> _v[i] * ({lit})[i]), 'sum') END AS p{j}"
         )
     cols_sql = ",\n       ".join(cols)
     return f"""

@@ -822,8 +822,71 @@ ORDER BY doc_id
 """
 
 
+def doc_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's unigram distribution — the
+    information-density quality signal (boilerplate and keyword-stuffed
+    spam score low, natural prose high) that complements
+    `doc_repetition_stats`' max-share heuristics.
+
+    H = log2(n) − (Σ_t c_t·log2(c_t))/n from the per-(doc, term) counts
+    — one explode, one (doc, term) aggregate, one (doc) aggregate, all
+    map-side combinable; nothing corpus-global, so it scales linearly.
+
+    Cross-engine exactness: each c·log2(c) term (and the final log2(n))
+    is quantized to 1e-9 via floor(x·1e9 + 0.5) into a BIGINT before
+    the order-dependent Σ — the operators/kmeans.py discipline — so the
+    double that comes out is bit-identical across engines and
+    partitionings (a raw double Σ over a float log would not be)."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    cnt = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    clog_q = F.floor(
+        F.col("c").cast("double") * F.log2("c") * 1e9 + F.lit(0.5)
+    ).cast("bigint")
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum(clog_q).alias("_sq"),
+    )
+    entropy = (
+        F.floor(F.log2("n_tokens") * 1e9 + F.lit(0.5)) / 1e9
+        - (F.col("_sq").cast("double") / 1e9) / F.col("n_tokens")
+    )
+    return agg.select(
+        "doc_id", "n_tokens", "n_terms", entropy.alias("entropy")
+    ).orderBy("doc_id")
+
+
+DOC_UNIGRAM_ENTROPY_SQL = f"""
+WITH terms AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+cnt AS (
+  SELECT doc_id, term, count(*) AS c FROM terms GROUP BY doc_id, term
+),
+agg AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         count(*) AS n_terms,
+         CAST(SUM(CAST(floor(CAST(c AS DOUBLE) * log2(c) * 1e9 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS sq
+  FROM cnt GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_terms,
+       floor(log2(n_tokens) * 1e9 + 0.5) / 1e9
+         - (CAST(sq AS DOUBLE) / 1e9) / n_tokens AS entropy
+FROM agg
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "doc_token_stats": QuerySpec(doc_token_stats, DOC_TOKEN_STATS_SQL),
+    "doc_unigram_entropy": QuerySpec(
+        doc_unigram_entropy, DOC_UNIGRAM_ENTROPY_SQL
+    ),
     "doc_sample_stratified": QuerySpec(
         doc_sample_stratified, DOC_SAMPLE_STRATIFIED_SQL
     ),

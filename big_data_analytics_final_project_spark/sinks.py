@@ -267,21 +267,36 @@ def zorder_frame(
     ranking never degenerates to a single-task window."""
     from .operators.ranks import with_global_row_number
 
-    n_rows = df.count()
+    # N arrives as a 1-row broadcast scalar (no driver-side count()
+    # scan of the frame being laid out — r4 advice). NOT ntile: when
+    # N < 2^bits an ntile bucket is just the rank, which leaves the
+    # high Morton bit planes almost entirely zero and the curve
+    # degenerate — the rank must be SCALED onto the full 2^bits range
+    # so every interleaved bit plane splits the data evenly.
+    total = df.agg(F.count(F.lit(1)).alias("_z_N"))
+    work = df.join(F.broadcast(total))
     zcols = []
-    work = df
     for i, c in enumerate(zorder_by):
         q = f"_z_{i}"
-        work = with_global_row_number(work, [F.col(c)], out_col=q)
+        # The OTHER z columns ride along as tiebreaks: residual ties
+        # are then rows identical in EVERY z coordinate, which map to
+        # the same curve cell in any order — file layout is run-stable,
+        # not arrival-order-dependent (r4 advice; ranks.py's
+        # total-order precondition).
+        order = [F.col(c)] + [F.col(o) for o in zorder_by if o != c]
+        work = with_global_row_number(work, order, out_col=q)
         work = work.withColumn(
             q,
             F.least(
-                (((F.col(q) - 1) * (1 << bits)) / F.lit(max(n_rows, 1)))
-                .cast("bigint"),
+                (
+                    ((F.col(q) - 1) * (1 << bits))
+                    / F.greatest(F.col("_z_N"), F.lit(1))
+                ).cast("bigint"),
                 F.lit((1 << bits) - 1),
             ),
         )
         zcols.append(q)
+    work = work.drop("_z_N")
     # Morton interleave: output bit (b*d + i) = bit b of column i
     d = len(zcols)
     terms = []
