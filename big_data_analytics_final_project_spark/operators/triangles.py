@@ -43,12 +43,18 @@ def triangle_count(edges: DataFrame) -> DataFrame:
 
     Returns a single row (n_nodes, n_edges, n_triangles).
     """
-    edges = edges.select("u", "v")
+    # `edges` is referenced four times (two degree attaches, the edge
+    # count, the degree build) and `oriented` three times (both wedge
+    # legs + the closing side) — persist both so Catalyst plans ONE
+    # edge build instead of re-expanding the (possibly join-heavy)
+    # upstream subtree per reference. Same loop-invariant-frame
+    # discipline as operators/pagerank.py.
+    edges = edges.select("u", "v").persist()
     # degree over the undirected edge set
     ends = edges.select(F.col("u").alias("node")).unionAll(
         edges.select(F.col("v").alias("node"))
     )
-    deg = ends.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    deg = ends.groupBy("node").agg(F.count(F.lit(1)).alias("deg")).persist()
 
     # orient: src = smaller endpoint under (deg, node), dst = larger
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
@@ -60,7 +66,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     oriented = with_deg.select(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-    )
+    ).persist()
 
     # wedges at each pivot src: pairs of out-neighbors, ordered by the
     # same total order the orientation used — which is exactly "an

@@ -214,3 +214,62 @@ def test_grouping_sets_single_expand_aggregate(spark):
     assert "Expand" in plan
     assert count_scans(df) == 1
     assert count_shuffles(df) <= 2
+
+
+def test_q4_q12_q13_shapes(spark):
+    """Q4-shape plans a LEFT SEMI join (EXISTS, no fan-out); Q12's
+    fact-fact join + 5-group aggregate stays at 3 exchanges; Q13 keeps
+    the 0-order customers via a left OUTER join and two cascading
+    aggregates."""
+    q4 = _df(spark, "order_priority_returns")
+    assert "LeftSemi" in physical_plan(q4)
+
+    q12 = _df(spark, "late_shipments_by_priority")
+    assert count_shuffles(q12) <= 3
+    assert_no_cartesian(q12)
+
+    q13 = _df(spark, "customer_order_distribution")
+    assert "LeftOuter" in physical_plan(q13) or "RightOuter" in physical_plan(
+        q13
+    )
+    assert count_shuffles(q13) <= 4
+
+
+def test_q18_aggregates_before_join(spark):
+    """Q18-shape: the lineitem quantity aggregate (and its HAVING
+    filter) must sit BELOW the 3-table join in the plan — joining the
+    filtered heavy tail, never the raw fact table."""
+    import re
+
+    plan = physical_plan(_df(spark, "large_volume_customers"))
+    # the details section numbers nodes in execution (leaf-to-root)
+    # order: the quantity aggregate must carry a LOWER number than
+    # every join node.
+    nodes = re.findall(r"\((\d+)\) (\w+)", plan)
+    agg_ns = [int(n) for n, op in nodes if op == "HashAggregate"]
+    join_ns = [
+        int(n)
+        for n, op in nodes
+        if op in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+    ]
+    assert agg_ns and join_ns and min(agg_ns) < min(join_ns), nodes
+
+
+def test_q22_anti_join_and_scalar_broadcast(spark):
+    """Q22-shape: the no-recent-orders side is a LEFT ANTI join and the
+    balance threshold attaches as a broadcast scalar, never a driver
+    round-trip (the plan has no more than the designed shuffles:
+    threshold agg, anti join, segment rollup)."""
+    df = _df(spark, "dormant_high_value_customers")
+    plan = physical_plan(df)
+    assert "LeftAnti" in plan
+    assert count_broadcasts(df) >= 1
+
+
+def test_triangle_count_reuses_edge_build(spark):
+    """The degree-ordered triangle count references the edge frame
+    from five places; the persisted frames must keep the plan at its
+    designed shuffle budget instead of re-expanding the co-purchase
+    self-join per reference (74 exchanges before the persist fix)."""
+    df = _df(spark, "part_triangle_count")
+    assert count_shuffles(df) <= 20
