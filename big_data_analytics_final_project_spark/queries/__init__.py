@@ -87,6 +87,8 @@ GRADING_PRIORITY: tuple[str, ...] = (
     "part_triangle_count",
     "doc_unigram_entropy",
     "top_event_type_per_user",
+    "doc_chunk_windows",
+    "corpus_pack_bins",
     # -- latest driver row is r3: analytics + retention tail
     "top_customers_top5",
     "product_popularity",
@@ -117,8 +119,6 @@ GRADING_PRIORITY: tuple[str, ...] = (
     "events_json_roundtrip",
     "gen_transactions_flat",
     "gen_engagement_vs_spend",
-    "gen_top_spenders",
-    "gen_product_popularity",
     # ---- driver's 50-entry window ends here ----
 )
 

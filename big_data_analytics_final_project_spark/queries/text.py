@@ -882,11 +882,149 @@ ORDER BY doc_id
 """
 
 
+_CHUNK = 32  # tokens per chunk window
+_STRIDE = 24  # window step (25% overlap), the HF-tokenizer convention
+_PACK_CAP = 256  # tokens per packed training sequence
+_PACK_SHARDS = 4  # packing parallelism knob (see corpus_pack_bins)
+
+
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the context-length splitter
+    every training pipeline runs before tokenized sequences ship
+    (window `_CHUNK` tokens, stride `_STRIDE`, 25% overlap so no
+    boundary context is lost).
+
+    Scale: map-side only — explode(sequence(...)) over each doc's own
+    start offsets, slice + join from the already-materialized token
+    array, no shuffle until the output sort. Output is one row per
+    chunk with its token span, so downstream tokenization can route
+    chunks independently of their parent docs."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", tokens(F.col("text")).alias("_toks")
+    ).select("doc_id", "_toks", F.size("_toks").alias("_n"))
+    chunks = toked.select(
+        "doc_id",
+        "_toks",
+        "_n",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.col("_n"), F.lit(1)), F.lit(_STRIDE))
+        ).alias("start"),
+    )
+    sliced = F.slice(F.col("_toks"), F.col("start"), _CHUNK)
+    return (
+        chunks.select(
+            "doc_id",
+            ((F.col("start") - 1) / _STRIDE).cast("int").alias("chunk_id"),
+            "start",
+            F.size(sliced).alias("n_tokens"),
+            F.array_join(sliced, " ").alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+DOC_CHUNK_WINDOWS_SQL = f"""
+WITH toked AS (
+  SELECT doc_id, {_TOKS} AS toks, len({_TOKS}) AS n FROM documents
+),
+chunks AS (
+  SELECT doc_id, toks, n,
+         unnest(generate_series(1, greatest(n, 1), {_STRIDE})) AS start
+  FROM toked
+)
+SELECT doc_id,
+       CAST((start - 1) / {_STRIDE} AS INTEGER) AS chunk_id,
+       start,
+       len(list_slice(toks, start, start + {_CHUNK} - 1)) AS n_tokens,
+       array_to_string(list_slice(toks, start, start + {_CHUNK} - 1), ' ')
+         AS chunk_text
+FROM chunks
+ORDER BY doc_id, chunk_id
+"""
+
+
+def corpus_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sequence packing — the pretraining batcher:
+    within each (source, shard), documents are concatenated in doc_id
+    order and the stream is cut every `_PACK_CAP` tokens; each bin
+    becomes one fixed-length training sequence (docs may straddle a
+    cut — that IS concat-split semantics, what GPT-style pipelines do,
+    as opposed to first-fit packing whose greedy state is inherently
+    sequential).
+
+    Scale: the running token sum is a window PARTITIONED by
+    (source, shard) — never global. `_PACK_SHARDS` is the parallelism
+    knob: shards-per-source ∝ cluster size bounds every window
+    partition at corpus_size/(sources×shards), and each shard's bins
+    are independent training shards by construction. Output is the
+    per-bin manifest (doc count, token count, fill)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id",
+        "source",
+        F.pmod(F.col("doc_id"), F.lit(_PACK_SHARDS)).alias("shard"),
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toked.select(
+        "source",
+        "shard",
+        "doc_id",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / _PACK_CAP)
+        .cast("bigint")
+        .alias("bin"),
+    )
+    return (
+        packed.groupBy("source", "shard", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("source", "shard", "bin")
+    )
+
+
+CORPUS_PACK_BINS_SQL = f"""
+WITH toked AS (
+  SELECT doc_id, source,
+         doc_id % {_PACK_SHARDS} AS shard,
+         len({_TOKS}) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT source, shard, doc_id, n_tokens,
+         CAST(floor((SUM(n_tokens) OVER (
+                PARTITION BY source, shard ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+              ) - n_tokens) / {_PACK_CAP}) AS BIGINT) AS bin
+  FROM toked
+)
+SELECT source, shard, bin,
+       count(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc
+FROM packed
+GROUP BY source, shard, bin
+ORDER BY source, shard, bin
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "doc_token_stats": QuerySpec(doc_token_stats, DOC_TOKEN_STATS_SQL),
     "doc_unigram_entropy": QuerySpec(
         doc_unigram_entropy, DOC_UNIGRAM_ENTROPY_SQL
     ),
+    "doc_chunk_windows": QuerySpec(doc_chunk_windows, DOC_CHUNK_WINDOWS_SQL),
+    "corpus_pack_bins": QuerySpec(corpus_pack_bins, CORPUS_PACK_BINS_SQL),
     "doc_sample_stratified": QuerySpec(
         doc_sample_stratified, DOC_SAMPLE_STRATIFIED_SQL
     ),

@@ -39,6 +39,12 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     specs = all_queries()
+    unknown = only - specs.keys()
+    if unknown:
+        # a typo'd / unregistered name must fail loudly — silently
+        # checking nothing reads as "0 failures"
+        print(f"unknown queries: {sorted(unknown)}", file=sys.stderr)
+        return 2
     failed: list[str] = []
     for name in sorted(specs):
         if only and name not in only:
