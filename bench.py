@@ -64,6 +64,11 @@ HEADLINE = [
     "embedding_kmeans_1iter",
     "doc_quality_score",
     "doc_repetition_stats",
+    # added r5 (totals not comparable to BENCH_r4 on these lines):
+    # the registry's only fact-fact shuffle-join shape, and the
+    # explode-heavy chunking map op
+    "late_shipments_by_priority",
+    "doc_chunk_windows",
     # events-family heavyweights, benched under the repo session since
     # round 2 (round 1 hid an events-session bug from the driver;
     # keeping them here makes regressions visible round-over-round)

@@ -38,13 +38,15 @@ class QuerySpec:
 # were never driver-graded + this round's 17 new queries + the
 # de-broadcast doc_top_keywords fix, then the queries whose latest
 # row is r3 (the extension families rotated out in r4). Squeezed out
-# to fit the second new-query batch in the 50: the 4 r4-green
+# to fit the later new-query batches in the 50: the 4 r4-green
 # flagships (pricing_summary, revenue_by_brand, also_bought_pairs,
-# dedup_jaccard_pairs) and 4 r3 roundtrip/generated entries
+# dedup_jaccard_pairs) and 8 r3 roundtrip/generated entries
 # (json_ingest_roundtrip, json_ingest_with_errors,
-# report_csv_roundtrip, gen_also_bought_pairs — suite-covered
-# maintenance paths, the lowest-risk holders of a stale row).
-# Round-6 should rotate in: those 4 r3-stale entries FIRST, then the
+# report_csv_roundtrip, gen_also_bought_pairs, gen_top_spenders,
+# gen_product_popularity, gen_transactions_flat,
+# gen_engagement_vs_spend — suite-covered generator/maintenance
+# paths, the lowest-risk holders of a stale row).
+# Round-6 should rotate in: those 8 r3-stale entries FIRST, then the
 # ~40 r4-green queries resting this round.
 #
 # `daily_active_users_approx` is ORACLE-EXEMPT BY DESIGN: it computes
@@ -89,6 +91,8 @@ GRADING_PRIORITY: tuple[str, ...] = (
     "top_event_type_per_user",
     "doc_chunk_windows",
     "corpus_pack_bins",
+    "small_order_revenue",
+    "media_wav_meta",
     # -- latest driver row is r3: analytics + retention tail
     "top_customers_top5",
     "product_popularity",
@@ -117,8 +121,6 @@ GRADING_PRIORITY: tuple[str, ...] = (
     # -- latest row r3: export/roundtrip/generated/maintenance
     "events_rowkey_export",
     "events_json_roundtrip",
-    "gen_transactions_flat",
-    "gen_engagement_vs_spend",
     # ---- driver's 50-entry window ends here ----
 )
 

@@ -1149,6 +1149,73 @@ ORDER BY c_mktsegment
 """
 
 
+def small_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-shaped small-order revenue: for one brand's parts,
+    the yearly revenue locked in orders below 20% of that part's
+    average order quantity — the CORRELATED per-group threshold shape,
+    decorrelated into a pre-aggregate + join (the rewrite Catalyst
+    itself applies to correlated scalar subqueries, stated here
+    explicitly so the plan is one aggregate + two joins, never a
+    per-row re-scan).
+
+    Scale: the per-part threshold aggregate shuffles lineitem once on
+    partkey (map-side partials); the brand slice of `part` is a
+    pushed-down filter and joins without a forced hint (a brand's
+    parts are still millions of rows at 100 TB — AQE broadcasts from
+    runtime stats when small). Threshold arithmetic is exact-decimal
+    sum / count * 0.2, identically ordered in both engines, so
+    boundary membership never flips."""
+    li = load_table(spark, sf_dir, "lineitem")
+    brand_parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    thr = (
+        li.groupBy("l_partkey")
+        .agg(
+            exact_sum("l_quantity", "_s"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select(
+            F.col("l_partkey").alias("t_partkey"),
+            (F.col("_s") / F.col("_n") * F.lit(0.2)).alias("qty_thr"),
+        )
+    )
+    return (
+        li.join(brand_parts, li.l_partkey == brand_parts.p_partkey)
+        .join(thr, li.l_partkey == thr.t_partkey)
+        .filter(F.col("l_quantity") < F.col("qty_thr"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            exact_sum("l_extendedprice", "_sum_price"),
+        )
+        .select(
+            "n_lines",
+            (F.col("_sum_price") / 7.0).alias("avg_yearly"),
+        )
+    )
+
+
+SMALL_ORDER_REVENUE_SQL = """
+WITH thr AS (
+  SELECT l_partkey AS t_partkey,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR)
+              AS DOUBLE) / count(*) * 0.2 AS qty_thr
+  FROM lineitem
+  GROUP BY l_partkey
+)
+SELECT count(*) AS n_lines,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS VARCHAR)
+            AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN thr ON l_partkey = t_partkey
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < qty_thr
+"""
+
+
 def part_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle census of the co-purchase graph: how many part triples
     are pairwise co-purchased — the graph-cohesion statistic next to
@@ -1263,5 +1330,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "part_triangle_count": QuerySpec(
         part_triangle_count, PART_TRIANGLE_COUNT_SQL
+    ),
+    "small_order_revenue": QuerySpec(
+        small_order_revenue, SMALL_ORDER_REVENUE_SQL
     ),
 }

@@ -175,8 +175,108 @@ ORDER BY media_id, frame_idx
 """
 
 
+def _le_hex(col: F.Column, nbytes: int) -> F.Column:
+    """Little-endian hex of a nonnegative integer column (byte-reversed
+    big-endian lpad hex) — RIFF/WAV fields are LE, unlike PNG's BE."""
+    be = F.lpad(F.lower(F.hex(col)), 2 * nbytes, "0")
+    pairs = [F.substring(be, 2 * i + 1, 2) for i in range(nbytes)]
+    return F.concat(*reversed(pairs))
+
+
+def _le_read(payload: F.Column, off: int, nbytes: int) -> F.Column:
+    """Parse a little-endian unsigned int at 1-based byte offset."""
+    pairs = [
+        F.lower(F.hex(F.substring(payload, off + i, 1)))
+        for i in range(nbytes)
+    ]
+    return F.conv(F.concat(*reversed(pairs)), 16, 10).cast("bigint")
+
+
+def media_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-metadata pass: spec-correct 44-byte WAV (RIFF) headers are
+    synthesized per doc (channels/rate/sample-count derived from
+    doc_id) and the query recovers channels, sample rate, bit depth,
+    sample count and duration by LITTLE-endian offset arithmetic on
+    the binary — the endianness twin of `media_png_dims`' big-endian
+    parse, still pure codegen'd expressions, no UDF, no codec.
+
+    The oracle re-derives every field from first principles, so the
+    hash match proves the byte-swap parse reads exactly what the
+    byte-swap writer encoded. At 100 TB this is the audio lake's
+    metadata scan (duration histograms, sample-rate audits) that runs
+    BEFORE any decode ships to GPUs."""
+    docs = load_table(spark, sf_dir, "documents")
+    channels = (F.col("doc_id") % 2 + 1).cast("bigint")
+    rate = (
+        F.when(F.col("doc_id") % 3 == 0, 8000)
+        .when(F.col("doc_id") % 3 == 1, 16000)
+        .otherwise(44100)
+        .cast("bigint")
+    )
+    n_samples = (F.col("doc_id") % 4000 + 500).cast("bigint")
+    block_align = channels * 2  # 16-bit PCM
+    data_len = n_samples * block_align
+    payload = F.unhex(
+        F.concat(
+            F.lit("52494646"),  # 'RIFF'
+            _le_hex(data_len + 36, 4),  # chunk size
+            F.lit("57415645666d7420"),  # 'WAVE' + 'fmt '
+            _le_hex(F.lit(16), 4),  # fmt chunk size
+            _le_hex(F.lit(1), 2),  # PCM
+            _le_hex(channels, 2),
+            _le_hex(rate, 4),
+            _le_hex(rate * block_align, 4),  # byte rate
+            _le_hex(block_align, 2),
+            _le_hex(F.lit(16), 2),  # bits per sample
+            F.lit("64617461"),  # 'data'
+            _le_hex(data_len, 4),
+        )
+    )
+    synthesized = docs.select(
+        F.col("doc_id").alias("media_id"), payload.alias("payload")
+    )
+    p = F.col("payload")
+    got_rate = _le_read(p, 25, 4)
+    got_samples = (
+        _le_read(p, 41, 4) / _le_read(p, 33, 2)
+    ).cast("bigint")  # data_len / block_align (always exact)
+    parsed = with_binary_meta(synthesized).select(
+        "media_id",
+        "format",
+        "byte_len",
+        _le_read(p, 23, 2).alias("channels"),
+        got_rate.alias("sample_rate"),
+        _le_read(p, 35, 2).alias("bit_depth"),
+        got_samples.alias("n_samples"),
+        F.floor(got_samples * 1_000_000 / got_rate)
+        .cast("bigint")
+        .alias("duration_us"),
+    )
+    return parsed.orderBy("media_id")
+
+
+MEDIA_WAV_META_SQL = """
+SELECT doc_id AS media_id,
+       'riff' AS format,
+       44 AS byte_len,
+       CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 8000
+                 WHEN doc_id % 3 = 1 THEN 16000
+                 ELSE 44100 END AS BIGINT) AS sample_rate,
+       CAST(16 AS BIGINT) AS bit_depth,
+       CAST(doc_id % 4000 + 500 AS BIGINT) AS n_samples,
+       CAST(floor(CAST(doc_id % 4000 + 500 AS DOUBLE) * 1000000
+                  / (CASE WHEN doc_id % 3 = 0 THEN 8000
+                          WHEN doc_id % 3 = 1 THEN 16000
+                          ELSE 44100 END)) AS BIGINT) AS duration_us
+FROM documents
+ORDER BY media_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "binary_meta": QuerySpec(binary_meta, BINARY_META_SQL),
+    "media_wav_meta": QuerySpec(media_wav_meta, MEDIA_WAV_META_SQL),
     "media_png_dims": QuerySpec(media_png_dims, MEDIA_PNG_DIMS_SQL),
     "media_feature_knn": QuerySpec(media_feature_knn, _media_feature_knn_sql()),
     "media_frame_sample": QuerySpec(media_frame_sample, MEDIA_FRAME_SAMPLE_SQL),

@@ -87,3 +87,23 @@ def test_ntile_bucket_arithmetic_property(spark):
         assert sorted(got.collect()) == sorted(want.collect())
 
     check()
+
+
+def test_ntile_qr_arithmetic_property(spark):
+    """Hypothesis-style sweep of the q/r bucket arithmetic (r4 verdict
+    hardening): across awkward (n, tiles) pairs — n < tiles, n = tiles,
+    tiles ∤ n, tiles = 1 — the two-level ntile must stay bit-identical
+    to the global-window form."""
+    from pyspark.sql import Window
+
+    for n, tiles in [(1, 1), (2, 3), (3, 2), (12, 12), (13, 12), (11, 1),
+                     (25, 4), (24, 4), (23, 4), (100, 33)]:
+        df = _frame(spark, n)
+        order = [F.col("v"), F.col("id")]
+        got = with_global_ntile(
+            df, tiles, order, out_col="t", num_partitions=3
+        )
+        want = df.withColumn(
+            "t", F.ntile(tiles).over(Window.orderBy(*order))
+        )
+        assert sorted(got.collect()) == sorted(want.collect()), (n, tiles)
