@@ -358,6 +358,120 @@ def minhash_signatures(
     return exploded.groupBy("doc_id").agg(*aggs)
 
 
+def _bands_long(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Long-form LSH band relation (doc_id, band_idx, band_key)."""
+    sigs = minhash_signatures(docs, text_col, id_col)
+    return sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
+
+
+def minhash_lsh_pairs_incremental(
+    corpus: DataFrame,
+    new: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Asymmetric MinHash-LSH: near-dups of the NEW batch against the
+    EXISTING corpus — the incremental-curation shape (a crawl delta
+    screened against 100 TB already ingested). The band join probes
+    new-batch bands against corpus bands ONLY, so candidates (and the
+    exact-Jaccard verify) scale with |new| × collision rate — the
+    corpus×corpus quadrant the symmetric operator would also search
+    never exists. In production the corpus band table is precomputed
+    at ingest and this probe touches just the matching buckets.
+
+    Output: (new_doc, corpus_doc, jaccard ≥ threshold), verified
+    exactly like `minhash_lsh_pairs`."""
+    new_bands = _bands_long(new, text_col, id_col).select(
+        F.col("doc_id").alias("new_doc"), "band_idx", "band_key"
+    )
+    corpus_bands = _bands_long(corpus, text_col, id_col).select(
+        F.col("doc_id").alias("corpus_doc"), "band_idx", "band_key"
+    )
+    cands = (
+        new_bands.join(corpus_bands, ["band_idx", "band_key"])
+        .select("new_doc", "corpus_doc")
+        .dropDuplicates()
+    )
+    sets_n = _shingle_sets(new, text_col, id_col).select(
+        F.col("doc_id").alias("new_doc"), F.col("terms").alias("terms_n")
+    )
+    sets_c = _shingle_sets(corpus, text_col, id_col).select(
+        F.col("doc_id").alias("corpus_doc"), F.col("terms").alias("terms_c")
+    )
+    n_common = F.size(F.array_intersect(F.col("terms_n"), F.col("terms_c")))
+    return (
+        cands.join(sets_n, "new_doc")
+        .join(sets_c, "corpus_doc")
+        .withColumn(
+            "jaccard",
+            n_common.cast("double")
+            / (F.size("terms_n") + F.size("terms_c") - n_common),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_doc", "corpus_doc", "jaccard")
+        .orderBy("new_doc", "corpus_doc")
+    )
+
+
+def minhash_lsh_pairs_incremental_sql(
+    new_pred: str, threshold: float = 0.8
+) -> str:
+    """DuckDB twin of the asymmetric probe; ``new_pred`` is a boolean
+    SQL expression over `documents` columns selecting the new batch."""
+    mh_cols = ", ".join(
+        f"min(md5('{s}:' || term)) AS mh{s}" for s in range(N_SEEDS)
+    )
+    band_cols = ", ".join(
+        f"mh{2 * b} || mh{2 * b + 1} AS band{b}" for b in range(N_BANDS)
+    )
+    band_joins = "\nUNION\n".join(
+        f"SELECT n.doc_id AS new_doc, c.doc_id AS corpus_doc "
+        f"FROM newb n JOIN corpb c ON n.band{b} = c.band{b}"
+        for b in range(N_BANDS)
+    )
+    return f"""
+WITH {_SHINGLE_SETS_CTE},
+exploded AS (SELECT doc_id, unnest(terms) AS term FROM sets),
+sigs AS (SELECT doc_id, {mh_cols} FROM exploded GROUP BY doc_id),
+bands AS (SELECT doc_id, {band_cols} FROM sigs),
+newb AS (
+  SELECT b.* FROM bands b JOIN documents d USING (doc_id)
+  WHERE {new_pred}
+),
+corpb AS (
+  SELECT b.* FROM bands b JOIN documents d USING (doc_id)
+  WHERE NOT ({new_pred})
+),
+cands AS ({band_joins}),
+verified AS (
+  SELECT c.new_doc, c.corpus_doc,
+         len(list_intersect(sn.terms, sc.terms)) AS n_common,
+         len(sn.terms) AS sz_n, len(sc.terms) AS sz_c
+  FROM cands c
+  JOIN sets sn ON sn.doc_id = c.new_doc
+  JOIN sets sc ON sc.doc_id = c.corpus_doc
+)
+SELECT new_doc, corpus_doc,
+       CAST(n_common AS DOUBLE) / (sz_n + sz_c - n_common) AS jaccard
+FROM verified
+WHERE CAST(n_common AS DOUBLE) / (sz_n + sz_c - n_common) >= {threshold}
+ORDER BY new_doc, corpus_doc
+"""
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float = 0.8,
@@ -374,24 +488,13 @@ def minhash_lsh_pairs(
     what makes the operator the 100 TB path: the all-pairs inverted-
     index join of `jaccard_pairs` never runs here.
     """
-    sigs = minhash_signatures(docs, text_col, id_col)
     # One long-form (doc_id, band_idx, band_key) relation and ONE
     # self-join on (band_idx, band_key) — instead of N_BANDS separate
     # joins, whose differing projections defeat Spark's ReuseExchange
     # and recompute the signature pipeline 2×N_BANDS times. Here both
     # join sides are the identical subplan, so the signature shuffle is
     # computed once and reused.
-    bands_long = sigs.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.concat(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("band_idx", "band_key"),
-    )
+    bands_long = _bands_long(docs, text_col, id_col)
     cands = (
         bands_long.alias("a")
         .join(bands_long.alias("b"), ["band_idx", "band_key"])

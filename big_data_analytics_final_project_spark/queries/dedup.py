@@ -13,6 +13,8 @@ from ..operators.dedup import (
     jaccard_pairs,
     jaccard_pairs_sql,
     minhash_lsh_pairs,
+    minhash_lsh_pairs_incremental,
+    minhash_lsh_pairs_incremental_sql,
     minhash_lsh_pairs_sql,
     overlap_coeff_pairs,
     overlap_coeff_pairs_sql,
@@ -166,8 +168,29 @@ def doc_dedup_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# src16-19 play the newly-crawled delta; src0-15 the standing corpus.
+_NEW_BATCH_PRED = "source IN ('src16', 'src17', 'src18', 'src19')"
+
+
+def dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup: the newly-crawled batch (src16-19)
+    screened against the standing corpus (src0-15) with the asymmetric
+    LSH probe (operators/dedup.minhash_lsh_pairs_incremental) — the
+    shape every production curation loop runs per crawl, where the
+    corpus×corpus quadrant must never be re-searched."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.col("source").isin("src16", "src17", "src18", "src19")
+    return minhash_lsh_pairs_incremental(
+        docs.filter(~is_new), docs.filter(is_new), threshold=MINHASH_THRESHOLD
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(dedup_exact_q, DEDUP_EXACT_SQL),
+    "dedup_incremental": QuerySpec(
+        dedup_incremental_q,
+        minhash_lsh_pairs_incremental_sql(_NEW_BATCH_PRED, MINHASH_THRESHOLD),
+    ),
     "dedup_jaccard_pairs": QuerySpec(
         dedup_jaccard_q, jaccard_pairs_sql(JACCARD_THRESHOLD, use_shingles=True)
     ),
