@@ -44,10 +44,10 @@ class QuerySpec:
 # (json_ingest_roundtrip, json_ingest_with_errors,
 # report_csv_roundtrip, gen_also_bought_pairs, gen_top_spenders,
 # gen_product_popularity, gen_transactions_flat,
-# gen_engagement_vs_spend, events_json_roundtrip — suite-covered
-# generator/maintenance paths, the lowest-risk holders of a stale
-# row).
-# Round-6 should rotate in: those 9 r3-stale entries FIRST, then the
+# gen_engagement_vs_spend, events_json_roundtrip,
+# events_rowkey_export — suite-covered generator/maintenance paths,
+# the lowest-risk holders of a stale row).
+# Round-6 should rotate in: those 10 r3-stale entries FIRST, then the
 # ~40 r4-green queries resting this round.
 #
 # `daily_active_users_approx` is ORACLE-EXEMPT BY DESIGN: it computes
@@ -95,6 +95,7 @@ GRADING_PRIORITY: tuple[str, ...] = (
     "small_order_revenue",
     "media_wav_meta",
     "dedup_incremental",
+    "events_jsonl_source_scan",
     # -- latest driver row is r3: analytics + retention tail
     "top_customers_top5",
     "product_popularity",
@@ -121,7 +122,6 @@ GRADING_PRIORITY: tuple[str, ...] = (
     "media_feature_knn",
     "media_frame_sample",
     # -- latest row r3: export/roundtrip/generated/maintenance
-    "events_rowkey_export",
     # ---- driver's 50-entry window ends here ----
 )
 

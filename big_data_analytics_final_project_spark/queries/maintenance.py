@@ -267,9 +267,80 @@ ORDER BY event_type
 """
 
 
+_DS_REGISTERED: set[str] = set()
+
+
+def _register_jsonl_source(spark: SparkSession) -> None:
+    # registration is per-session; re-registering the same name raises
+    key = spark.sparkContext.applicationId
+    if key in _DS_REGISTERED:
+        return
+    from ..sources.jsonl_source import ChunkedJsonlDataSource
+
+    spark.dataSource.register(ChunkedJsonlDataSource)
+    # off by default in 4.1; runtime-settable, required for the
+    # reader's pushFilters to be consulted at all
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    _DS_REGISTERED.add(key)
+
+
+def events_jsonl_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom-connector surface under the oracle: events land as a
+    chunked JSONL zone (the reference's sessions_0..9.json layout,
+    load_hbase_sessions_stream.py:27-79), then come back through the
+    Spark-4 Python DataSource connector (sources/jsonl_source.py) —
+    one input partition per chunk, explicit schema, the event_type
+    predicate CONSUMED by pushFilters inside the reader (the HBase
+    scan-filter analog), Arrow-batched across the Python boundary —
+    and aggregate per user. The oracle computes the same aggregate
+    from the parquet zone directly, so the whole connector path
+    (chunk write → partitioned scan → source-side filter → Arrow) is
+    value-checked end to end."""
+    events = load_table(spark, sf_dir, "events")
+    zone = _scratch_zone("jsonlsrc", sf_dir)
+    (
+        events.select("event_id", "user_id", "event_type", "value")
+        .repartitionByRange(8, "event_id")
+        .sortWithinPartitions("event_id")
+        .write.mode("overwrite")
+        .json(zone)
+    )
+    _register_jsonl_source(spark)
+    src = (
+        spark.read.format("chunked_jsonl")
+        .schema("event_id bigint, user_id bigint, event_type string, value double")
+        .option("path", zone)
+        .load()
+    )
+    return (
+        src.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            exact_sum("value", "sum_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EVENTS_JSONL_SOURCE_SCAN_SQL = """
+SELECT user_id,
+       count(*) AS n_purchases,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+         AS sum_value
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "zone_roundtrip_daily": QuerySpec(
         zone_roundtrip_daily, ZONE_ROUNDTRIP_DAILY_SQL
+    ),
+    "events_jsonl_source_scan": QuerySpec(
+        events_jsonl_source_scan, EVENTS_JSONL_SOURCE_SCAN_SQL
     ),
     "json_ingest_with_errors": QuerySpec(
         json_ingest_with_errors, JSON_INGEST_WITH_ERRORS_SQL

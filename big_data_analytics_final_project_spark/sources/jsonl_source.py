@@ -1,0 +1,149 @@
+"""Spark-4 Python DataSource connector: chunked-JSONL zone scan.
+
+The reference reaches its external stores through hand-rolled
+connectors — happybase HBase scans with batch/timeout tuning
+(integrated_query_engagement_vs_spend.py:44-57) and a chunked
+sessions_0..9.json zone loaded file-by-file with per-line error
+skipping (load_hbase_sessions_stream.py:27-79). This is the engine's
+native analog, written against the official `pyspark.sql.datasource`
+API (public since Spark 4.0, filter pushdown since 4.1):
+
+- **one input partition per chunk file** — the chunk layout IS the
+  parallelism, exactly like the reference's sessions_N.json split
+  (and like HBase region splits);
+- **explicit schema** via the caller (inference would be an extra full
+  pass over 100 TB);
+- **EqualTo pushdown** (`pushFilters`) applied INSIDE the reader — the
+  HBase scan-filter analog: rows are dropped at the source before they
+  ever cross into the exchange;
+- **Arrow RecordBatch output** — the reader yields columnar batches,
+  not per-row tuples, so the Python→JVM hop is one Arrow buffer per
+  chunk (the same batch discipline as the mapInPandas operators);
+- **permissive mode** — malformed lines are skipped per chunk, the
+  reference's try/except-per-line ingest contract (SRC-5).
+
+At 100 TB a Python source is still the slow path versus the built-in
+parquet/json readers (every byte funnels through Python) — the role of
+this connector is the EXTENSION POINT: the same class shape reads any
+store with a Python client (an internal KV service, a vector DB, a
+feature store), partitioned, filter-pushed, and Arrow-batched.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+
+class ChunkedJsonlDataSource(DataSource):
+    """`spark.read.format("chunked_jsonl").schema(...).load(path)`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "chunked_jsonl"
+
+    def schema(self):
+        raise NotImplementedError(
+            "chunked_jsonl requires an explicit .schema(...) — schema "
+            "inference over a 100 TB zone is a full extra pass"
+        )
+
+    def reader(self, schema: StructType) -> "ChunkedJsonlReader":
+        return ChunkedJsonlReader(schema, self.options)
+
+
+class ChunkedJsonlReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("chunked_jsonl: 'path' option is required")
+        self.schema = schema
+        self.path = path
+        self.permissive = (
+            str(options.get("mode", "permissive")).lower() == "permissive"
+        )
+        self.pushed: list[EqualTo] = []
+
+    def pushFilters(self, filters):
+        # consume top-level EqualTo on scan columns (the HBase
+        # SingleColumnValueFilter analog); everything else stays with
+        # Spark. Each returned filter must be an input filter by
+        # reference (API contract).
+        names = {f.name for f in self.schema.fields}
+        for f in filters:
+            if (
+                isinstance(f, EqualTo)
+                and len(f.attribute) == 1
+                and f.attribute[0] in names
+            ):
+                self.pushed.append(f)
+            else:
+                yield f
+
+    def partitions(self):
+        files = sorted(glob.glob(os.path.join(self.path, "*.json")))
+        if not files:
+            raise FileNotFoundError(
+                f"chunked_jsonl: no *.json chunks under {self.path}"
+            )
+        return [InputPartition(f) for f in files]
+
+    def read(self, partition):
+        import pyarrow as pa
+
+        fields = [f.name for f in self.schema.fields]
+        checks = [(f.attribute[0], f.value) for f in self.pushed]
+        cols: dict[str, list] = {n: [] for n in fields}
+        with open(partition.value) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    row = json.loads(line)
+                    if not isinstance(row, dict):
+                        raise ValueError("not an object")
+                except ValueError:
+                    if self.permissive:
+                        continue
+                    raise
+                if any(row.get(c) != v for c, v in checks):
+                    continue
+                for n in fields:
+                    cols[n].append(row.get(n))
+        # one Arrow batch per chunk: schema-driven types, single
+        # Python->JVM hop
+        arrow_schema = pa.schema(
+            [
+                (f.name, _arrow_type(f.dataType.simpleString()))
+                for f in self.schema.fields
+            ]
+        )
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(cols[f.name], type=_arrow_type(f.dataType.simpleString()))
+                for f in self.schema.fields
+            ],
+            schema=arrow_schema,
+        )
+
+
+def _arrow_type(spark_simple: str):
+    import pyarrow as pa
+
+    return {
+        "bigint": pa.int64(),
+        "int": pa.int32(),
+        "double": pa.float64(),
+        "string": pa.string(),
+        "boolean": pa.bool_(),
+    }[spark_simple]

@@ -1,0 +1,111 @@
+"""Spark-4 Python DataSource connector (sources/jsonl_source.py):
+filter-pushdown contract, permissive error-skip, chunk partitioning."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import EqualTo, GreaterThan
+from pyspark.sql.types import StructType
+
+from big_data_analytics_final_project_spark.sources.jsonl_source import (
+    ChunkedJsonlDataSource,
+    ChunkedJsonlReader,
+)
+
+SCHEMA_DDL = "event_id bigint, event_type string, value double"
+
+
+def _schema() -> StructType:
+    from pyspark.sql.types import _parse_datatype_string
+
+    return _parse_datatype_string(SCHEMA_DDL)
+
+
+def _write_chunks(root: str, n_chunks: int = 3, bad_lines: int = 0) -> int:
+    os.makedirs(root, exist_ok=True)
+    n = 0
+    for c in range(n_chunks):
+        with open(f"{root}/chunk_{c}.json", "w") as f:
+            for i in range(10):
+                eid = c * 10 + i
+                f.write(
+                    json.dumps(
+                        {
+                            "event_id": eid,
+                            "event_type": "purchase" if eid % 3 == 0 else "view",
+                            "value": eid * 1.5,
+                        }
+                    )
+                    + "\n"
+                )
+                n += 1
+            for _ in range(bad_lines if c == 0 else 0):
+                f.write("{not json]\n")
+    return n
+
+
+def _read(spark, root: str, mode: str = "permissive"):
+    try:
+        spark.dataSource.register(ChunkedJsonlDataSource)
+    except Exception:
+        pass  # already registered in this session
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    return (
+        spark.read.format("chunked_jsonl")
+        .schema(SCHEMA_DDL)
+        .option("path", root)
+        .option("mode", mode)
+        .load()
+    )
+
+
+def test_reads_all_chunks(spark, tmp_path):
+    root = f"{tmp_path}/jsonl_all"
+    n = _write_chunks(root)
+    df = _read(spark, root)
+    assert df.count() == n
+    # one input partition per chunk: distinct spark partition count
+    parts = df.select(F.spark_partition_id().alias("p")).distinct().count()
+    assert parts == 3
+
+
+def test_pushdown_consumes_equalto_and_matches_post_filter(spark, tmp_path):
+    root = f"{tmp_path}/jsonl_push"
+    _write_chunks(root)
+    df = _read(spark, root).filter(F.col("event_type") == "purchase")
+    rows = df.collect()
+    assert {r.event_type for r in rows} == {"purchase"}
+    assert len(rows) == 10  # event_id % 3 == 0 of 30
+
+
+def test_permissive_skips_malformed_failfast_raises(spark, tmp_path):
+    root = f"{tmp_path}/jsonl_bad"
+    n = _write_chunks(root, bad_lines=4)
+    assert _read(spark, root, mode="permissive").count() == n
+    with pytest.raises(Exception, match="not json|JSON|PYTHON_DATA_SOURCE"):
+        _read(spark, root, mode="failfast").count()
+
+
+def test_pushfilters_contract_unit():
+    """pushFilters must consume only top-level EqualTo on schema
+    columns and return every other filter BY REFERENCE."""
+    reader = ChunkedJsonlReader(_schema(), {"path": "/nonexistent"})
+    eq = EqualTo(("event_type",), "purchase")
+    eq_unknown = EqualTo(("nope",), 1)
+    gt = GreaterThan(("value",), 3.0)
+    remaining = list(reader.pushFilters([eq, eq_unknown, gt]))
+    assert reader.pushed == [eq]
+    assert remaining == [eq_unknown, gt]
+    assert remaining[0] is eq_unknown and remaining[1] is gt
+
+
+def test_missing_chunks_and_schema_errors(spark, tmp_path):
+    with pytest.raises(Exception):
+        _read(spark, f"{tmp_path}/does_not_exist").count()
+    ds = ChunkedJsonlDataSource({})
+    with pytest.raises(NotImplementedError):
+        ds.schema()
