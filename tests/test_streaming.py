@@ -432,3 +432,138 @@ def test_session_window_stream_smoke(spark, stream_dirs):
         "sum_value",
     ]
     assert rows.count() > 0
+
+
+def test_transform_with_state_profile_matches_batch(spark, stream_dirs):
+    """transformWithStateInPandas (the Spark-4 stateful API) lifetime
+    profile: after the chunked stream drains, each user's LATEST
+    emitted row must equal the batch aggregate over the same files
+    bit-for-bit — the integer micro-unit totals make the running sum
+    independent of how the stream was chunked."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState needs the protobuf state-server "
+        "protocol; not shipped in this container (env-blocked, like "
+        "the media codecs) — runs on any real cluster",
+    )
+    from big_data_analytics_final_project_spark.streaming.tws import (
+        user_profile_stream,
+    )
+
+    stream = read_event_stream(spark, stream_dirs["src"])
+    q = (
+        user_profile_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("tws_profile_test")
+        .option("checkpointLocation", f"{stream_dirs['root']}/ckpt_tws")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "stream did not finish"
+    emitted = spark.sql("SELECT * FROM tws_profile_test").collect()
+    # latest emission per user = the row with the largest n_events
+    got = {}
+    for r in emitted:
+        cur = got.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            got[r["user_id"]] = (
+                r["n_events"],
+                r["n_purchases"],
+                r["sum_value_q"],
+                r["first_us"],
+                r["last_us"],
+            )
+
+    batch = spark.read.schema(EVENT_SCHEMA).parquet(stream_dirs["src"])
+    want = {
+        r["user_id"]: (
+            r["n_events"],
+            r["n_purchases"],
+            r["sum_value_q"],
+            r["first_us"],
+            r["last_us"],
+        )
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("event_type") == "purchase").cast("bigint")).alias(
+                "n_purchases"
+            ),
+            F.sum(
+                F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("bigint")
+            ).alias("sum_value_q"),
+            F.min(F.unix_micros("ts")).alias("first_us"),
+            F.max(F.unix_micros("ts")).alias("last_us"),
+        )
+        .collect()
+    }
+    assert len(got) == len(want) > 0
+    assert got == want
+
+
+def test_tws_processor_fold_logic_unit():
+    """The TWS processor's fold must be chunking-independent: feeding
+    the same rows as one batch, two batches, or many per-batch chunks
+    yields the identical profile (the integer micro-unit discipline),
+    and matches a direct recompute."""
+    import numpy as np
+    import pandas as pd
+
+    from big_data_analytics_final_project_spark.streaming.tws import (
+        UserProfileProcessor,
+        quantize_micro,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.v = None
+
+        def exists(self):
+            return self.v is not None
+
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = v
+
+    class FakeHandle:
+        def __init__(self):
+            self.state = FakeState()
+
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            return self.state
+
+    rng = np.random.RandomState(3)
+    n = 200
+    pdf = pd.DataFrame(
+        {
+            "user_id": np.full(n, 7),
+            "event_type": rng.choice(["purchase", "view", "click"], n),
+            "value": np.where(rng.rand(n) < 0.1, np.nan, rng.rand(n) * 100),
+            "ts": pd.to_datetime(
+                rng.randint(1_600_000_000, 1_600_100_000, n), unit="s"
+            ),
+        }
+    )
+
+    def run(chunks):
+        proc = UserProfileProcessor()
+        handle = FakeHandle()
+        proc.init(handle)
+        out = None
+        for batch in chunks:
+            for res in proc.handleInputRows((7,), iter(batch), None):
+                out = res
+        return tuple(out.iloc[0])
+
+    one = run([[pdf]])
+    two = run([[pdf.iloc[:90]], [pdf.iloc[90:]]])
+    many = run([[pdf.iloc[i : i + 37] for i in range(0, n, 37)]])
+    assert one == two == many
+    assert one[1] == n  # n_events
+    assert one[2] == int((pdf["event_type"] == "purchase").sum())
+    assert one[3] == quantize_micro(pdf["value"])
+    ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+    assert one[4] == ts_us.min() and one[5] == ts_us.max()
