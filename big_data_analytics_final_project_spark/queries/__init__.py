@@ -45,9 +45,10 @@ class QuerySpec:
 # report_csv_roundtrip, gen_also_bought_pairs, gen_top_spenders,
 # gen_product_popularity, gen_transactions_flat,
 # gen_engagement_vs_spend, events_json_roundtrip,
-# events_rowkey_export — suite-covered generator/maintenance paths,
-# the lowest-risk holders of a stale row).
-# Round-6 should rotate in: those 10 r3-stale entries FIRST, then the
+# events_rowkey_export, media_frame_sample — suite-covered
+# generator/maintenance/multimodal paths, the lowest-risk holders of
+# a stale row).
+# Round-6 should rotate in: those 11 r3-stale entries FIRST, then the
 # ~40 r4-green queries resting this round.
 #
 # `daily_active_users_approx` is ORACLE-EXEMPT BY DESIGN: it computes
@@ -96,6 +97,7 @@ GRADING_PRIORITY: tuple[str, ...] = (
     "media_wav_meta",
     "dedup_incremental",
     "events_jsonl_source_scan",
+    "events_props_variant",
     # -- latest driver row is r3: analytics + retention tail
     "top_customers_top5",
     "product_popularity",
@@ -120,8 +122,6 @@ GRADING_PRIORITY: tuple[str, ...] = (
     "binary_meta",
     "media_png_dims",
     "media_feature_knn",
-    "media_frame_sample",
-    # -- latest row r3: export/roundtrip/generated/maintenance
     # ---- driver's 50-entry window ends here ----
 )
 

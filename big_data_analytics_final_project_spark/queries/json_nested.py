@@ -56,6 +56,33 @@ ORDER BY event_type
 """
 
 
+def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark-4 VARIANT path for semi-structured data: parse_json →
+    binary variant → typed variant_get extraction — the
+    schema-on-read upgrade over `events_props_parse`'s from_json
+    (which needs the schema up front and re-parses text per access).
+    At 100 TB the variant encodes ONCE into a compact binary and every
+    field access is an O(fields) binary probe, which is why lakehouse
+    formats adopted it for JSON columns.
+
+    Shares `events_props_parse`'s oracle verbatim — a differential
+    proof that the variant path computes exactly what the from_json
+    path computes (the pairs_via_hof pattern)."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return (
+        events.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def events_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """from_json → restructure → to_json: the serialize direction of
     FN-14 (reference json.dumps of nested page_views into one cell).
@@ -254,6 +281,9 @@ LIMIT 100
 QUERIES: dict[str, QuerySpec] = {
     "events_rowkey_export": QuerySpec(events_rowkey_export, EVENTS_ROWKEY_EXPORT_SQL),
     "events_props_parse": QuerySpec(events_props_parse, EVENTS_PROPS_PARSE_SQL),
+    "events_props_variant": QuerySpec(
+        events_props_variant, EVENTS_PROPS_PARSE_SQL
+    ),
     "events_json_roundtrip": QuerySpec(events_json_roundtrip, EVENTS_JSON_ROUNDTRIP_SQL),
     "nested_order_items": QuerySpec(nested_order_items, NESTED_ORDER_ITEMS_SQL),
     "order_cart_map": QuerySpec(order_cart_map, ORDER_CART_MAP_SQL),

@@ -40,12 +40,20 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     EqualTo,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
 
 class ChunkedJsonlDataSource(DataSource):
-    """`spark.read.format("chunked_jsonl").schema(...).load(path)`."""
+    """`spark.read.format("chunked_jsonl").schema(...).load(path)` —
+    and the same zone as a STREAM: `spark.readStream.format(...)`,
+    where each newly arriving chunk file becomes (part of) a
+    micro-batch, with exactly-once replay from the chunk-count offset
+    (the reference's "load sessions_N.json as they land" loop,
+    load_hbase_sessions_stream.py:27-79, as a real Structured
+    Streaming source with checkpointed offsets instead of a cursor
+    file)."""
 
     @classmethod
     def name(cls) -> str:
@@ -59,6 +67,11 @@ class ChunkedJsonlDataSource(DataSource):
 
     def reader(self, schema: StructType) -> "ChunkedJsonlReader":
         return ChunkedJsonlReader(schema, self.options)
+
+    def simpleStreamReader(
+        self, schema: StructType
+    ) -> "ChunkedJsonlStreamReader":
+        return ChunkedJsonlStreamReader(schema, self.options)
 
 
 class ChunkedJsonlReader(DataSourceReader):
@@ -103,23 +116,9 @@ class ChunkedJsonlReader(DataSourceReader):
         fields = [f.name for f in self.schema.fields]
         checks = [(f.attribute[0], f.value) for f in self.pushed]
         cols: dict[str, list] = {n: [] for n in fields}
-        with open(partition.value) as fh:
-            for line in fh:
-                line = line.strip()
-                if not line:
-                    continue
-                try:
-                    row = json.loads(line)
-                    if not isinstance(row, dict):
-                        raise ValueError("not an object")
-                except ValueError:
-                    if self.permissive:
-                        continue
-                    raise
-                if any(row.get(c) != v for c, v in checks):
-                    continue
-                for n in fields:
-                    cols[n].append(row.get(n))
+        for row in _parse_chunk(partition.value, self.permissive, checks):
+            for n in fields:
+                cols[n].append(row.get(n))
         # one Arrow batch per chunk: schema-driven types, single
         # Python->JVM hop
         arrow_schema = pa.schema(
@@ -135,6 +134,72 @@ class ChunkedJsonlReader(DataSourceReader):
             ],
             schema=arrow_schema,
         )
+
+
+class ChunkedJsonlStreamReader(SimpleDataSourceStreamReader):
+    """Chunk-count offsets: offset {"i": n} = the first n chunk files
+    (sorted by name) are committed. `read` consumes every chunk that
+    has landed since; `readBetweenOffsets` replays a committed range
+    deterministically after restart — together, exactly-once per
+    chunk. Chunks must be append-only and named monotonically (the
+    reference's sessions_0..9.json convention)."""
+
+    def __init__(self, schema: StructType, options: dict) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("chunked_jsonl: 'path' option is required")
+        self.schema = schema
+        self.path = path
+        self.permissive = (
+            str(options.get("mode", "permissive")).lower() == "permissive"
+        )
+
+    def _files(self) -> list[str]:
+        return sorted(glob.glob(os.path.join(self.path, "*.json")))
+
+    def _rows(self, files: list[str]) -> list[tuple]:
+        # materialized list, not a generator: the runner pickles the
+        # returned rows to ship them into the plan
+        fields = [f.name for f in self.schema.fields]
+        return [
+            tuple(row.get(n) for n in fields)
+            for path in files
+            for row in _parse_chunk(path, self.permissive, [])
+        ]
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def read(self, start: dict):
+        files = self._files()
+        i0 = int(start["i"])
+        return self._rows(files[i0:]), {"i": len(files)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        files = self._files()
+        return self._rows(files[int(start["i"]) : int(end["i"])])
+
+
+def _parse_chunk(path: str, permissive: bool, checks: list):
+    """Per-line JSON objects from one chunk file; malformed lines skip
+    in permissive mode; `checks` are pushed (column, value) equalities
+    applied at the source."""
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                row = json.loads(line)
+                if not isinstance(row, dict):
+                    raise ValueError("not an object")
+            except ValueError:
+                if permissive:
+                    continue
+                raise
+            if any(row.get(c) != v for c, v in checks):
+                continue
+            yield row
 
 
 def _arrow_type(spark_simple: str):

@@ -109,3 +109,58 @@ def test_missing_chunks_and_schema_errors(spark, tmp_path):
     ds = ChunkedJsonlDataSource({})
     with pytest.raises(NotImplementedError):
         ds.schema()
+
+
+def test_streaming_source_incremental_chunks(spark, tmp_path):
+    """The streaming side of the connector: chunk-count offsets give
+    exactly-once per chunk — a first availableNow run drains the
+    existing chunks; after a NEW chunk lands, a second run on the SAME
+    checkpoint consumes only the new chunk (no replay, no loss)."""
+    root = f"{tmp_path}/jsonl_stream"
+    ckpt = f"{tmp_path}/jsonl_stream_ckpt"
+    out = f"{tmp_path}/jsonl_stream_out"
+    n0 = _write_chunks(root, n_chunks=3)
+
+    def drain():
+        # parquet sink, not memory: the memory sink cannot recover
+        # from a checkpoint, and recovery is exactly what this test
+        # exercises
+        stream = (
+            spark.readStream.format("chunked_jsonl")
+            .schema(SCHEMA_DDL)
+            .option("path", root)
+            .load()
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300), "stream did not finish"
+        return spark.read.schema(SCHEMA_DDL).parquet(out).collect()
+
+    try:
+        spark.dataSource.register(ChunkedJsonlDataSource)
+    except Exception:
+        pass
+
+    first = drain()
+    assert len(first) == n0
+    assert {r.event_id for r in first} == set(range(30))
+
+    # a fourth chunk lands
+    with open(f"{root}/chunk_3.json", "w") as f:
+        for i in range(30, 35):
+            f.write(
+                json.dumps(
+                    {"event_id": i, "event_type": "view", "value": i * 1.5}
+                )
+                + "\n"
+            )
+    total = drain()
+    # exactly-once: the old chunks are NOT replayed, the new one lands
+    assert {r.event_id for r in total} == set(range(35))
+    assert len(total) == 35
