@@ -34,13 +34,18 @@ from __future__ import annotations
 import glob
 import json
 import os
+import shutil
+import uuid
+from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -72,6 +77,9 @@ class ChunkedJsonlDataSource(DataSource):
         self, schema: StructType
     ) -> "ChunkedJsonlStreamReader":
         return ChunkedJsonlStreamReader(schema, self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> "ChunkedJsonlWriter":
+        return ChunkedJsonlWriter(schema, self.options, overwrite)
 
 
 class ChunkedJsonlReader(DataSourceReader):
@@ -178,6 +186,64 @@ class ChunkedJsonlStreamReader(SimpleDataSourceStreamReader):
     def readBetweenOffsets(self, start: dict, end: dict):
         files = self._files()
         return self._rows(files[int(start["i"]) : int(end["i"])])
+
+
+@dataclass
+class _StagedChunk(WriterCommitMessage):
+    staged_path: str
+    n_rows: int
+
+
+class ChunkedJsonlWriter(DataSourceWriter):
+    """Write side of the connector: each task streams its partition to
+    a STAGED file; `commit` (driver, after every task succeeded)
+    renames the staged files into place as chunk_NNNNN.json — so
+    readers never observe a half-written zone, and a failed job leaves
+    only the staging dir for `abort` to delete. Same durable-staging
+    discipline as sinks.upsert_zone; rename is atomic within a
+    filesystem (at cloud scale the rename becomes the object-store
+    manifest commit — the seam is the same)."""
+
+    def __init__(
+        self, schema: StructType, options: dict, overwrite: bool
+    ) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("chunked_jsonl: 'path' option is required")
+        self.path = path
+        self.overwrite = overwrite
+        # one staging namespace per write job, minted driver-side so
+        # every pickled task copy shares it
+        self.staging = os.path.join(path, f"_staging_{uuid.uuid4().hex}")
+
+    def write(self, iterator) -> _StagedChunk:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else os.getpid()
+        os.makedirs(self.staging, exist_ok=True)
+        staged = os.path.join(self.staging, f"part_{pid:05d}.json")
+        n = 0
+        with open(staged, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _StagedChunk(staged_path=staged, n_rows=n)
+
+    def commit(self, messages) -> None:
+        if self.overwrite:
+            for old in glob.glob(os.path.join(self.path, "*.json")):
+                os.remove(old)
+        existing = len(glob.glob(os.path.join(self.path, "*.json")))
+        for i, msg in enumerate(m for m in messages if m is not None):
+            final = os.path.join(
+                self.path, f"chunk_{existing + i:05d}.json"
+            )
+            os.replace(msg.staged_path, final)
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+    def abort(self, messages) -> None:
+        shutil.rmtree(self.staging, ignore_errors=True)
 
 
 def _parse_chunk(path: str, permissive: bool, checks: list):

@@ -164,3 +164,41 @@ def test_streaming_source_incremental_chunks(spark, tmp_path):
     # exactly-once: the old chunks are NOT replayed, the new one lands
     assert {r.event_id for r in total} == set(range(35))
     assert len(total) == 35
+
+
+def test_writer_roundtrip_overwrite_and_append(spark, tmp_path):
+    """Write side: staged files land atomically as chunk_NNNNN.json on
+    commit; overwrite replaces the zone, append adds chunks; the batch
+    reader round-trips the rows exactly."""
+    root = f"{tmp_path}/jsonl_write"
+    df = spark.createDataFrame(
+        [(i, "purchase" if i % 2 == 0 else "view", i * 2.5) for i in range(40)],
+        SCHEMA_DDL,
+    ).repartition(4)
+    try:
+        spark.dataSource.register(ChunkedJsonlDataSource)
+    except Exception:
+        pass
+    df.write.format("chunked_jsonl").option("path", root).mode(
+        "overwrite"
+    ).save()
+    import glob as g
+
+    chunks = sorted(g.glob(f"{root}/*.json"))
+    assert len(chunks) == 4 and not g.glob(f"{root}/_staging_*")
+    back = _read(spark, root)
+    assert sorted(r.event_id for r in back.collect()) == list(range(40))
+
+    # append: new chunks join the zone, old rows stay
+    df2 = spark.createDataFrame([(100, "view", 1.0)], SCHEMA_DDL).coalesce(1)
+    df2.write.format("chunked_jsonl").option("path", root).mode(
+        "append"
+    ).save()
+    ids = sorted(r.event_id for r in _read(spark, root).collect())
+    assert ids == list(range(40)) + [100]
+
+    # overwrite: zone is replaced, not merged
+    df2.write.format("chunked_jsonl").option("path", root).mode(
+        "overwrite"
+    ).save()
+    assert [r.event_id for r in _read(spark, root).collect()] == [100]
