@@ -45,10 +45,10 @@ class QuerySpec:
 # report_csv_roundtrip, gen_also_bought_pairs, gen_top_spenders,
 # gen_product_popularity, gen_transactions_flat,
 # gen_engagement_vs_spend, events_json_roundtrip,
-# events_rowkey_export, media_frame_sample — suite-covered
-# generator/maintenance/multimodal paths, the lowest-risk holders of
-# a stale row).
-# Round-6 should rotate in: those 11 r3-stale entries FIRST, then the
+# events_rowkey_export, media_frame_sample, media_png_dims,
+# media_feature_knn — suite-covered generator/maintenance/multimodal
+# paths, the lowest-risk holders of a stale row).
+# Round-6 should rotate in: those 13 r3-stale entries FIRST, then the
 # ~40 r4-green queries resting this round.
 #
 # `daily_active_users_approx` is ORACLE-EXEMPT BY DESIGN: it computes
@@ -98,6 +98,8 @@ GRADING_PRIORITY: tuple[str, ...] = (
     "dedup_incremental",
     "events_jsonl_source_scan",
     "events_props_variant",
+    "top_orders_lateral",
+    "corpus_bigram_topk_udtf",
     # -- latest driver row is r3: analytics + retention tail
     "top_customers_top5",
     "product_popularity",
@@ -120,8 +122,6 @@ GRADING_PRIORITY: tuple[str, ...] = (
     "embedding_near_dup",
     # -- latest row r3: multimodal family
     "binary_meta",
-    "media_png_dims",
-    "media_feature_knn",
     # ---- driver's 50-entry window ends here ----
 )
 

@@ -1216,6 +1216,51 @@ WHERE p_brand = 'Brand#1'
 """
 
 
+def top_orders_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL derived table with LIMIT — top-2 orders per
+    BUILDING-segment customer — the SQL-dialect spelling of
+    top-N-per-group (the window formulation is
+    `top_order_per_customer`; this verifies the LATERAL front door
+    decorrelates to the same partitioned-window plan instead of a
+    per-customer re-scan).
+
+    Scale: Catalyst rewrites the correlated LIMIT subquery into a
+    rank-filter over a window PARTITIONED by custkey — one shuffle on
+    the join key, per-group frames bounded by that customer's orders,
+    never a nested loop."""
+    from ..sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT c.c_custkey, c.c_name, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2
+        ) t
+        WHERE c.c_mktsegment = 'BUILDING'
+        ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+    """)
+
+
+TOP_ORDERS_LATERAL_SQL = """
+SELECT c.c_custkey, c.c_name, t.o_orderkey, t.o_totalprice
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) t
+WHERE c.c_mktsegment = 'BUILDING'
+ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+"""
+
+
 def part_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle census of the co-purchase graph: how many part triples
     are pairwise co-purchased — the graph-cohesion statistic next to
@@ -1334,4 +1379,5 @@ QUERIES: dict[str, QuerySpec] = {
     "small_order_revenue": QuerySpec(
         small_order_revenue, SMALL_ORDER_REVENUE_SQL
     ),
+    "top_orders_lateral": QuerySpec(top_orders_lateral, TOP_ORDERS_LATERAL_SQL),
 }

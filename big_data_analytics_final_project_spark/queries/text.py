@@ -682,6 +682,52 @@ LIMIT 100
 """
 
 
+def corpus_bigram_topk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`corpus_bigram_topk` through the Python UDTF escape hatch — a
+    user-defined TABLE function emitting (doc_id, bigram) rows from
+    each doc, lateral-joined in SQL, then the same two-phase aggregate.
+    Shares the HOF query's oracle verbatim: a differential proof that
+    the UDTF path computes exactly what the built-in-expression path
+    computes.
+
+    Division of labor is the scale-relevant part: normalization stays
+    IN SPARK (`norm_text`, codegen'd — also sidesteps Java-vs-Python
+    lowercasing divergence on non-ASCII), and the UDTF does only
+    ASCII split+pair. This is the API-surface demo for logic that
+    genuinely can't be a built-in expression; for anything that can,
+    the HOF twin IS the production path — a row-at-a-time Python UDTF
+    pays one interpreter round-trip per row."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: bigint, bigram: string")
+    class BigramsUdtf:
+        def eval(self, doc_id: int, norm: str):
+            toks = (norm or "").split(" ")
+            for a, b in zip(toks, toks[1:]):
+                yield doc_id, a + " " + b
+
+    spark.udtf.register("bigrams_udtf", BigramsUdtf)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.select(
+        "doc_id", norm_text(F.col("text")).alias("norm")
+    ).createOrReplaceTempView("_bigram_udtf_src")
+    return spark.sql("""
+        WITH exploded AS (
+          SELECT u.doc_id, u.bigram
+          FROM _bigram_udtf_src s, LATERAL bigrams_udtf(s.doc_id, s.norm) u
+        ),
+        per_doc AS (
+          SELECT bigram, doc_id, count(*) AS n
+          FROM exploded GROUP BY bigram, doc_id
+        )
+        SELECT bigram, SUM(n) AS tf, count(*) AS df
+        FROM per_doc
+        GROUP BY bigram
+        ORDER BY tf DESC, bigram
+        LIMIT 100
+    """)
+
+
 def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus length profile: power-of-two char-length buckets per
     language — the distribution every curation run inspects before
@@ -1044,6 +1090,9 @@ QUERIES: dict[str, QuerySpec] = {
         doc_ngram_contamination, DOC_NGRAM_CONTAMINATION_SQL
     ),
     "corpus_bigram_topk": QuerySpec(corpus_bigram_topk, CORPUS_BIGRAM_TOPK_SQL),
+    "corpus_bigram_topk_udtf": QuerySpec(
+        corpus_bigram_topk_udtf, CORPUS_BIGRAM_TOPK_SQL
+    ),
     "doc_length_histogram": QuerySpec(
         doc_length_histogram, DOC_LENGTH_HISTOGRAM_SQL
     ),

@@ -273,3 +273,14 @@ def test_triangle_count_reuses_edge_build(spark):
     self-join per reference (74 exchanges before the persist fix)."""
     df = _df(spark, "part_triangle_count")
     assert count_shuffles(df) <= 20
+
+
+def test_lateral_limit_decorrelates_to_window(spark):
+    """The correlated LATERAL ... LIMIT 2 must decorrelate into a
+    partitioned row_number window — never a per-customer nested-loop
+    re-scan of orders."""
+    df = _df(spark, "top_orders_lateral")
+    plan = physical_plan(df)
+    assert "row_number" in plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert count_shuffles(df) <= 3
