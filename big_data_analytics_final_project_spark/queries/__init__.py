@@ -46,9 +46,10 @@ class QuerySpec:
 # gen_product_popularity, gen_transactions_flat,
 # gen_engagement_vs_spend, events_json_roundtrip,
 # events_rowkey_export, media_frame_sample, media_png_dims,
-# media_feature_knn — suite-covered generator/maintenance/multimodal
-# paths, the lowest-risk holders of a stale row).
-# Round-6 should rotate in: those 13 r3-stale entries FIRST, then the
+# media_feature_knn, binary_meta, embedding_near_dup — suite-covered
+# generator/maintenance/multimodal/similarity paths, the lowest-risk
+# holders of a stale row).
+# Round-6 should rotate in: those 15 r3-stale entries FIRST, then the
 # ~40 r4-green queries resting this round.
 #
 # `daily_active_users_approx` is ORACLE-EXEMPT BY DESIGN: it computes
@@ -100,6 +101,8 @@ GRADING_PRIORITY: tuple[str, ...] = (
     "events_props_variant",
     "top_orders_lateral",
     "corpus_bigram_topk_udtf",
+    "promo_disjunctive_revenue",
+    "returned_item_customers",
     # -- latest driver row is r3: analytics + retention tail
     "top_customers_top5",
     "product_popularity",
@@ -119,9 +122,6 @@ GRADING_PRIORITY: tuple[str, ...] = (
     "dedup_clusters",
     "doc_dedup_survivors",
     "ann_hyperplane_lsh",
-    "embedding_near_dup",
-    # -- latest row r3: multimodal family
-    "binary_meta",
     # ---- driver's 50-entry window ends here ----
 )
 

@@ -1216,6 +1216,123 @@ WHERE p_brand = 'Brand#1'
 """
 
 
+def promo_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19-shaped disjunctive predicate: revenue from three OR'd
+    brand/size/quantity bands — the shape that tests whether the
+    planner handles OR-of-ANDs well. The common conjunct (p_size >= 1,
+    quantity bounds) is written OUTSIDE the disjunction so it pushes
+    into both scans; the residual OR evaluates post-join in one pass
+    (Catalyst also extracts common factors itself, but stating them
+    keeps the pushdown independent of CNF-conversion limits).
+
+    Scale: one lineitem↔part join; the part side carries the pushed
+    size bound; no per-branch re-scan — three bands, one plan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30)
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") >= 1) & (F.col("p_size") <= 15)
+    )
+    band = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size") <= 5)
+            & (F.col("l_quantity") <= 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size") <= 10)
+            & (F.col("l_quantity") >= 10)
+            & (F.col("l_quantity") <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("l_quantity") >= 20)
+        )
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(band)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            exact_sum(_revenue_col(), "revenue"),
+        )
+    )
+
+
+PROMO_DISJUNCTIVE_REVENUE_SQL = f"""
+SELECT count(*) AS n_lines,
+       {exact_sum_sql(_REVENUE, "revenue")}
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_quantity >= 1 AND l_quantity <= 30
+  AND p_size >= 1 AND p_size <= 15
+  AND (
+        (p_brand = 'Brand#1' AND p_size <= 5 AND l_quantity <= 11)
+     OR (p_brand = 'Brand#2' AND p_size <= 10
+         AND l_quantity >= 10 AND l_quantity <= 20)
+     OR (p_brand = 'Brand#3' AND l_quantity >= 20)
+  )
+"""
+
+
+def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-shaped returned-item report: top 20 customers by
+    revenue lost to returns in one quarter, with their nation — the
+    classic "who should customer service call" star query.
+
+    Scale: the quarter filter pushes into the orders scan and the
+    returnflag filter into lineitem; the lineitem↔orders and
+    orders↔customer joins shuffle on their keys (both unbounded);
+    nation broadcasts; top-20 is TakeOrderedAndProject."""
+    cutoff_lo = F.to_timestamp(F.lit("2000-10-01 00:00:00"))
+    cutoff_hi = F.to_timestamp(F.lit("2001-01-01 00:00:00"))
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= cutoff_lo)
+            & (F.col("o_orderdate") < cutoff_hi)
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(exact_sum(_revenue_col(), "revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+RETURNED_ITEM_CUSTOMERS_SQL = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       {exact_sum_sql(_REVENUE, "revenue")}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '2000-10-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '2001-01-01 00:00:00'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
 def top_orders_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated LATERAL derived table with LIMIT — top-2 orders per
     BUILDING-segment customer — the SQL-dialect spelling of
@@ -1380,4 +1497,10 @@ QUERIES: dict[str, QuerySpec] = {
         small_order_revenue, SMALL_ORDER_REVENUE_SQL
     ),
     "top_orders_lateral": QuerySpec(top_orders_lateral, TOP_ORDERS_LATERAL_SQL),
+    "promo_disjunctive_revenue": QuerySpec(
+        promo_disjunctive_revenue, PROMO_DISJUNCTIVE_REVENUE_SQL
+    ),
+    "returned_item_customers": QuerySpec(
+        returned_item_customers, RETURNED_ITEM_CUSTOMERS_SQL
+    ),
 }
