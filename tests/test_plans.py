@@ -284,3 +284,24 @@ def test_lateral_limit_decorrelates_to_window(spark):
     assert "row_number" in plan
     assert "NestedLoop" not in plan and "Cartesian" not in plan
     assert count_shuffles(df) <= 3
+
+
+def test_disjunctive_common_conjuncts_push_into_scans(spark):
+    """Q19-shape: the factored-out quantity/size bounds must reach the
+    parquet scans as pushed filters even though the residual predicate
+    is an OR-of-ANDs; the plan stays one join, no per-branch re-scan."""
+    df = _df(spark, "promo_disjunctive_revenue")
+    plan = physical_plan(df)
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan, plan[:1500]
+    assert "LessThanOrEqual(p_size,15)" in plan
+    assert count_scans(df) == 2
+
+
+def test_returned_item_customers_pushdown_and_topk(spark):
+    """Q10-shape: the quarter bound reaches the orders scan, the
+    returnflag the lineitem scan; top-20 plans as TakeOrdered."""
+    df = _df(spark, "returned_item_customers")
+    plan = physical_plan(df)
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "GreaterThanOrEqual(o_orderdate," in plan
+    assert "TakeOrderedAndProject" in plan
