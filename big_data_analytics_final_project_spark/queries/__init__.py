@@ -46,10 +46,12 @@ class QuerySpec:
 # gen_product_popularity, gen_transactions_flat,
 # gen_engagement_vs_spend, events_json_roundtrip,
 # events_rowkey_export, media_frame_sample, media_png_dims,
-# media_feature_knn, binary_meta, embedding_near_dup — suite-covered
-# generator/maintenance/multimodal/similarity paths, the lowest-risk
-# holders of a stale row).
-# Round-6 should rotate in: those 15 r3-stale entries FIRST, then the
+# media_feature_knn, binary_meta, embedding_near_dup,
+# dedup_fuzzy_pairs, dedup_clusters, doc_dedup_survivors,
+# ann_hyperplane_lsh — suite-covered generator/maintenance/
+# multimodal/similarity/dedup paths, the lowest-risk holders of a
+# stale row.
+# Round-6 should rotate in: those 19 r3-stale entries FIRST, then the
 # ~40 r4-green queries resting this round.
 #
 # `daily_active_users_approx` is ORACLE-EXEMPT BY DESIGN: it computes
@@ -103,6 +105,10 @@ GRADING_PRIORITY: tuple[str, ...] = (
     "corpus_bigram_topk_udtf",
     "promo_disjunctive_revenue",
     "returned_item_customers",
+    "top_supplier_by_revenue",
+    "important_part_share",
+    "supplier_count_by_part",
+    "nation_trade_volume",
     # -- latest driver row is r3: analytics + retention tail
     "top_customers_top5",
     "product_popularity",
@@ -118,10 +124,6 @@ GRADING_PRIORITY: tuple[str, ...] = (
     # -- latest row r3: text/dedup/similarity extensions
     "doc_token_stats",
     "dedup_simhash",
-    "dedup_fuzzy_pairs",
-    "dedup_clusters",
-    "doc_dedup_survivors",
-    "ann_hyperplane_lsh",
     # ---- driver's 50-entry window ends here ----
 )
 

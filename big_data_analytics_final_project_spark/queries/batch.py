@@ -1333,6 +1333,217 @@ LIMIT 20
 """
 
 
+def top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15-shaped top supplier: suppliers whose quarterly
+    shipped revenue equals the maximum over all suppliers — the
+    max-over-aggregate + equality join-back shape (returns ALL tied
+    suppliers, which is why it is not a LIMIT 1).
+
+    Scale: one (suppkey) aggregate over the date-filtered lineitem;
+    the max collapses that to one broadcast row; the equality
+    join-back and supplier-name join touch only the winners. The
+    revenue equality compare is safe because both sides are the SAME
+    exact-decimal double, not a recomputation."""
+    cutoff_lo = F.to_timestamp(F.lit("2001-01-01 00:00:00"))
+    cutoff_hi = F.to_timestamp(F.lit("2001-04-01 00:00:00"))
+    rev = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= cutoff_lo)
+            & (F.col("l_shipdate") < cutoff_hi)
+        )
+        .groupBy("l_suppkey")
+        .agg(exact_sum(_revenue_col(), "total_revenue"))
+    )
+    best = rev.agg(F.max("total_revenue").alias("_best"))
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        rev.join(F.broadcast(best))
+        .filter(F.col("total_revenue") == F.col("_best"))
+        .join(supp, rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+TOP_SUPPLIER_BY_REVENUE_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey, {exact_sum_sql(_REVENUE, "total_revenue")}
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '2001-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '2001-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+def important_part_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q11-shaped important stock: parts whose shipped value
+    exceeds a FRACTION of the corpus-wide total — the
+    global-scalar-inside-HAVING shape (Q22 compares each ROW to a
+    scalar; here the scalar gates post-aggregate GROUPS).
+
+    Scale: one (partkey) aggregate; the global total derives from a
+    second pass over the same pre-aggregated frame (not the raw fact
+    table) and attaches as a broadcast row; the HAVING filter then
+    keeps the heavy tail only. Both sides of the threshold compare are
+    exact-decimal doubles with identical arithmetic in both engines."""
+    part_val = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(exact_sum(F.col("l_extendedprice") * F.col("l_quantity"), "value"))
+    )
+    total = part_val.agg(
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("_total")
+    )
+    return (
+        part_val.join(F.broadcast(total))
+        .filter(F.col("value") > F.col("_total") * 0.001)
+        .select("l_partkey", "value")
+        .orderBy(F.col("value").desc(), "l_partkey")
+    )
+
+
+IMPORTANT_PART_SHARE_SQL = """
+WITH part_val AS (
+  SELECT l_partkey,
+         CAST(CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(38,6)))
+              AS VARCHAR) AS DOUBLE) AS value
+  FROM lineitem
+  GROUP BY l_partkey
+)
+SELECT l_partkey, value
+FROM part_val
+WHERE value > (
+    SELECT CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+    FROM part_val
+  ) * 0.001
+ORDER BY value DESC, l_partkey
+"""
+
+
+def supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16-shaped supplier census: how many DISTINCT suppliers
+    ship each (brand, size band), excluding a denylisted supplier set
+    — the NOT-IN anti-join + per-group distinct-count shape.
+
+    Scale: the denylist (complaint suppliers — here the bottom
+    acctbal decile shipped as an explicit frame) anti-joins BEFORE
+    aggregation so excluded rows never enter the shuffle; the distinct
+    count is a two-phase (keys, suppkey) pre-aggregate — no Expand,
+    partials combine map-side."""
+    supp_bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0.0)
+        .select(F.col("s_suppkey").alias("bad_suppkey"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", (F.col("p_size") % 5).alias("size_band")
+    )
+    return (
+        li.join(supp_bad, li.l_suppkey == supp_bad.bad_suppkey, "left_anti")
+        .join(part, li.l_partkey == part.p_partkey)
+        .select("p_brand", "size_band", "l_suppkey")
+        .dropDuplicates()
+        .groupBy("p_brand", "size_band")
+        .agg(F.count(F.lit(1)).alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "size_band")
+    )
+
+
+SUPPLIER_COUNT_BY_PART_SQL = """
+SELECT p_brand, size_band, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN (SELECT p_partkey, p_brand, p_size % 5 AS size_band FROM part) p
+  ON l_partkey = p_partkey
+WHERE l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+  )
+GROUP BY p_brand, size_band
+ORDER BY supplier_cnt DESC, p_brand, size_band
+"""
+
+
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7-shaped trade volume: yearly revenue flowing between
+    two nations (NATION_1/NATION_2 in this data model) in BOTH directions (supplier nation ≠ customer
+    nation) — the deepest symmetric star join (lineitem, orders,
+    customer, supplier, nation×2) with a disjunctive nation-pair
+    residual.
+
+    Scale: the two fact-fact joins (lineitem↔orders on orderkey,
+    orders↔customer on custkey) shuffle on their keys; supplier and
+    both nation legs broadcast; the nation-pair residual and year
+    extraction evaluate map-side post-join. Output is 2 nations × 2
+    directions × years — tiny."""
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == n1.sn_key)
+        .join(F.broadcast(n2), cust.c_nationkey == n2.cn_key)
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(exact_sum(_revenue_col(), "revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+NATION_TRADE_VOLUME_SQL = f"""
+SELECT sn.n_name AS supp_nation,
+       cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       {exact_sum_sql(_REVENUE, "revenue")}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
 def top_orders_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated LATERAL derived table with LIMIT — top-2 orders per
     BUILDING-segment customer — the SQL-dialect spelling of
@@ -1502,5 +1713,17 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "returned_item_customers": QuerySpec(
         returned_item_customers, RETURNED_ITEM_CUSTOMERS_SQL
+    ),
+    "top_supplier_by_revenue": QuerySpec(
+        top_supplier_by_revenue, TOP_SUPPLIER_BY_REVENUE_SQL
+    ),
+    "important_part_share": QuerySpec(
+        important_part_share, IMPORTANT_PART_SHARE_SQL
+    ),
+    "supplier_count_by_part": QuerySpec(
+        supplier_count_by_part, SUPPLIER_COUNT_BY_PART_SQL
+    ),
+    "nation_trade_volume": QuerySpec(
+        nation_trade_volume, NATION_TRADE_VOLUME_SQL
     ),
 }
