@@ -48,10 +48,10 @@ class QuerySpec:
 # events_rowkey_export, media_frame_sample, media_png_dims,
 # media_feature_knn, binary_meta, embedding_near_dup,
 # dedup_fuzzy_pairs, dedup_clusters, doc_dedup_survivors,
-# ann_hyperplane_lsh — suite-covered generator/maintenance/
+# ann_hyperplane_lsh, dedup_simhash — suite-covered generator/maintenance/
 # multimodal/similarity/dedup paths, the lowest-risk holders of a
 # stale row.
-# Round-6 should rotate in: those 19 r3-stale entries FIRST, then the
+# Round-6 should rotate in: those 20 r3-stale entries FIRST, then the
 # ~40 r4-green queries resting this round.
 #
 # `daily_active_users_approx` is ORACLE-EXEMPT BY DESIGN: it computes
@@ -109,6 +109,7 @@ GRADING_PRIORITY: tuple[str, ...] = (
     "important_part_share",
     "supplier_count_by_part",
     "nation_trade_volume",
+    "top_order_per_customer_agg",
     # -- latest driver row is r3: analytics + retention tail
     "top_customers_top5",
     "product_popularity",
@@ -123,7 +124,6 @@ GRADING_PRIORITY: tuple[str, ...] = (
     "weekly_retention",
     # -- latest row r3: text/dedup/similarity extensions
     "doc_token_stats",
-    "dedup_simhash",
     # ---- driver's 50-entry window ends here ----
 )
 

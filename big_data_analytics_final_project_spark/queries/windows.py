@@ -54,6 +54,38 @@ ORDER BY o_custkey
 """
 
 
+def top_order_per_customer_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """top-1 per group WITHOUT a window: max_by-style argmax via a
+    single hash aggregate of (price, orderkey) structs — shares
+    `top_order_per_customer`'s oracle verbatim (differential proof of
+    the plan alternative).
+
+    Why it exists at 100 TB: the window form shuffles and then SORTS
+    every group; this form is one partial-aggregating shuffle whose
+    per-group state is ONE struct — strictly less work when only the
+    argmax is wanted. Tie semantics must be encoded in the struct
+    order: max of (price, then LOWEST orderkey) is spelled
+    max((price, -orderkey)) since struct comparison is lexicographic
+    ascending per field."""
+    orders = load_table(spark, sf_dir, "orders")
+    best = F.max(
+        F.struct(
+            F.col("o_totalprice"),
+            (-F.col("o_orderkey")).alias("_neg_key"),
+        )
+    ).alias("_best")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(best)
+        .select(
+            "o_custkey",
+            (-F.col("_best._neg_key")).cast("bigint").alias("o_orderkey"),
+            F.col("_best.o_totalprice").alias("o_totalprice"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
 def customer_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running spend + days-since-previous-order per customer
     (cumulative frame + lag)."""
@@ -668,6 +700,9 @@ ORDER BY p.event_id
 QUERIES: dict[str, QuerySpec] = {
     "top_order_per_customer": QuerySpec(
         top_order_per_customer, TOP_ORDER_PER_CUSTOMER_SQL
+    ),
+    "top_order_per_customer_agg": QuerySpec(
+        top_order_per_customer_agg, TOP_ORDER_PER_CUSTOMER_SQL
     ),
     "purchase_last_click": QuerySpec(purchase_last_click, PURCHASE_LAST_CLICK_SQL),
     "purchase_last_click_matched": QuerySpec(
