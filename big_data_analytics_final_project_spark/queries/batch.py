@@ -464,9 +464,20 @@ ORDER BY l_orderkey
 
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti join (capability upgrade; reference has no anti join —
-    SURVEY.md §2.4 'not present')."""
+    SURVEY.md §2.4 'not present'): customers with NO orders in 1995.
+
+    The order side is year-restricted because the driver's testdata
+    gives every customer at least one lifetime order — the unfiltered
+    form was vacuously green on 0 rows in round 5; this form keeps
+    34/326/3305 rows at sf0.001/0.01/0.1, so the LEFT ANTI actually
+    filters. The year predicate sits UNDER the anti join (pushed to
+    the orders scan), shrinking the build side before the join."""
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") == 1995)
+        .select("o_custkey")
+    )
     return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").orderBy(
         "c_custkey"
     )
@@ -475,7 +486,10 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 CUSTOMERS_WITHOUT_ORDERS_SQL = """
 SELECT c_custkey, c_name
 FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND year(o.o_orderdate) = 1995
+)
 ORDER BY c_custkey
 """
 
@@ -1394,18 +1408,27 @@ def important_part_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     second pass over the same pre-aggregated frame (not the raw fact
     table) and attaches as a broadcast row; the HAVING filter then
     keeps the heavy tail only. Both sides of the threshold compare are
-    exact-decimal doubles with identical arithmetic in both engines."""
+    exact-decimal doubles with identical arithmetic in both engines.
+
+    The threshold is CORPUS-RELATIVE — 1.5× the mean per-part value,
+    i.e. fraction 1.5/n_parts of the total — so the HAVING keeps a
+    real heavy tail at EVERY scale factor (TPC-H Q11's own
+    0.0001/SF scaling). Round 5 proved a fixed fraction vacuous: at
+    sf0.01 no part reaches 0.1% of a 2,000-part near-uniform corpus,
+    so the query was green on 0 rows — this form keeps 4/49/514 rows
+    at sf0.001/0.01/0.1."""
     part_val = (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_partkey")
         .agg(exact_sum(F.col("l_extendedprice") * F.col("l_quantity"), "value"))
     )
     total = part_val.agg(
-        F.sum(F.col("value").cast(DEC)).cast("double").alias("_total")
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("_total"),
+        F.count(F.lit(1)).alias("_nparts"),
     )
     return (
         part_val.join(F.broadcast(total))
-        .filter(F.col("value") > F.col("_total") * 0.001)
+        .filter(F.col("value") > F.col("_total") * 1.5 / F.col("_nparts"))
         .select("l_partkey", "value")
         .orderBy(F.col("value").desc(), "l_partkey")
     )
@@ -1418,13 +1441,16 @@ WITH part_val AS (
               AS VARCHAR) AS DOUBLE) AS value
   FROM lineitem
   GROUP BY l_partkey
+),
+tot AS (
+  SELECT CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+           AS _total,
+         count(*) AS _nparts
+  FROM part_val
 )
 SELECT l_partkey, value
-FROM part_val
-WHERE value > (
-    SELECT CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
-    FROM part_val
-  ) * 0.001
+FROM part_val CROSS JOIN tot
+WHERE value > _total * 1.5 / _nparts
 ORDER BY value DESC, l_partkey
 """
 

@@ -7,7 +7,9 @@ embarrassingly parallel at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import math
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -868,6 +870,43 @@ ORDER BY doc_id
 """
 
 
+# Integer-quantized log2 WITHOUT either engine's libm: round-5 ADVICE
+# showed floor(c*log2(c)*1e9 + 0.5) is only cross-engine-stable while
+# the two libms' last-ulp disagreement stays under the 0.5 rounding
+# margin — which shrinks as counts grow (data/scale-dependent). So
+# log2 is PRECOMPUTED once in Python for the integer domain
+# [1, 2^11) and shipped to BOTH engines as the same literal list;
+# larger arguments shift down into the table
+# (log2(c) = log2(c >> s) + s, an 11-bit-mantissa log, error
+# < log2(1 + 2^-10) ≈ 0.0014 bits — documented approximation,
+# bit-identical by construction on both sides).
+_QLOG_BITS = 11
+_QLOG_SCALE = 1_000_000_000  # nano-bits
+_QLOG_LUT: list[int] = [
+    round(math.log2(v) * _QLOG_SCALE) for v in range(1, 1 << _QLOG_BITS)
+]
+
+
+def _qlog2_nano(c: Column) -> Column:
+    """round(log2(c)*1e9) as BIGINT for integer c >= 1, computed from
+    the shared `_QLOG_LUT` literal (no JVM Math.log involved): shift c
+    down to an 11-bit mantissa, look up, add the shift in whole bits."""
+    s = F.greatest(
+        F.length(F.bin(c)) - F.lit(_QLOG_BITS), F.lit(0)
+    ).cast("int")
+    v = F.call_function("shiftright", c.cast("bigint"), s)
+    return F.element_at(F.lit(_QLOG_LUT), v.cast("int")) + s.cast(
+        "bigint"
+    ) * F.lit(_QLOG_SCALE)
+
+
+def _qlog2_nano_sql(c: str) -> str:
+    """DuckDB twin of `_qlog2_nano` over the SAME literal list; assumes
+    a 1-row CTE `lut(l)` holding it is in scope (cross-joined in)."""
+    s = f"greatest(length(bin({c})) - {_QLOG_BITS}, 0)"
+    return f"(l[(({c}) >> {s})] + {s} * {_QLOG_SCALE})"
+
+
 def doc_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shannon entropy of each document's unigram distribution — the
     information-density quality signal (boilerplate and keyword-stuffed
@@ -878,27 +917,26 @@ def doc_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     — one explode, one (doc, term) aggregate, one (doc) aggregate, all
     map-side combinable; nothing corpus-global, so it scales linearly.
 
-    Cross-engine exactness: each c·log2(c) term (and the final log2(n))
-    is quantized to 1e-9 via floor(x·1e9 + 0.5) into a BIGINT before
-    the order-dependent Σ — the operators/kmeans.py discipline — so the
-    double that comes out is bit-identical across engines and
-    partitionings (a raw double Σ over a float log would not be)."""
+    Cross-engine exactness: every log2 comes from `_QLOG_LUT`, a
+    Python-precomputed literal both engines index identically (no
+    libm on either side — see the LUT comment for why), and each
+    c·qlog2(c) term is a BIGINT product, so the Σ is order-independent
+    integer arithmetic; the closing double ops are the same IEEE
+    divide/subtract sequence on identical integers."""
     docs = load_table(spark, sf_dir, "documents")
     terms = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("term")
     )
     cnt = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
-    clog_q = F.floor(
-        F.col("c").cast("double") * F.log2("c") * 1e9 + F.lit(0.5)
-    ).cast("bigint")
+    cq = F.col("c") * _qlog2_nano(F.col("c"))
     agg = cnt.groupBy("doc_id").agg(
         F.sum("c").alias("n_tokens"),
         F.count(F.lit(1)).alias("n_terms"),
-        F.sum(clog_q).alias("_sq"),
+        F.sum(cq).alias("_sq"),
     )
     entropy = (
-        F.floor(F.log2("n_tokens") * 1e9 + F.lit(0.5)) / 1e9
-        - (F.col("_sq").cast("double") / 1e9) / F.col("n_tokens")
+        _qlog2_nano(F.col("n_tokens")).cast("double") / 1e9
+        - F.col("_sq").cast("double") / 1e9 / F.col("n_tokens")
     )
     return agg.select(
         "doc_id", "n_tokens", "n_terms", entropy.alias("entropy")
@@ -906,7 +944,8 @@ def doc_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DOC_UNIGRAM_ENTROPY_SQL = f"""
-WITH terms AS (
+WITH lut AS (SELECT {_QLOG_LUT} AS l),
+terms AS (
   SELECT doc_id, unnest({_TOKS}) AS term FROM documents
 ),
 cnt AS (
@@ -916,14 +955,13 @@ agg AS (
   SELECT doc_id,
          CAST(SUM(c) AS BIGINT) AS n_tokens,
          count(*) AS n_terms,
-         CAST(SUM(CAST(floor(CAST(c AS DOUBLE) * log2(c) * 1e9 + 0.5)
-                       AS BIGINT)) AS BIGINT) AS sq
-  FROM cnt GROUP BY doc_id
+         CAST(SUM(c * {_qlog2_nano_sql("c")}) AS BIGINT) AS sq
+  FROM cnt CROSS JOIN lut GROUP BY doc_id
 )
 SELECT doc_id, n_tokens, n_terms,
-       floor(log2(n_tokens) * 1e9 + 0.5) / 1e9
-         - (CAST(sq AS DOUBLE) / 1e9) / n_tokens AS entropy
-FROM agg
+       CAST({_qlog2_nano_sql("n_tokens")} AS DOUBLE) / 1e9
+         - CAST(sq AS DOUBLE) / 1e9 / n_tokens AS entropy
+FROM agg CROSS JOIN lut
 ORDER BY doc_id
 """
 
