@@ -1665,6 +1665,167 @@ SELECT
 """
 
 
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2-shaped min-cost supplier: for every part, the
+    ASIA-region supplier(s) achieving the lowest observed unit cost —
+    the CORRELATED SCALAR SUBQUERY shape (cost = min cost for that
+    part), the last distinctive TPC-H plan form absent from the
+    registry. The testdata has no partsupp table, so unit cost is
+    observed from shipments: min(l_extendedprice / l_quantity) per
+    (part, supplier).
+
+    Spark spells the decorrelation explicitly: aggregate once per
+    (part, supplier), derive the per-part min from that SAME
+    pre-aggregated frame (not a second fact scan), and join back on
+    (partkey, cost) — while the oracle keeps the textbook correlated
+    `WHERE cost = (SELECT min ...)` spelling, proving the join-back
+    rewrite equals the correlated spec. Region/nation/supplier legs
+    broadcast; the only fact shuffle is the (part, supplier)
+    aggregate; the join-back keys on partkey, which AQE plans off the
+    small aggregated frames. Unit cost is a single IEEE divide and
+    `min` is order-independent, so doubles match bit-for-bit without
+    decimal accumulators."""
+    supp_asia = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "region")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .filter(F.col("r_name") == "ASIA")
+        .select("s_suppkey", "s_name")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    cost = (
+        li.join(F.broadcast(supp_asia), li.l_suppkey == supp_asia.s_suppkey)
+        .groupBy("l_partkey", "s_suppkey", "s_name")
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "unit_cost"
+            )
+        )
+    )
+    best = cost.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.min("unit_cost").alias("_best")
+    )
+    return (
+        cost.join(
+            best,
+            (cost.l_partkey == best._pk) & (cost.unit_cost == best._best),
+        )
+        .select("l_partkey", "s_suppkey", "s_name", "unit_cost")
+        .orderBy("l_partkey", "s_suppkey")
+    )
+
+
+MIN_COST_SUPPLIER_SQL = """
+WITH cost AS (
+  SELECT l_partkey, s_suppkey, s_name,
+         min(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+  GROUP BY l_partkey, s_suppkey, s_name
+)
+SELECT l_partkey, s_suppkey, s_name, unit_cost
+FROM cost c
+WHERE unit_cost = (
+    SELECT min(unit_cost) FROM cost c2 WHERE c2.l_partkey = c.l_partkey
+  )
+ORDER BY l_partkey, s_suppkey
+"""
+
+
+def waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21-shaped waiting-supplier census: suppliers who were
+    the SOLE late shipper in a finished multi-supplier order — the
+    EXISTS + NOT EXISTS double-correlation shape (Spark plans it as a
+    left-semi then left-anti self-join). The testdata has no
+    commit/receipt dates, so "late" is a ship lag: l_shipdate more
+    than 90 days after o_orderdate.
+
+    Scale: all three legs (late lines, other-supplier probe,
+    other-late-supplier probe) derive from ONE lineitem⋈orders frame,
+    keyed on l_orderkey — the semi and anti joins shuffle on the same
+    key as the base join, so the exchange is reused, and per-order
+    group sizes are bounded by lines-per-order (≤7 here), so there is
+    no skew risk. The final per-supplier count is a tiny aggregate
+    with a broadcast name join."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    base = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        ).alias("late"),
+    )
+    l1 = base.filter(F.col("late")).alias("l1")
+    l2 = base.alias("l2")
+    l3 = base.filter(F.col("late")).alias("l3")
+    sole_late = (
+        l1.join(
+            l2,
+            (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))
+            & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
+            & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey")),
+            "left_anti",
+        )
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole_late.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_suppkey")
+    )
+
+
+WAITING_SUPPLIER_SQL = """
+WITH li AS (
+  SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+)
+SELECT s_suppkey, s_name, count(*) AS numwait
+FROM li l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE l1.l_shipdate > l1.o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (
+    SELECT 1 FROM li l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM li l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > l3.o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_suppkey
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "pricing_summary": QuerySpec(pricing_summary, PRICING_SUMMARY_SQL),
     "pricing_summary_sparksql": QuerySpec(
@@ -1752,4 +1913,6 @@ QUERIES: dict[str, QuerySpec] = {
     "nation_trade_volume": QuerySpec(
         nation_trade_volume, NATION_TRADE_VOLUME_SQL
     ),
+    "min_cost_supplier": QuerySpec(min_cost_supplier, MIN_COST_SUPPLIER_SQL),
+    "waiting_supplier": QuerySpec(waiting_supplier, WAITING_SUPPLIER_SQL),
 }

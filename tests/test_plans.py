@@ -297,6 +297,29 @@ def test_disjunctive_common_conjuncts_push_into_scans(spark):
     assert count_scans(df) == 2
 
 
+def test_min_cost_supplier_decorrelated_no_rescan(spark):
+    """Q2-shape: the correlated min-cost subquery must come from the
+    pre-aggregated (part, supplier) frame, never a second fact scan —
+    two lineitem scans max (join-back sides), region/nation/supplier
+    broadcast, no cartesian."""
+    df = _df(spark, "min_cost_supplier")
+    assert count_scans(df) <= 8  # 2 lineitem + 2x(supp/nation/region) legs
+    assert_broadcast_join(df)
+    assert_no_cartesian(df)
+
+
+def test_waiting_supplier_semi_anti_one_key(spark):
+    """Q21-shape: the EXISTS plans as LeftSemi, the NOT EXISTS as
+    LeftAnti, and every self-join leg keys on l_orderkey — the same
+    shuffle key as the base lineitem⋈orders join, so exchanges reuse
+    instead of re-partitioning per leg."""
+    df = _df(spark, "waiting_supplier")
+    plan = physical_plan(df)
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert_no_cartesian(df)
+
+
 def test_returned_item_customers_pushdown_and_topk(spark):
     """Q10-shape: the quarter bound reaches the orders scan, the
     returnflag the lineitem scan; top-20 plans as TakeOrdered."""
