@@ -34,6 +34,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import shutil
 import uuid
 from dataclasses import dataclass
@@ -137,7 +138,11 @@ class ChunkedJsonlReader(DataSourceReader):
         )
         yield pa.RecordBatch.from_arrays(
             [
-                pa.array(cols[f.name], type=_arrow_type(f.dataType.simpleString()))
+                _arrow_column(
+                    cols[f.name],
+                    _arrow_type(f.dataType.simpleString()),
+                    self.permissive,
+                )
                 for f in self.schema.fields
             ],
             schema=arrow_schema,
@@ -221,8 +226,16 @@ class ChunkedJsonlWriter(DataSourceWriter):
 
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else os.getpid()
+        # the attempt id is part of the staged name: a speculative or
+        # retried duplicate of this task writes its OWN staged file
+        # instead of interleaving with the first attempt's; only the
+        # attempt whose commit message reaches the driver is renamed
+        # into place, the loser is swept with the staging dir
+        attempt = ctx.taskAttemptId() if ctx is not None else 0
         os.makedirs(self.staging, exist_ok=True)
-        staged = os.path.join(self.staging, f"part_{pid:05d}.json")
+        staged = os.path.join(
+            self.staging, f"part_{pid:05d}_a{attempt}.json"
+        )
         n = 0
         with open(staged, "w") as f:
             for row in iterator:
@@ -234,11 +247,18 @@ class ChunkedJsonlWriter(DataSourceWriter):
         if self.overwrite:
             for old in glob.glob(os.path.join(self.path, "*.json")):
                 os.remove(old)
-        existing = len(glob.glob(os.path.join(self.path, "*.json")))
+        # next index = max(existing)+1, NOT the file count: a zone
+        # whose chunk numbering has gaps (manual deletes, partial
+        # retention sweeps) must never have a new chunk os.replace()
+        # an existing one
+        existing = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(self.path, "chunk_*.json"))
+            if (m := re.fullmatch(r"chunk_(\d+)\.json", os.path.basename(p)))
+        ]
+        nxt = max(existing) + 1 if existing else 0
         for i, msg in enumerate(m for m in messages if m is not None):
-            final = os.path.join(
-                self.path, f"chunk_{existing + i:05d}.json"
-            )
+            final = os.path.join(self.path, f"chunk_{nxt + i:05d}.json")
             os.replace(msg.staged_path, final)
         shutil.rmtree(self.staging, ignore_errors=True)
 
@@ -266,6 +286,32 @@ def _parse_chunk(path: str, permissive: bool, checks: list):
             if any(row.get(c) != v for c, v in checks):
                 continue
             yield row
+
+
+def _arrow_column(values: list, typ, permissive: bool):
+    """Column build honoring the per-LINE permissive contract: a
+    well-formed JSON object whose field TYPE mismatches the declared
+    schema (a string in a bigint column) must null that field, not
+    fail the whole task — Spark's own permissive JSON reader
+    semantics. Fast path is one pa.array over the chunk; only a
+    mismatching chunk pays the per-value scrub."""
+    import pyarrow as pa
+
+    errs = (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError)
+    try:
+        return pa.array(values, type=typ)
+    except errs:
+        if not permissive:
+            raise
+    scrubbed = []
+    for v in values:
+        if v is not None:
+            try:
+                pa.scalar(v, type=typ)
+            except errs:
+                v = None
+        scrubbed.append(v)
+    return pa.array(scrubbed, type=typ)
 
 
 def _arrow_type(spark_simple: str):

@@ -79,8 +79,12 @@ class UserProfileProcessor(StatefulProcessor):
             n += len(pdf)
             npur += int((pdf["event_type"] == "purchase").sum())
             sumq += quantize_micro(pdf["value"])
+            # drop NaT BEFORE the int64 view: a NaT would otherwise
+            # become INT64_MIN and silently corrupt first/last — null
+            # timestamps are ignored, mirroring quantize_micro's
+            # dropna discipline for the sum
             ts_us = (
-                pdf["ts"].astype("datetime64[us]").astype("int64")
+                pdf["ts"].dropna().astype("datetime64[us]").astype("int64")
             )
             if len(ts_us):
                 lo, hi = int(ts_us.min()), int(ts_us.max())
@@ -93,8 +97,10 @@ class UserProfileProcessor(StatefulProcessor):
             n += pn
             npur += ppur
             sumq += psum
-            first_us = min(first_us, pfirst)
-            last_us = max(last_us, plast)
+            firsts = [x for x in (first_us, pfirst) if x is not None]
+            lasts = [x for x in (last_us, plast) if x is not None]
+            first_us = min(firsts) if firsts else None
+            last_us = max(lasts) if lasts else None
         self._profile.update((n, npur, sumq, first_us, last_us))
         yield pd.DataFrame(
             {

@@ -24,6 +24,26 @@ from .conftest import SF_SMOKE
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def test_registry_counts_match_readme():
+    """README's registry/twin counts are asserted here so the prose
+    can't drift from the code (round-5 ADVICE caught exactly that
+    drift). Every registered query must carry a SQL twin — sketch
+    queries included, via acceptance-bound oracles."""
+    import re
+
+    from big_data_analytics_final_project_spark.queries import all_queries
+
+    specs = all_queries()
+    n_total = len(specs)
+    n_twinned = sum(1 for s in specs.values() if s.sql)
+    assert n_twinned == n_total, [n for n, s in specs.items() if not s.sql]
+    with open(os.path.join(REPO, "README.md")) as f:
+        readme = f.read()
+    m = re.search(r"\((\d+) of (\d+) as of", readme)
+    assert m, "README registry-count sentence missing"
+    assert (int(m.group(1)), int(m.group(2))) == (n_twinned, n_total)
+
+
 def test_all_queries_run_on_plain_session():
     proc = subprocess.run(
         [

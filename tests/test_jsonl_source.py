@@ -90,6 +90,66 @@ def test_permissive_skips_malformed_failfast_raises(spark, tmp_path):
         _read(spark, root, mode="failfast").count()
 
 
+def test_permissive_nulls_type_mismatches(spark, tmp_path):
+    """A well-formed object whose field TYPE mismatches the schema (a
+    string in the bigint column) must NULL that field in permissive
+    mode — Spark's own permissive JSON reader contract — and fail the
+    task in failfast (round-5 ADVICE: it used to fail the whole task
+    in both modes via ArrowInvalid)."""
+    root = f"{tmp_path}/jsonl_mismatch"
+    n = _write_chunks(root)
+    with open(f"{root}/chunk_0.json", "a") as f:
+        f.write(
+            json.dumps(
+                {"event_id": "not-a-number", "event_type": "view", "value": 1.0}
+            )
+            + "\n"
+        )
+    df = _read(spark, root, mode="permissive")
+    rows = df.collect()
+    assert len(rows) == n + 1  # the mismatching ROW is kept
+    assert sum(1 for r in rows if r.event_id is None) == 1  # field nulled
+    assert {r.event_type for r in rows if r.event_id is None} == {"view"}
+    with pytest.raises(Exception):
+        _read(spark, root, mode="failfast").count()
+
+
+def test_append_respects_gapped_chunk_numbering(spark, tmp_path):
+    """Appending to a zone whose chunk numbering has gaps (retention
+    sweeps, manual deletes) must mint max(index)+1 — never clobber an
+    existing chunk by re-counting files (round-5 ADVICE)."""
+    root = f"{tmp_path}/jsonl_gaps"
+    os.makedirs(root)
+    for idx in (0, 7):
+        with open(f"{root}/chunk_{idx:05d}.json", "w") as f:
+            f.write(
+                json.dumps(
+                    {"event_id": idx, "event_type": "view", "value": 0.0}
+                )
+                + "\n"
+            )
+    try:
+        spark.dataSource.register(ChunkedJsonlDataSource)
+    except Exception:
+        pass
+    df = spark.createDataFrame(
+        [(100, "view", 1.0)], SCHEMA_DDL
+    ).coalesce(1)
+    df.write.format("chunked_jsonl").option("path", root).mode(
+        "append"
+    ).save()
+    import glob as g
+
+    names = sorted(os.path.basename(p) for p in g.glob(f"{root}/*.json"))
+    assert names == [
+        "chunk_00000.json",
+        "chunk_00007.json",
+        "chunk_00008.json",
+    ]
+    ids = sorted(r.event_id for r in _read(spark, root).collect())
+    assert ids == [0, 7, 100]
+
+
 def test_pushfilters_contract_unit():
     """pushFilters must consume only top-level EqualTo on schema
     columns and return every other filter BY REFERENCE."""

@@ -567,3 +567,20 @@ def test_tws_processor_fold_logic_unit():
     assert one[3] == quantize_micro(pdf["value"])
     ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
     assert one[4] == ts_us.min() and one[5] == ts_us.max()
+
+    # NaT timestamps are IGNORED, not folded in as INT64_MIN (round-5
+    # ADVICE): a batch whose ts column contains nulls must leave
+    # first/last at the non-null extremes, and an all-NaT first batch
+    # must merge cleanly with a later real-timestamp batch.
+    nat_pdf = pdf.copy()
+    nat_pdf.loc[nat_pdf.index[:50], "ts"] = pd.NaT
+    with_nat = run([[nat_pdf]])
+    good_us = (
+        nat_pdf["ts"].dropna().astype("datetime64[us]").astype("int64")
+    )
+    assert with_nat[4] == good_us.min() and with_nat[5] == good_us.max()
+    all_nat = pdf.copy()
+    all_nat["ts"] = pd.NaT
+    staged = run([[all_nat], [pdf]])
+    assert staged[4] == ts_us.min() and staged[5] == ts_us.max()
+    assert staged[1] == 2 * n
