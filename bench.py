@@ -9,6 +9,16 @@ Each query is forced end-to-end with the `noop` sink (full execution,
 no driver-side materialization — the same shape a real write has).
 Usage: `python bench.py [query ...]` to bench a subset; `--all` for
 every registered query.
+
+PAIRED BOX-STATE CONTROL (round-5 verdict #5): by default every run
+also benches a PINNED SNAPSHOT commit (the round-2 bench baseline,
+`3a7624c`) back-to-back in a throwaway git worktree, on a small fixed
+query set shared unchanged since round 2, and attaches its timings as
+a `control` key in the same JSON line. Round-over-round readers can
+then divide out shared-VM drift (the r4→r5 "1.75× regression" was
+~1.2–1.35× box state) without a hand-run counter-measurement.
+`--paired <commit>` overrides the snapshot; `--no-paired` (or env
+SPARK_GRAFT_PAIRED=0) skips the control.
 """
 
 from __future__ import annotations
@@ -44,6 +54,79 @@ BENCH_VARIANTS: dict[str, QuerySpec] = {
 # M1-M2) plus one representative of each extension family (dedup,
 # similarity, text, windows/streaming-batch). Kept deliberately to the
 # queries a reference user actually runs, not the whole registry.
+# The box-state control: the round-2 snapshot (BENCH_COUNTER_r5.md's
+# A-B-A baseline) on queries unchanged-by-name since round 2 that do
+# NOT read `events` (the r2 code predates the driver's events.parquet
+# NTZ relayout and cannot read today's file).
+PAIRED_COMMIT = "3a7624c"
+PAIRED_QUERIES = [
+    "pricing_summary",
+    "revenue_by_brand",
+    "also_bought_pairs",
+    "dedup_jaccard_pairs",
+    "knn_bruteforce",
+    "doc_quality_score",
+]
+
+
+def run_paired_control(commit: str, sf_dir: str) -> dict:
+    """Bench `commit` in a detached worktree, same box, same session
+    slot (caller must have stopped its SparkSession — two concurrent
+    local[32] JVMs contend and both lie). Returns the parsed JSON of
+    the control bench, or {'error': ...}; never raises."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    tmp = tempfile.mkdtemp(prefix="bench_ctl_")
+    wt = os.path.join(tmp, "wt")
+    try:
+        subprocess.run(
+            ["git", "-C", repo, "worktree", "add", "--detach", wt, commit],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_PAIRED="0")
+        proc = subprocess.run(
+            [sys.executable, "bench.py", *PAIRED_QUERIES],
+            cwd=wt,
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=900,
+        )
+        line = next(
+            (
+                ln
+                for ln in reversed(proc.stdout.strip().splitlines())
+                if ln.startswith("{")
+            ),
+            None,
+        )
+        if proc.returncode != 0 or line is None:
+            return {
+                "commit": commit,
+                "error": (proc.stderr or proc.stdout)[-500:],
+            }
+        parsed = json.loads(line)
+        return {
+            "commit": commit,
+            "value": parsed.get("value"),
+            "queries": parsed.get("queries", {}),
+        }
+    except Exception as exc:  # noqa: BLE001 — the control is optional
+        return {"commit": commit, "error": f"{type(exc).__name__}: {exc}"[:500]}
+    finally:
+        subprocess.run(
+            ["git", "-C", repo, "worktree", "remove", "--force", wt],
+            capture_output=True,
+            timeout=120,
+        )
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 HEADLINE = [
     "pricing_summary",
     "revenue_by_brand",
@@ -85,7 +168,17 @@ def main() -> int:
     except ValueError:
         sf = None
 
-    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    argv = sys.argv[1:]
+    paired_commit = PAIRED_COMMIT
+    if "--paired" in argv:
+        i = argv.index("--paired")
+        paired_commit = argv[i + 1]
+        del argv[i : i + 2]
+    paired_on = (
+        "--no-paired" not in argv
+        and os.environ.get("SPARK_GRAFT_PAIRED", "1") != "0"
+    )
+    args = [a for a in argv if not a.startswith("-")]
     specs = {**all_queries(), **BENCH_VARIANTS}
     if "--all" in sys.argv:
         names = sorted(specs)
@@ -152,6 +245,11 @@ def main() -> int:
     }
     if errors:
         out["errors"] = errors
+    if paired_on:
+        # sequential, never concurrent: free the JVM before the
+        # control's session starts
+        spark.stop()
+        out["control"] = run_paired_control(paired_commit, sf_dir)
     print(json.dumps(out))
     return 0
 
