@@ -18,14 +18,24 @@ at the END of each round — i.e. the state the driver last graded.
 
 Check fails if any new-or-changed query (vs the frozen manifest) is
 absent from the first 50 of `grading_order()`.
+
+It ALSO enforces the rotation policy (round-5 verdict #7): every
+query whose latest GREEN driver row (over all CORRECTNESS_r*.json at
+the repo root) is older than currentRound−2 must sit inside the
+window this round — currentRound being max(recorded round)+1, the
+round currently being prepared. Without this, locally-green entries
+silently age out of driver verification (a sixth of the registry's
+rows were two rounds old entering round 6).
 """
 
 from __future__ import annotations
 
+import glob as _glob
 import hashlib
 import inspect
 import json
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -54,6 +64,31 @@ def fingerprints() -> dict[str, str]:
     return out
 
 
+def latest_green_rounds() -> tuple[dict[str, int], int]:
+    """(latest green driver round per query, round being prepared)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest: dict[str, int] = {}
+    max_round = 0
+    for path in _glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        max_round = max(max_round, rnd)
+        with open(path) as f:
+            rows = json.load(f)
+        for name, row in rows.items():
+            green = (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+                and not row.get("err")
+            )
+            if green:
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest, max_round + 1
+
+
 def main() -> int:
     current = fingerprints()
     if "--freeze" in sys.argv:
@@ -77,6 +112,7 @@ def main() -> int:
         f"{len(changed)} queries new/changed since last freeze; "
         f"window holds {sum(1 for n in changed if n in window)} of them"
     )
+    rc = 0
     if outside:
         print(
             "FAIL: new/changed queries OUTSIDE the driver's "
@@ -84,9 +120,33 @@ def main() -> int:
         )
         for n in outside:
             print(f"  - {n}")
-        return 1
-    print("OK: every new/changed query is inside the grading window")
-    return 0
+        rc = 1
+    else:
+        print("OK: every new/changed query is inside the grading window")
+
+    latest, prep_round = latest_green_rounds()
+    stale = sorted(
+        n
+        for n in current
+        if latest.get(n, 0) < prep_round - 2 and n not in window
+    )
+    n_due = sum(1 for n in current if latest.get(n, 0) < prep_round - 2)
+    print(
+        f"rotation: preparing round {prep_round}; {n_due} queries' latest "
+        f"green row predates r{prep_round - 2}; window holds "
+        f"{n_due - len(stale)} of them"
+    )
+    if stale:
+        print(
+            f"FAIL: stale queries (latest green < r{prep_round - 2}) "
+            f"OUTSIDE the window — they would age out unverified:"
+        )
+        for n in stale:
+            print(f"  - {n} (latest green r{latest.get(n, 0)})")
+        rc = 1
+    else:
+        print("OK: every stale query is inside the grading window")
+    return rc
 
 
 if __name__ == "__main__":
