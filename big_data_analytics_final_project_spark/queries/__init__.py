@@ -54,10 +54,17 @@ GRADING_PRIORITY: tuple[str, ...] = (
     "important_part_share",
     "customers_without_orders",
     "daily_active_users_approx",
-    # -- new this round: the last distinctive TPC-H plan shapes
-    #    (Q2 correlated scalar subquery, Q21 double EXISTS)
+    # -- new this round: the remaining TPC-H plan shapes — Q2
+    #    correlated scalar subquery, Q21 double EXISTS, Q6 scan-only
+    #    aggregate, Q8 conditional-numerator share, Q9 computed-measure
+    #    star, Q20 nested-agg semi chain. Every TPC-H query 1-22 now
+    #    has a registry analog.
     "min_cost_supplier",
     "waiting_supplier",
+    "discount_revenue_delta",
+    "nation_market_share",
+    "product_profit_by_nation",
+    "dominant_part_suppliers",
     # -- latest driver row is r3 (r5 verdict #1): dedup/similarity
     "dedup_simhash",
     "dedup_fuzzy_pairs",
@@ -91,8 +98,6 @@ GRADING_PRIORITY: tuple[str, ...] = (
     "top_spenders",
     "engagement_vs_spend",
     "engagement_spend_correlation",
-    "segment_counts",
-    "user_events_lookup",
     "purchase_last_click",
     "clicks_before_purchase",
     "events_hypertable_rollup",
@@ -102,12 +107,13 @@ GRADING_PRIORITY: tuple[str, ...] = (
     "events_sessionized",
     "session_stats_per_user",
     "doc_quality_score",
-    "doc_lang_id",
     "doc_repetition_stats",
-    "dedup_exact",
     "dedup_minhash_lsh",
     "knn_bruteforce",
     "ann_ivf",
+    # (segment_counts, user_events_lookup, doc_lang_id, dedup_exact
+    #  ceded their backfill slots to the 4 extra new queries; due r7
+    #  with the rest of the r4 cohort — the staleness gate enforces it)
     # ---- driver's 50-entry window ends here ----
 )
 

@@ -1826,6 +1826,273 @@ ORDER BY numwait DESC, s_suppkey
 """
 
 
+def discount_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-shaped what-if: revenue the company would gain by
+    eliminating a band of small discounts on small-quantity lines in
+    one year — the pure SCAN + CONJUNCTIVE FILTER + SINGLE-ROW
+    AGGREGATE shape, deliberately join-free.
+
+    Scale: the year bound and quantity bound push into the parquet
+    scan (row-group min/max skipping); the discount band is a
+    scan-side filter too; what's left is one map-side partial sum —
+    the cheapest possible full-table statistic at 100 TB. Completes
+    the TPC-H shape census alongside Q1's grouped variant."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01 00:00:00")))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.05)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            exact_sum(
+                F.col("l_extendedprice") * F.col("l_discount"),
+                "revenue_delta",
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+DISCOUNT_REVENUE_DELTA_SQL = f"""
+SELECT {exact_sum_sql("l_extendedprice * l_discount", "revenue_delta")},
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.02 AND l_discount <= 0.05
+  AND l_quantity < 24
+"""
+
+
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8-shaped market share: of all revenue shipped to
+    ASIA-region customers, the fraction supplied by NATION_1's
+    suppliers, per order year — the CONDITIONAL-NUMERATOR RATIO shape
+    (sum(CASE)/sum) over the deepest star join in the registry
+    (lineitem, orders, customer, nation×2, region, supplier).
+
+    Scale: the two fact joins shuffle on orderkey/custkey; supplier,
+    both nation legs, and region broadcast; the CASE numerator rides
+    the SAME aggregate as the denominator (one shuffle, no second
+    pass). Both sums are exact-decimal, so the closing double divide
+    is bit-identical across engines."""
+    cust_asia = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "region")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .filter(F.col("r_name") == "ASIA")
+        .select("c_custkey")
+    )
+    supp_nat = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").select(
+                    F.col("n_nationkey").alias("sn_key"),
+                    F.col("n_name").alias("supp_nation"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    nation1_rev = F.when(
+        F.col("supp_nation") == "NATION_1", _revenue_col()
+    ).otherwise(F.lit(0.0))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust_asia, orders.o_custkey == cust_asia.c_custkey)
+        .join(F.broadcast(supp_nat), li.l_suppkey == supp_nat.s_suppkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            exact_sum(nation1_rev, "nation_revenue"),
+            exact_sum(_revenue_col(), "total_revenue"),
+        )
+        .withColumn(
+            "mkt_share", F.col("nation_revenue") / F.col("total_revenue")
+        )
+        .orderBy("o_year")
+    )
+
+
+NATION_MARKET_SHARE_SQL = f"""
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       {exact_sum_sql(
+           "CASE WHEN sn.n_name = 'NATION_1' THEN " + _REVENUE + " ELSE 0.0 END",
+           "nation_revenue",
+       )},
+       {exact_sum_sql(_REVENUE, "total_revenue")},
+       CAST(CAST(SUM(CAST(CASE WHEN sn.n_name = 'NATION_1' THEN {_REVENUE}
+                          ELSE 0.0 END AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(SUM(CAST({_REVENUE} AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+         AS mkt_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region ON cn.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE r_name = 'ASIA'
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+def product_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9-shaped profit rollup: per supplier nation and order
+    year, total margin on widget-family parts — the COMPUTED-MEASURE
+    star aggregate whose per-row expression spans THREE tables
+    (lineitem price/discount/quantity, part retail price). The
+    testdata has no partsupp.ps_supplycost, so unit cost is proxied
+    as 10% of the part's retail price (deterministic, documented):
+    amount = l_extendedprice·(1−l_discount) − p_retailprice·l_quantity·0.1.
+
+    Scale: part (filtered to the name family BEFORE the join) and
+    supplier/nation broadcast; lineitem⋈orders shuffles on orderkey;
+    one aggregate shuffle on (nation, year). The amount expression is
+    written with identical association in both engines and
+    accumulated in exact decimal."""
+    part_w = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("widget"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp_nat = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").select(
+                    F.col("n_nationkey").alias("sn_key"),
+                    F.col("n_name").alias("nation"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select("s_suppkey", "nation")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_extendedprice",
+        "l_discount",
+        "l_quantity",
+    )
+    amount = F.col("l_extendedprice") * (
+        1 - F.col("l_discount")
+    ) - F.col("p_retailprice") * F.col("l_quantity") * 0.1
+    return (
+        li.join(F.broadcast(part_w), li.l_partkey == part_w.p_partkey)
+        .join(F.broadcast(supp_nat), li.l_suppkey == supp_nat.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(exact_sum(amount, "sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+PRODUCT_PROFIT_BY_NATION_SQL = f"""
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS INT) AS o_year,
+       {exact_sum_sql(
+           "l_extendedprice * (1 - l_discount)"
+           " - p_retailprice * l_quantity * 0.1",
+           "sum_profit",
+       )}
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, o_year
+ORDER BY n_name, o_year DESC
+"""
+
+
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q20-shaped dominant-supplier screen: suppliers that ship
+    a DISPROPORTIONATE share of at least one part — more than 3× the
+    mean per-supplier quantity for that part — the NESTED-AGGREGATE +
+    SEMI-JOIN-CHAIN shape (Q20 compares a supplier's stock of a part
+    to half that part's shipped volume; without partsupp the same
+    chain runs on shipped quantities, with the 3×-mean threshold
+    chosen non-vacuous at every testdata SF: keeps 3/99/544
+    suppliers, and the semi join actually filters at each).
+
+    Scale: two cascading aggregates over one lineitem scan — (part,
+    supplier) then part — joined back on partkey (both frames are
+    already small and co-keyed), then a LEFT SEMI into the supplier
+    dim. Nothing rescans the fact table; quantities accumulate in
+    exact decimal so the 3×-mean comparison sees identical doubles on
+    both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        exact_sum("l_quantity", "qty")
+    )
+    pt = ps.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        exact_sum("qty", "total"),
+        F.count(F.lit(1)).alias("nsupp"),
+    )
+    dominant = (
+        ps.join(pt, ps.l_partkey == pt._pk)
+        .filter(
+            F.col("qty") > F.lit(3.0) * F.col("total") / F.col("nsupp")
+        )
+        .select("l_suppkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        supp.join(
+            dominant, supp.s_suppkey == dominant.l_suppkey, "left_semi"
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+DOMINANT_PART_SUPPLIERS_SQL = f"""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, {exact_sum_sql("l_quantity", "qty")}
+  FROM lineitem
+  GROUP BY l_partkey, l_suppkey
+),
+pt AS (
+  SELECT l_partkey, {exact_sum_sql("qty", "total")},
+         count(*) AS nsupp
+  FROM ps
+  GROUP BY l_partkey
+)
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE EXISTS (
+  SELECT 1 FROM ps JOIN pt USING (l_partkey)
+  WHERE ps.l_suppkey = s_suppkey AND ps.qty > 3.0 * pt.total / pt.nsupp
+)
+ORDER BY s_suppkey
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "pricing_summary": QuerySpec(pricing_summary, PRICING_SUMMARY_SQL),
     "pricing_summary_sparksql": QuerySpec(
@@ -1915,4 +2182,16 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "min_cost_supplier": QuerySpec(min_cost_supplier, MIN_COST_SUPPLIER_SQL),
     "waiting_supplier": QuerySpec(waiting_supplier, WAITING_SUPPLIER_SQL),
+    "discount_revenue_delta": QuerySpec(
+        discount_revenue_delta, DISCOUNT_REVENUE_DELTA_SQL
+    ),
+    "nation_market_share": QuerySpec(
+        nation_market_share, NATION_MARKET_SHARE_SQL
+    ),
+    "product_profit_by_nation": QuerySpec(
+        product_profit_by_nation, PRODUCT_PROFIT_BY_NATION_SQL
+    ),
+    "dominant_part_suppliers": QuerySpec(
+        dominant_part_suppliers, DOMINANT_PART_SUPPLIERS_SQL
+    ),
 }

@@ -320,6 +320,34 @@ def test_waiting_supplier_semi_anti_one_key(spark):
     assert_no_cartesian(df)
 
 
+def test_q6_q8_q9_q20_shapes(spark):
+    """Q6-shape: every predicate reaches the lineitem scan, one
+    aggregate, no join at all. Q8-shape: one aggregate computes both
+    the CASE numerator and the denominator (no second pass over the
+    join). Q9-shape: part/supplier/nation all broadcast, the name
+    filter reaches the part scan. Q20-shape: the dominant-supplier
+    probe enters the supplier dim as a LEFT SEMI."""
+    q6 = _df(spark, "discount_revenue_delta")
+    plan6 = physical_plan(q6)
+    assert "PushedFilters" in plan6 and "LessThan(l_quantity,24.0)" in plan6
+    assert count_scans(q6) == 1 and count_shuffles(q6) <= 1
+
+    q8 = _df(spark, "nation_market_share")
+    assert_no_cartesian(q8)
+    assert count_broadcasts(q8) >= 3  # region+nation legs, supplier side
+    # numerator and denominator share ONE aggregation over the join
+    assert physical_plan(q8).count("HashAggregate") <= 4  # partial+final (+sort-side)
+
+    q9 = _df(spark, "product_profit_by_nation")
+    plan9 = physical_plan(q9)
+    assert "StringContains(p_name,widget)" in plan9, plan9[:1200]
+    assert count_broadcasts(q9) >= 2
+
+    q20 = _df(spark, "dominant_part_suppliers")
+    assert "LeftSemi" in physical_plan(q20)
+    assert_no_cartesian(q20)
+
+
 def test_returned_item_customers_pushdown_and_topk(spark):
     """Q10-shape: the quarter bound reaches the orders scan, the
     returnflag the lineitem scan; top-20 plans as TakeOrdered."""
