@@ -65,6 +65,10 @@ GRADING_PRIORITY: tuple[str, ...] = (
     "nation_market_share",
     "product_profit_by_nation",
     "dominant_part_suppliers",
+    # -- new this round: curation stages every training pipeline runs
+    #    (deterministic 80/10/10 split, temperature-mixing plan)
+    "corpus_split_assign",
+    "corpus_mix_plan",
     # -- latest driver row is r3 (r5 verdict #1): dedup/similarity
     "dedup_simhash",
     "dedup_fuzzy_pairs",
@@ -97,12 +101,10 @@ GRADING_PRIORITY: tuple[str, ...] = (
     "dedup_jaccard_pairs",
     "top_spenders",
     "engagement_vs_spend",
-    "engagement_spend_correlation",
     "purchase_last_click",
     "clicks_before_purchase",
     "events_hypertable_rollup",
     "daily_active_users",
-    "user_rolling_7d_spend",
     "customer_order_history",
     "events_sessionized",
     "session_stats_per_user",
@@ -111,9 +113,10 @@ GRADING_PRIORITY: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "knn_bruteforce",
     "ann_ivf",
-    # (segment_counts, user_events_lookup, doc_lang_id, dedup_exact
-    #  ceded their backfill slots to the 4 extra new queries; due r7
-    #  with the rest of the r4 cohort — the staleness gate enforces it)
+    # (segment_counts, user_events_lookup, doc_lang_id, dedup_exact,
+    #  engagement_spend_correlation, user_rolling_7d_spend ceded their
+    #  backfill slots to this round's 6 extra new queries; due r7 with
+    #  the rest of the r4 cohort — the staleness gate enforces it)
     # ---- driver's 50-entry window ends here ----
 )
 

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.numeric import exact_sum, exact_sum_sql
+from ..sources import load_table
 from . import QuerySpec
 from .dedup import doc_dedup_survivors_q
 from .text import (
@@ -137,8 +138,153 @@ ORDER BY lang, source
 """
 
 
+def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split — the assignment every
+    training pipeline freezes before any epoch runs. Membership is a
+    pure hash of the doc id (first 8 md5 hex digits mod 100 → 80/10/10),
+    NOT an RNG: the same doc lands in the same split on any engine,
+    any partitioning, any rerun, and late-arriving docs don't reshuffle
+    earlier assignments (the `doc_sample_stratified` discipline, with a
+    distinct salt so split and sample membership stay independent).
+
+    Scale: map-only assignment (no shuffle until the tiny per-(source,
+    split) report aggregate); at 100 TB the assignment column would be
+    written back to the zone once and the report read from statistics."""
+    docs = load_table(spark, sf_dir, "documents")
+    u32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    bucket = u32 % 100
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select("source", "n_chars", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("source", "split")
+    )
+
+
+CORPUS_SPLIT_ASSIGN_SQL = """
+WITH assigned AS (
+  SELECT source, n_chars,
+         CASE WHEN b < 80 THEN 'train'
+              WHEN b < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT source, n_chars,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8))
+             ::BIGINT % 100 AS b
+    FROM documents
+  )
+)
+SELECT source, split, count(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM assigned
+GROUP BY source, split
+ORDER BY source, split
+"""
+
+
+def corpus_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-reweighted data-mixing plan (α = 0.5): per source,
+    its natural corpus share and the up/down-weighted sampling share
+    w_i ∝ size_i^0.5 — the standard multi-source rebalancing step
+    (multilingual temperature sampling; the α knob interpolates
+    between proportional α=1 and uniform α=0) plus the resulting
+    boost factor and expected epochs at a 1e9-char training budget
+    (epochs > 1 flags sources the plan would repeat).
+
+    Cross-engine exactness: per-source char totals are exact BIGINT
+    sums; sqrt is IEEE correctly-rounded (identical in both engines),
+    and each sqrt-weight is quantized to integer micro-units BEFORE
+    the cross-source normalization sum, so the denominator is
+    order-independent integer arithmetic (the kmeans/entropy
+    discipline). Scale: one tiny per-source aggregate (map-side
+    combinable) + a one-row broadcast for the totals."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars_total"),
+    )
+    qs = F.floor(
+        F.sqrt(F.col("n_chars_total").cast("double")) * 1e6 + F.lit(0.5)
+    ).cast("bigint")
+    weighted = per_src.withColumn("_qw", qs)
+    tot = weighted.agg(
+        F.sum("n_chars_total").alias("_tot_chars"),
+        F.sum("_qw").alias("_tot_qw"),
+    )
+    natural = F.col("n_chars_total").cast("double") / F.col(
+        "_tot_chars"
+    ).cast("double")
+    mix = F.col("_qw").cast("double") / F.col("_tot_qw").cast("double")
+    return (
+        weighted.join(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_chars_total",
+            natural.alias("natural_share"),
+            mix.alias("mix_share"),
+            (mix / natural).alias("boost"),
+            (
+                F.lit(1e9) * mix / F.col("n_chars_total").cast("double")
+            ).alias("budget_epochs"),
+        )
+        .orderBy("source")
+    )
+
+
+CORPUS_MIX_PLAN_SQL = """
+WITH per_src AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+  FROM documents
+  GROUP BY source
+),
+weighted AS (
+  SELECT *, CAST(floor(sqrt(CAST(n_chars_total AS DOUBLE)) * 1e6 + 0.5)
+                 AS BIGINT) AS _qw
+  FROM per_src
+),
+tot AS (
+  SELECT CAST(SUM(n_chars_total) AS BIGINT) AS _tot_chars,
+         CAST(SUM(_qw) AS BIGINT) AS _tot_qw
+  FROM weighted
+)
+SELECT source, n_docs, n_chars_total,
+       CAST(n_chars_total AS DOUBLE) / CAST(_tot_chars AS DOUBLE)
+         AS natural_share,
+       CAST(_qw AS DOUBLE) / CAST(_tot_qw AS DOUBLE) AS mix_share,
+       (CAST(_qw AS DOUBLE) / CAST(_tot_qw AS DOUBLE))
+         / (CAST(n_chars_total AS DOUBLE) / CAST(_tot_chars AS DOUBLE))
+         AS boost,
+       1e9 * (CAST(_qw AS DOUBLE) / CAST(_tot_qw AS DOUBLE))
+         / CAST(n_chars_total AS DOUBLE) AS budget_epochs
+FROM weighted CROSS JOIN tot
+ORDER BY source
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "corpus_curation_report": QuerySpec(
         corpus_curation_report, corpus_curation_report_sql()
     ),
+    "corpus_split_assign": QuerySpec(
+        corpus_split_assign, CORPUS_SPLIT_ASSIGN_SQL
+    ),
+    "corpus_mix_plan": QuerySpec(corpus_mix_plan, CORPUS_MIX_PLAN_SQL),
 }
