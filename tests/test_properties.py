@@ -229,7 +229,9 @@ def test_prefix_jaccard_equals_allpairs(spark, texts):
     fast = jaccard_pairs(docs, threshold=0.5).collect()
     slow = [
         r
-        for r in jaccard_pairs(docs, threshold=0.0).collect()
+        for r in jaccard_pairs(
+            docs, threshold=0.0, allow_quadratic=True
+        ).collect()
         if r["jaccard"] >= 0.5
     ]
     key = lambda r: (r["doc_a"], r["doc_b"])  # noqa: E731
