@@ -69,6 +69,9 @@ GRADING_PRIORITY: tuple[str, ...] = (
     #    (deterministic 80/10/10 split, temperature-mixing plan)
     "corpus_split_assign",
     "corpus_mix_plan",
+    # -- new this round: second sketch-acceptance oracle (approx
+    #    quantiles next to the HLL bound)
+    "order_price_quantiles_approx",
     # -- latest driver row is r3 (r5 verdict #1): dedup/similarity
     "dedup_simhash",
     "dedup_fuzzy_pairs",
@@ -104,7 +107,6 @@ GRADING_PRIORITY: tuple[str, ...] = (
     "purchase_last_click",
     "clicks_before_purchase",
     "events_hypertable_rollup",
-    "daily_active_users",
     "customer_order_history",
     "events_sessionized",
     "session_stats_per_user",
@@ -114,9 +116,10 @@ GRADING_PRIORITY: tuple[str, ...] = (
     "knn_bruteforce",
     "ann_ivf",
     # (segment_counts, user_events_lookup, doc_lang_id, dedup_exact,
-    #  engagement_spend_correlation, user_rolling_7d_spend ceded their
-    #  backfill slots to this round's 6 extra new queries; due r7 with
-    #  the rest of the r4 cohort — the staleness gate enforces it)
+    #  engagement_spend_correlation, user_rolling_7d_spend,
+    #  daily_active_users ceded their backfill slots to this round's 7
+    #  extra new queries; due r7 with the rest of the r4 cohort — the
+    #  staleness gate enforces it)
     # ---- driver's 50-entry window ends here ----
 )
 

@@ -447,6 +447,74 @@ ORDER BY day
 """
 
 
+def order_price_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL/GK-style approximate quantiles (`percentile_approx`) with a
+    graded ACCURACY ACCEPTANCE — the second member of the sketch
+    family next to `daily_active_users_approx`'s HLL bound. At 100 TB
+    the mergeable single-pass sketch replaces exact percentile's
+    per-group sort; this query grades that replacement per order
+    priority: the p50/p90 estimates must land inside the exact
+    quantile envelope at p ± 2·(1/accuracy) (accuracy=10000 bounds
+    rank error by n/10000), and the DuckDB oracle computes nothing
+    approximate — it asserts the acceptance is TRUE.
+
+    The acceptance is judged in RANK space, not value space: the
+    sketch returns a REALIZED data value, so its quality contract is
+    on the value's rank (|rank − p·n| ≤ n/accuracy), not its
+    magnitude — a value-space envelope is arbitrarily tight wherever
+    the distribution is locally dense. rank(v) is measured as
+    count(x ≤ v) on a second pass (judging only; the sketch itself is
+    single-pass) with +1 slack for tie/boundary semantics.
+
+    Scale: one aggregate shuffle for the sketch, one broadcast-join +
+    re-aggregate for the rank audit; the production plan is just the
+    sketch branch."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    approx = orders.groupBy("o_orderpriority").agg(
+        F.expr(
+            "CAST(percentile_approx(o_totalprice, 0.5, 10000) AS DOUBLE)"
+        ).alias("_a50"),
+        F.expr(
+            "CAST(percentile_approx(o_totalprice, 0.9, 10000) AS DOUBLE)"
+        ).alias("_a90"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    ranks = (
+        orders.join(F.broadcast(approx), "o_orderpriority")
+        .groupBy("o_orderpriority", "_a50", "_a90", "_n")
+        .agg(
+            F.sum(
+                F.when(F.col("o_totalprice") <= F.col("_a50"), 1).otherwise(0)
+            ).alias("_r50"),
+            F.sum(
+                F.when(F.col("o_totalprice") <= F.col("_a90"), 1).otherwise(0)
+            ).alias("_r90"),
+        )
+    )
+    margin = F.col("_n").cast("double") / 10000 + 1.0
+    within = lambda r, p: (  # noqa: E731
+        (F.col(r) >= p * F.col("_n") - margin)
+        & (F.col(r) <= p * F.col("_n") + margin)
+    )
+    return ranks.select(
+        "o_orderpriority",
+        within("_r50", 0.5).alias("p50_within_bound"),
+        within("_r90", 0.9).alias("p90_within_bound"),
+    ).orderBy("o_orderpriority")
+
+
+ORDER_PRICE_QUANTILES_APPROX_SQL = """
+SELECT o_orderpriority,
+       TRUE AS p50_within_bound,
+       TRUE AS p90_within_bound
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def user_rolling_7d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day spend per customer via a RANGE interval frame —
     the time-series window shape the reference's pandas post-processing
@@ -733,6 +801,9 @@ QUERIES: dict[str, QuerySpec] = {
     "daily_active_users": QuerySpec(daily_active_users, DAILY_ACTIVE_USERS_SQL),
     "daily_active_users_approx": QuerySpec(
         daily_active_users_approx, DAILY_ACTIVE_USERS_APPROX_SQL
+    ),
+    "order_price_quantiles_approx": QuerySpec(
+        order_price_quantiles_approx, ORDER_PRICE_QUANTILES_APPROX_SQL
     ),
     "user_rolling_7d_spend": QuerySpec(
         user_rolling_7d_spend, USER_ROLLING_7D_SPEND_SQL

@@ -348,6 +348,43 @@ def test_q6_q8_q9_q20_shapes(spark):
     assert_no_cartesian(q20)
 
 
+def test_runtime_bloom_filter_reaches_probe_side(spark):
+    """At 100 TB, a selective dim filter should become a RUNTIME bloom
+    filter on the fact side (semi-join reduction: fact rows failing
+    might_contain() die at the scan, before the join shuffle). The
+    size thresholds that gate injection are cluster-scale (10 GB scan
+    side), so the test drops them to zero to prove the session config
+    leaves the optimizer free to inject — a config regression that
+    silently disabled runtime filtering would pass every correctness
+    test and still double the shuffled bytes of every selective join."""
+    from big_data_analytics_final_project_spark.sources import load_table
+
+    conf = spark.conf
+    keys = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        # broadcast joins skip runtime filters (already pruned);
+        # force the shuffle-join path the feature targets
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: conf.get(k, None) for k in keys}
+    try:
+        for k, v in keys.items():
+            conf.set(k, v)
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        part = load_table(spark, SF_SMOKE, "part").filter(
+            "p_brand = 'BRAND_1'"
+        )
+        plan = physical_plan(li.join(part, li.l_partkey == part.p_partkey))
+        assert "might_contain" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+
+
 def test_returned_item_customers_pushdown_and_topk(spark):
     """Q10-shape: the quarter bound reaches the orders scan, the
     returnflag the lineitem scan; top-20 plans as TakeOrdered."""
