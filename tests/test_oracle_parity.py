@@ -84,3 +84,63 @@ def test_all_queries_have_entries():
     no_oracle = [n for n, s in SPECS.items() if s.sql is None]
     # non-SQL-expressible ops are allowed, but must stay the exception
     assert len(no_oracle) <= max(2, len(SPECS) // 10), no_oracle
+
+
+def test_split_assign_partitions_the_corpus(spark):
+    """The frozen split must PARTITION the corpus: per-source doc and
+    char totals across train/val/test equal the direct totals (no doc
+    lost or double-assigned), and the global train share sits near the
+    designed 80% (hash uniformity; loose bound, small-sample noise)."""
+    from pyspark.sql import functions as F
+
+    from big_data_analytics_final_project_spark.queries.curation import (
+        corpus_split_assign,
+    )
+    from big_data_analytics_final_project_spark.sources import load_table
+
+    out = corpus_split_assign(spark, SF_DIR).collect()
+    docs = load_table(spark, SF_DIR, "documents")
+    direct = {
+        r["source"]: (r["n"], r["chars"])
+        for r in docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("chars")
+        )
+        .collect()
+    }
+    per_source: dict[str, list[int]] = {}
+    total = {"train": 0, "val": 0, "test": 0}
+    for r in out:
+        agg = per_source.setdefault(r["source"], [0, 0])
+        agg[0] += r["n_docs"]
+        agg[1] += r["sum_chars"]
+        total[r["split"]] += r["n_docs"]
+    assert {s: tuple(v) for s, v in per_source.items()} == direct
+    n_all = sum(total.values())
+    assert 0.70 <= total["train"] / n_all <= 0.90, total
+
+
+def test_mix_plan_shares_normalize_and_flatten(spark):
+    """Mixing-plan invariants: both share columns sum to 1; the
+    temperature reweighting FLATTENS the distribution (largest source
+    is down-weighted relative to its natural share, smallest is
+    up-weighted — boost ordering inverse to size); budget_epochs is
+    consistent with its definition."""
+    from big_data_analytics_final_project_spark.queries.curation import (
+        corpus_mix_plan,
+    )
+
+    rows = corpus_mix_plan(spark, SF_DIR).collect()
+    assert abs(sum(r["natural_share"] for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r["mix_share"] for r in rows) - 1.0) < 1e-9
+    biggest = max(rows, key=lambda r: r["n_chars_total"])
+    smallest = min(rows, key=lambda r: r["n_chars_total"])
+    assert biggest["boost"] < 1.0 < smallest["boost"], (biggest, smallest)
+    for r in rows:
+        assert (
+            abs(
+                r["budget_epochs"]
+                - 1e9 * r["mix_share"] / r["n_chars_total"]
+            )
+            < 1e-9
+        )
