@@ -158,6 +158,11 @@ HEADLINE = [
     "events_hypertable_rollup",
     "session_stats_per_user",
     "daily_active_users",
+    # added r6 (totals not comparable to BENCH_r5 on these lines): the
+    # deepest star join in the registry and the correlated-subquery
+    # decorrelation — the two most join-intensive new plan shapes
+    "nation_market_share",
+    "min_cost_supplier",
 ]
 
 
