@@ -42,6 +42,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     InputPartition,
@@ -81,6 +82,11 @@ class ChunkedJsonlDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> "ChunkedJsonlWriter":
         return ChunkedJsonlWriter(schema, self.options, overwrite)
+
+    def streamWriter(
+        self, schema: StructType, overwrite: bool
+    ) -> "ChunkedJsonlStreamWriter":
+        return ChunkedJsonlStreamWriter(schema, self.options)
 
 
 class ChunkedJsonlReader(DataSourceReader):
@@ -264,6 +270,79 @@ class ChunkedJsonlWriter(DataSourceWriter):
 
     def abort(self, messages) -> None:
         shutil.rmtree(self.staging, ignore_errors=True)
+
+
+class ChunkedJsonlStreamWriter(DataSourceStreamWriter):
+    """Streaming write side — completes the connector's fourth surface
+    (batch read / batch write / stream read / stream write): every
+    micro-batch lands as `batch_{batchId}_{i}.json` chunks the batch
+    and stream READERS pick up by the same `*.json` glob.
+
+    Exactly-once discipline: per-task staging + driver-side rename (as
+    the batch writer), and the commit is IDEMPOTENT PER EPOCH — chunk
+    names carry the batchId, and commit first clears any chunks a
+    previous attempt of the SAME batch left behind, so a micro-batch
+    replayed after a crash-between-commit-and-checkpoint overwrites
+    its own output instead of duplicating it (the object-store
+    manifest-commit seam, same as the batch writer's rename).
+
+    Zone discipline: a stream-written zone should receive ONLY stream
+    writes — `batch_` names sort before `chunk_` names, so appending
+    stream chunks to a zone that already has batch `chunk_` files
+    would insert files before the stream READER's count offset and
+    break its exactly-once replay.
+    """
+
+    def __init__(self, schema: StructType, options: dict) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("chunked_jsonl: 'path' option is required")
+        self.path = path
+        # one staging namespace per streaming query run; staged files
+        # are named per (batch, partition, attempt) so epochs never
+        # collide inside it
+        self.staging = os.path.join(path, f"_staging_{uuid.uuid4().hex}")
+
+    def write(self, iterator) -> _StagedChunk:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else os.getpid()
+        attempt = ctx.taskAttemptId() if ctx is not None else 0
+        os.makedirs(self.staging, exist_ok=True)
+        staged = os.path.join(
+            self.staging, f"part_{pid:05d}_a{attempt}.json"
+        )
+        n = 0
+        with open(staged, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _StagedChunk(staged_path=staged, n_rows=n)
+
+    def commit(self, messages, batchId: int) -> None:
+        # idempotent replay: clear this epoch's chunks from any prior
+        # attempt before renaming the new ones into place
+        for old in glob.glob(
+            os.path.join(self.path, f"batch_{batchId:06d}_*.json")
+        ):
+            os.remove(old)
+        for i, msg in enumerate(m for m in messages if m is not None):
+            final = os.path.join(
+                self.path, f"batch_{batchId:06d}_{i:05d}.json"
+            )
+            os.replace(msg.staged_path, final)
+        # micro-batch epochs are serialized, so anything left staged
+        # is a dead attempt's file — sweep it with the epoch
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+    def abort(self, messages, batchId: int) -> None:
+        for msg in messages:
+            if msg is not None:
+                try:
+                    os.remove(msg.staged_path)
+                except OSError:
+                    pass
 
 
 def _parse_chunk(path: str, permissive: bool, checks: list):

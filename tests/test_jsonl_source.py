@@ -226,6 +226,90 @@ def test_streaming_source_incremental_chunks(spark, tmp_path):
     assert len(total) == 35
 
 
+def test_stream_writer_zone_to_zone_exactly_once(spark, tmp_path):
+    """The connector's fourth surface: readStream from zone A,
+    writeStream to zone B through the SAME format — chunks land as
+    batch_{epoch}_{i}.json, the batch reader round-trips them, and a
+    second drain after new data arrives in A moves only the delta
+    (exactly-once end to end across both the reader's offsets and the
+    writer's per-epoch commits)."""
+    src = f"{tmp_path}/stream_w_src"
+    dst = f"{tmp_path}/stream_w_dst"
+    ckpt = f"{tmp_path}/stream_w_ckpt"
+    n0 = _write_chunks(src, n_chunks=3)
+    os.makedirs(dst, exist_ok=True)
+    try:
+        spark.dataSource.register(ChunkedJsonlDataSource)
+    except Exception:
+        pass
+
+    def drain():
+        stream = (
+            spark.readStream.format("chunked_jsonl")
+            .schema(SCHEMA_DDL)
+            .option("path", src)
+            .load()
+        )
+        q = (
+            stream.writeStream.format("chunked_jsonl")
+            .option("path", dst)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300), "stream did not finish"
+        return _read(spark, dst).collect()
+
+    first = drain()
+    assert {r.event_id for r in first} == set(range(n0))
+    import glob as g
+
+    assert not g.glob(f"{dst}/_staging_*/*"), "staged files leaked"
+
+    with open(f"{src}/chunk_3.json", "w") as f:
+        for i in range(30, 35):
+            f.write(
+                json.dumps(
+                    {"event_id": i, "event_type": "view", "value": i * 1.5}
+                )
+                + "\n"
+            )
+    total = drain()
+    assert {r.event_id for r in total} == set(range(35))
+    assert len(total) == 35
+
+
+def test_stream_writer_commit_idempotent_per_epoch(tmp_path):
+    """A micro-batch replayed after a crash between commit and
+    checkpoint must overwrite its own chunks, never duplicate them —
+    the commit carries the batchId and clears that epoch's files
+    first."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    from big_data_analytics_final_project_spark.sources.jsonl_source import (
+        ChunkedJsonlStreamWriter,
+        _StagedChunk,
+    )
+
+    dst = f"{tmp_path}/idem_zone"
+    os.makedirs(dst)
+    w = ChunkedJsonlStreamWriter(
+        _parse_datatype_string(SCHEMA_DDL), {"path": dst}
+    )
+
+    def stage(tag):
+        os.makedirs(w.staging, exist_ok=True)
+        p = os.path.join(w.staging, f"part_{tag}.json")
+        with open(p, "w") as f:
+            f.write(json.dumps({"event_id": 1}) + "\n")
+        return _StagedChunk(staged_path=p, n_rows=1)
+
+    w.commit([stage("a")], batchId=7)
+    w.commit([stage("b")], batchId=7)  # replay of the same epoch
+    files = sorted(os.listdir(dst))
+    assert files == ["batch_000007_00000.json"], files
+
+
 def test_writer_roundtrip_overwrite_and_append(spark, tmp_path):
     """Write side: staged files land atomically as chunk_NNNNN.json on
     commit; overwrite replaces the zone, append adds chunks; the batch
