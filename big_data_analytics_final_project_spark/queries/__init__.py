@@ -72,6 +72,9 @@ GRADING_PRIORITY: tuple[str, ...] = (
     # -- new this round: second sketch-acceptance oracle (approx
     #    quantiles next to the HLL bound)
     "order_price_quantiles_approx",
+    # -- new this round: REAL PCM16 decode through Arrow mapInPandas
+    #    (the codec-free member of the media family)
+    "media_wav_rms",
     # -- latest driver row is r3 (r5 verdict #1): dedup/similarity
     "dedup_simhash",
     "dedup_fuzzy_pairs",
@@ -102,7 +105,6 @@ GRADING_PRIORITY: tuple[str, ...] = (
     "revenue_by_brand",
     "also_bought_pairs",
     "dedup_jaccard_pairs",
-    "top_spenders",
     "engagement_vs_spend",
     "purchase_last_click",
     "clicks_before_purchase",
@@ -117,9 +119,9 @@ GRADING_PRIORITY: tuple[str, ...] = (
     "ann_ivf",
     # (segment_counts, user_events_lookup, doc_lang_id, dedup_exact,
     #  engagement_spend_correlation, user_rolling_7d_spend,
-    #  daily_active_users ceded their backfill slots to this round's 7
-    #  extra new queries; due r7 with the rest of the r4 cohort — the
-    #  staleness gate enforces it)
+    #  daily_active_users, top_spenders ceded their backfill slots to
+    #  this round's 8 extra new queries; due r7 with the rest of the
+    #  r4 cohort — the staleness gate enforces it)
     # ---- driver's 50-entry window ends here ----
 )
 

@@ -274,10 +274,99 @@ ORDER BY media_id
 """
 
 
+def media_wav_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PCM16 decode end to end — the codec-free member of the
+    media family: per doc, a complete WAV file (44-byte header + two's
+    complement little-endian int16 sample data, synthesized by pure
+    byte expressions from a deterministic formula) is DECODED with
+    numpy inside Arrow `mapInPandas` (`operators.multimodal.
+    pcm16_stats`) into loudness stats — sample count, exact integer
+    energy, peak, micro-quantized RMS. The DuckDB oracle never touches
+    the binary: it re-derives every stat from the same sample formula,
+    so a hash match proves the byte writer, the 44-byte framing, AND
+    the numpy decode agree sample-for-sample.
+
+    This closes the media family's loop: `media_wav_meta` proves the
+    header parse, this proves the PAYLOAD decode — real decode where
+    no codec is needed, with the same batch plumbing the env-gated
+    image/video decoders stub. Scale: map-only synthesis + one Arrow
+    hop per batch; stats are per-file, no shuffle until the output
+    sort."""
+    from ..operators.multimodal import pcm16_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = (F.col("doc_id") % 200 + 50).cast("bigint")
+    # sample k: v = (doc_id*131 + k*7919) % 65536 − 32768; stored LE
+    # int16 two's complement = (v mod 2^16) = (u + 32768) mod 2^16
+    data_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), (n - 1).cast("int")),
+            lambda k: _le_hex(
+                (
+                    (F.col("doc_id") * 131 + k.cast("bigint") * 7919)
+                    % 65536
+                    + 32768
+                )
+                % 65536,
+                2,
+            ),
+        ),
+        "",
+    )
+    data_len = n * 2
+    payload = F.unhex(
+        F.concat(
+            F.lit("52494646"),  # 'RIFF'
+            _le_hex(data_len + 36, 4),
+            F.lit("57415645666d7420"),  # 'WAVE' + 'fmt '
+            _le_hex(F.lit(16), 4),
+            _le_hex(F.lit(1), 2),  # PCM
+            _le_hex(F.lit(1), 2),  # mono
+            _le_hex(F.lit(16000), 4),  # sample rate
+            _le_hex(F.lit(32000), 4),  # byte rate
+            _le_hex(F.lit(2), 2),  # block align
+            _le_hex(F.lit(16), 2),  # bits per sample
+            F.lit("64617461"),  # 'data'
+            _le_hex(data_len, 4),
+            data_hex,
+        )
+    )
+    synth = docs.select(
+        F.col("doc_id").alias("media_id"), payload.alias("payload")
+    )
+    return pcm16_stats(synth).orderBy("media_id")
+
+
+MEDIA_WAV_RMS_SQL = """
+WITH s AS (
+  SELECT doc_id AS media_id,
+         unnest(range(0, doc_id % 200 + 50)) AS k
+  FROM documents
+),
+v AS (
+  SELECT media_id,
+         (media_id * 131 + k * 7919) % 65536 - 32768 AS val
+  FROM s
+),
+agg AS (
+  SELECT media_id, count(*) AS n_samples,
+         CAST(SUM(val * val) AS BIGINT) AS sum_sq,
+         CAST(max(abs(val)) AS BIGINT) AS peak
+  FROM v GROUP BY media_id
+)
+SELECT media_id, n_samples, sum_sq, peak,
+       CAST(floor(sqrt(CAST(sum_sq AS DOUBLE) / n_samples) * 1e6 + 0.5)
+            AS BIGINT) AS rms_micro
+FROM agg
+ORDER BY media_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "binary_meta": QuerySpec(binary_meta, BINARY_META_SQL),
     "media_wav_meta": QuerySpec(media_wav_meta, MEDIA_WAV_META_SQL),
     "media_png_dims": QuerySpec(media_png_dims, MEDIA_PNG_DIMS_SQL),
     "media_feature_knn": QuerySpec(media_feature_knn, _media_feature_knn_sql()),
     "media_frame_sample": QuerySpec(media_frame_sample, MEDIA_FRAME_SAMPLE_SQL),
+    "media_wav_rms": QuerySpec(media_wav_rms, MEDIA_WAV_RMS_SQL),
 }
