@@ -34,14 +34,15 @@ class QuerySpec:
 # mechanically enforced by scripts/grading_manifest.py in preflight;
 # (2) every query whose latest driver row is 2 rounds old; (3) a
 # stable-flagship remainder for round-over-round regression coverage.
-# Round-6 instance: (1) the 6 changed/new queries — the entropy LUT
-# rework, the two de-vacuated queries, the HLL acceptance-oracle
-# rework, and the new Q2/Q21 shapes; (2) the 20 entries whose latest
-# driver row is r3 (rotated out in r4+r5 — the staleness gate in
-# scripts/grading_manifest.py now mechanically enforces their
-# return); (3) 24 r4-green backfill slots, flagships first. The 26
-# remaining r4-green entries rest this round and are due (and gated)
-# for round 7's window.
+# Round-6 instance: (1) the 14 changed/new queries — the entropy LUT
+# rework, the two de-vacuated queries, the two sketch acceptance
+# oracles, the 6 TPC-H shapes completing the 1-22 census, the 2
+# curation stages, the real PCM decode, and semantic clusters;
+# (2) the 20 entries whose latest driver row is r3 (rotated out in
+# r4+r5 — the staleness gate in scripts/grading_manifest.py now
+# mechanically enforces their return); (3) 15 r4-green backfill
+# slots, flagships first. The remaining r4-green entries rest this
+# round and are due (and gated) for round 7's window.
 #
 # `daily_active_users_approx` is graded via an ACCURACY-ACCEPTANCE
 # oracle as of round 6: its output is a per-day boolean (HLL estimate
@@ -75,6 +76,9 @@ GRADING_PRIORITY: tuple[str, ...] = (
     # -- new this round: REAL PCM16 decode through Arrow mapInPandas
     #    (the codec-free member of the media family)
     "media_wav_rms",
+    # -- new this round: semantic dedup end-to-end (embedding
+    #    near-dup pairs -> connected components)
+    "dedup_semantic_clusters",
     # -- latest driver row is r3 (r5 verdict #1): dedup/similarity
     "dedup_simhash",
     "dedup_fuzzy_pairs",
@@ -105,7 +109,6 @@ GRADING_PRIORITY: tuple[str, ...] = (
     "revenue_by_brand",
     "also_bought_pairs",
     "dedup_jaccard_pairs",
-    "engagement_vs_spend",
     "purchase_last_click",
     "clicks_before_purchase",
     "events_hypertable_rollup",
@@ -119,9 +122,10 @@ GRADING_PRIORITY: tuple[str, ...] = (
     "ann_ivf",
     # (segment_counts, user_events_lookup, doc_lang_id, dedup_exact,
     #  engagement_spend_correlation, user_rolling_7d_spend,
-    #  daily_active_users, top_spenders ceded their backfill slots to
-    #  this round's 8 extra new queries; due r7 with the rest of the
-    #  r4 cohort — the staleness gate enforces it)
+    #  daily_active_users, top_spenders, engagement_vs_spend ceded
+    #  their backfill slots to this round's 9 extra new queries; due
+    #  r7 with the rest of the r4 cohort — the staleness gate
+    #  enforces it)
     # ---- driver's 50-entry window ends here ----
 )
 

@@ -4,6 +4,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.kmeans import kmeans_assign, kmeans_assign_sql
 from ..operators.similarity import (
@@ -223,6 +224,50 @@ ORDER BY vec_id
 """
 
 
+def dedup_semantic_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup end-to-end: embedding-cosine near-dup pairs
+    (IVF-cell-blocked, `operators/similarity.embedding_near_dup`) →
+    connected components (`operators/components.py` pointer-jumping
+    min-label) → per-vector cluster id — the embedding-space twin of
+    the token-space `dedup_clusters` (MinHash-LSH → components). At
+    100 TB this is the fuzzy-semantic pass curation pipelines run
+    AFTER lexical dedup: paraphrases and translations share no
+    shingles but sit close in embedding space, so only this pass
+    catches them. The pairs side is candidate-sized (cell-blocked),
+    and the component loop is log-round pointer jumping — the same
+    audited scale shapes, composed.
+
+    The oracle wraps the near-dup pair SQL in the same recursive
+    reachability CTE the token clusters use, so the iterative Spark
+    fixpoint is again checked against a declarative closure."""
+    from ..operators.components import connected_components
+
+    pairs = embedding_near_dup(
+        load_table(spark, sf_dir, "embeddings"), threshold=_NEAR_DUP_T
+    ).select("vec_a", "vec_b")
+    labels = connected_components(pairs, "vec_a", "vec_b")
+    return labels.select(
+        F.col("node").alias("vec_id"), F.col("label").alias("cluster_id")
+    ).orderBy("vec_id")
+
+
+DEDUP_SEMANTIC_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS ({embedding_near_dup_sql(_NEAR_DUP_T)}),
+edges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM pairs
+  UNION ALL
+  SELECT vec_b AS src, vec_a AS dst FROM pairs
+),
+reach(node, root) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS vec_id, min(root) AS cluster_id
+FROM reach GROUP BY node ORDER BY vec_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "knn_bruteforce": QuerySpec(
         knn_bruteforce_q, knn_bruteforce_sql(f"_id < {_N_QUERIES}", _K_EXACT)
@@ -236,6 +281,9 @@ QUERIES: dict[str, QuerySpec] = {
             load_table(spark, sf_dir, "embeddings"), threshold=_NEAR_DUP_T
         ),
         embedding_near_dup_sql(_NEAR_DUP_T),
+    ),
+    "dedup_semantic_clusters": QuerySpec(
+        dedup_semantic_clusters_q, DEDUP_SEMANTIC_CLUSTERS_SQL
     ),
     # iterative Lloyd's k-means, deterministic end-to-end — the trained
     # upgrade of ann_ivf's first-k codebook, and the semantic-bucketing
