@@ -177,6 +177,9 @@ def main() -> int:
     paired_commit = PAIRED_COMMIT
     if "--paired" in argv:
         i = argv.index("--paired")
+        if i + 1 >= len(argv):
+            print("--paired requires a commit argument", file=sys.stderr)
+            return 2
         paired_commit = argv[i + 1]
         del argv[i : i + 2]
     paired_on = (

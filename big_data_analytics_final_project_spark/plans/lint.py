@@ -32,9 +32,18 @@ _CHECKS: dict[str, str] = {
     # (Arrow-batched ArrowEvalPython / mapInPandas are the sanctioned
     # Python surfaces and are NOT flagged)
     "row_udf": r"\(\d+\) BatchEvalPython\b",
-    # a window whose spec opens with an ORDER column (no partition
-    # keys) funnels the whole frame through ONE task
-    "single_task_window": r"windowspecdefinition\(\w+#\d+L? (?:ASC|DESC)",
+    # a window whose spec opens with an ORDER expression (no partition
+    # keys) funnels the whole frame through ONE task. The first
+    # TOP-LEVEL argument may be a computed expression, not just an
+    # attribute ref, so the pattern consumes any run of
+    # non-top-level-comma tokens — paren groups up to two levels deep
+    # may contain commas (nested function args) — before requiring
+    # ASC/DESC. A top-level comma before any sort direction means the
+    # spec opens with partition keys and is not flagged.
+    "single_task_window": (
+        r"windowspecdefinition\(\s*"
+        r"(?:[^,()]+|\((?:[^()]|\([^()]*\))*\))+ (?:ASC|DESC)\b"
+    ),
 }
 
 # query -> {check: reason}. Every entry must carry a WHY — the linter

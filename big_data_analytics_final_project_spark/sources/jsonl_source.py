@@ -332,9 +332,20 @@ class ChunkedJsonlStreamWriter(DataSourceStreamWriter):
                 self.path, f"batch_{batchId:06d}_{i:05d}.json"
             )
             os.replace(msg.staged_path, final)
-        # micro-batch epochs are serialized, so anything left staged
-        # is a dead attempt's file — sweep it with the epoch
-        shutil.rmtree(self.staging, ignore_errors=True)
+        # Sweep EVERY `_staging_*` dir in the zone, not just
+        # self.staging: Spark reconstructs the writer in separate
+        # processes (task side vs the driver's commit runner), so the
+        # committing instance's uuid differs from the one the tasks
+        # staged under, and a crashed previous RUN (driver death — no
+        # abort call) leaves its dir behind forever. Micro-batch
+        # epochs are serialized, so at end-of-commit nothing is
+        # legitimately in flight — anything still staged is a dead
+        # attempt's or dead run's file. (Sweeping any earlier is
+        # unsafe for exactly the same multi-instance reason: an
+        # instance can't tell its siblings' live dirs from dead ones
+        # until the epoch's renames are done.)
+        for stale in glob.glob(os.path.join(self.path, "_staging_*")):
+            shutil.rmtree(stale, ignore_errors=True)
 
     def abort(self, messages, batchId: int) -> None:
         for msg in messages:

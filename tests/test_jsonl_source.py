@@ -310,6 +310,55 @@ def test_stream_writer_commit_idempotent_per_epoch(tmp_path):
     assert files == ["batch_000007_00000.json"], files
 
 
+def test_stream_writer_sweeps_dead_run_staging(tmp_path):
+    """A streaming query that crashes mid-epoch (driver death — no
+    abort call) leaves its `_staging_<uuid>` dir in the zone. A new
+    run mints a fresh uuid, so without a sweep the dead dirs
+    accumulate forever. END of commit removes every `_staging_*` dir
+    (epochs are serialized — nothing is legitimately in flight then;
+    sweeping earlier is unsafe because Spark reconstructs the writer
+    per process, so the committing instance cannot recognize the
+    task-side dir as its own). Committed chunks survive."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    from big_data_analytics_final_project_spark.sources.jsonl_source import (
+        ChunkedJsonlStreamWriter,
+        _StagedChunk,
+    )
+
+    dst = f"{tmp_path}/sweep_zone"
+    os.makedirs(os.path.join(dst, "_staging_deadbeef"))
+    with open(
+        os.path.join(dst, "_staging_deadbeef", "part_00001_a0.json"), "w"
+    ) as f:
+        f.write(json.dumps({"event_id": 1}) + "\n")
+    # committed chunks from the dead run must survive the sweep
+    with open(os.path.join(dst, "batch_000001_00000.json"), "w") as f:
+        f.write(json.dumps({"event_id": 2}) + "\n")
+
+    w = ChunkedJsonlStreamWriter(
+        _parse_datatype_string(SCHEMA_DDL), {"path": dst}
+    )
+    # construction must NOT sweep (another live instance may own a dir)
+    assert os.path.isdir(os.path.join(dst, "_staging_deadbeef"))
+
+    # tasks stage under a DIFFERENT instance's uuid than the committer
+    # (Spark reconstructs the writer per process) — model that by
+    # staging outside w.staging
+    task_staging = os.path.join(dst, "_staging_task_instance")
+    os.makedirs(task_staging, exist_ok=True)
+    staged = os.path.join(task_staging, "part_00000_a0.json")
+    with open(staged, "w") as f:
+        f.write(json.dumps({"event_id": 3}) + "\n")
+    w.commit([_StagedChunk(staged_path=staged, n_rows=1)], batchId=2)
+
+    left = sorted(os.listdir(dst))
+    assert left == [
+        "batch_000001_00000.json",
+        "batch_000002_00000.json",
+    ], left
+
+
 def test_writer_roundtrip_overwrite_and_append(spark, tmp_path):
     """Write side: staged files land atomically as chunk_NNNNN.json on
     commit; overwrite replaces the zone, append adds chunks; the batch
