@@ -14,7 +14,11 @@ stubbed because no media libraries exist in this container):
   task gets comparable byte volume, then pipeline decode → feature UDF
   in one stage.
 
-`decode_image` raises NotImplementedError (clearly-marked stub);
+Codec-free formats are decoded FOR REAL through that same plumbing:
+`pcm16_stats` (WAV/PCM16 via numpy) and `png_pixel_stats` (PNG via
+stdlib zlib inflate + scanline unfiltering). `decode_image` (JPEG and
+friends — needs libjpeg) and `sample_frames` (video — needs ffmpeg)
+raise NotImplementedError (clearly-marked env-blocked stubs);
 `fake_decode_meta` is the deterministic stand-in used by tests to prove
 the batch plumbing (schema, Arrow batch shape, partition behavior).
 """
@@ -62,12 +66,15 @@ DECODED_META_SCHEMA = T.StructType(
 
 
 def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Real image decode (PIL/libjpeg) — NOT AVAILABLE in this
-    environment. The Arrow plumbing it would ride on is exercised by
-    `fake_decode_meta` below with an identical signature."""
+    """Real JPEG/GIF/WebP decode (PIL/libjpeg) — NOT AVAILABLE in this
+    environment. PNG, which needs no codec library, IS decoded for
+    real by `png_pixel_stats` below through the identical Arrow
+    plumbing; `fake_decode_meta` exercises the same signature for
+    codec-gated formats."""
     raise NotImplementedError(
-        "image codecs are not installed in this container; "
-        "use fake_decode_meta for plumbing tests"
+        "compressed-image codecs are not installed in this container; "
+        "PNG decodes for real via png_pixel_stats, other formats via "
+        "fake_decode_meta plumbing tests"
     )
 
 
@@ -239,6 +246,139 @@ def pcm16_stats(
 
     return df.select(id_col, payload_col).mapInPandas(
         batches, schema=PCM_STATS_SCHEMA
+    )
+
+
+PNG_PIXEL_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("px_sum", T.LongType()),
+        T.StructField("px_min", T.LongType()),
+        T.StructField("px_max", T.LongType()),
+        T.StructField("px_sum_sq", T.LongType()),
+    ]
+)
+
+
+def png_pixel_stats(
+    df: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL image decode — not a stub: PNG's container needs no codec
+    library, only the stdlib. Per file, inside Arrow-batched
+    `mapInPandas`: walk the chunk stream (verifying every chunk's
+    CRC-32), inflate the concatenated IDAT payload with `zlib`,
+    reverse the per-scanline filters (all five standard types — None /
+    Sub / Up / Average / Paeth), and reduce the reconstructed pixels
+    to exact integer stats (count, Σv, min, max, Σv²). Supports 8-bit
+    grayscale (color type 0) — the sibling of `pcm16_stats`' PCM16
+    path and the same plumbing the codec-gated JPEG/video decoders
+    document.
+
+    Determinism: every stat is an exact integer on exactly the bytes
+    the writer framed, so a formula-derived oracle that never touches
+    the binary proves writer framing, chunk CRCs, inflate, AND
+    unfiltering agree pixel-for-pixel."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def decode_one(buf: bytes) -> tuple[int, int, np.ndarray]:
+        if buf[:8] != b"\x89PNG\r\n\x1a\n":
+            raise ValueError("not a PNG: bad signature")
+        pos = 8
+        width = height = None
+        idat = b""
+        while pos + 12 <= len(buf):
+            (length,) = struct.unpack(">I", buf[pos : pos + 4])
+            ctype = buf[pos + 4 : pos + 8]
+            body = buf[pos + 8 : pos + 8 + length]
+            (crc,) = struct.unpack(
+                ">I", buf[pos + 8 + length : pos + 12 + length]
+            )
+            if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+                raise ValueError(f"bad CRC in {ctype!r} chunk")
+            if ctype == b"IHDR":
+                width, height, depth, color = struct.unpack(
+                    ">IIBB", body[:10]
+                )
+                if depth != 8 or color != 0:
+                    raise ValueError("only 8-bit grayscale is supported")
+            elif ctype == b"IDAT":
+                idat += body
+            elif ctype == b"IEND":
+                break
+            pos += 12 + length
+        if width is None:
+            raise ValueError("no IHDR chunk")
+        raw = zlib.decompress(idat)
+        stride = width + 1
+        if len(raw) != height * stride:
+            raise ValueError("decompressed length != height*(width+1)")
+        px = np.zeros((height, width), dtype=np.int64)
+        for r in range(height):
+            line = np.frombuffer(
+                raw[r * stride : (r + 1) * stride], dtype=np.uint8
+            )
+            ft, filt = int(line[0]), line[1:].astype(np.int64)
+            above = px[r - 1] if r else np.zeros(width, dtype=np.int64)
+            if ft == 0:  # None
+                out = filt
+            elif ft == 1:  # Sub: recon[c] = filt[c] + recon[c-1]
+                out = np.cumsum(filt) % 256
+            elif ft == 2:  # Up
+                out = (filt + above) % 256
+            elif ft == 3:  # Average — sequential in c (bpp=1)
+                out = np.zeros(width, dtype=np.int64)
+                left = 0
+                for c in range(width):
+                    left = (filt[c] + (left + above[c]) // 2) % 256
+                    out[c] = left
+            elif ft == 4:  # Paeth — sequential in c
+                out = np.zeros(width, dtype=np.int64)
+                left = ul = 0
+                for c in range(width):
+                    up = int(above[c])
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = (
+                        left
+                        if pa <= pb and pa <= pc
+                        else (up if pb <= pc else ul)
+                    )
+                    left = (int(filt[c]) + pred) % 256
+                    out[c] = left
+                    ul = up
+            else:
+                raise ValueError(f"unknown filter type {ft}")
+            px[r] = out
+        return int(width), int(height), px
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in PNG_PIXEL_SCHEMA.names}
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, px = decode_one(bytes(payload))
+                rows["media_id"].append(int(mid))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_pixels"].append(w * h)
+                rows["px_sum"].append(int(px.sum()))
+                rows["px_min"].append(int(px.min()))
+                rows["px_max"].append(int(px.max()))
+                rows["px_sum_sq"].append(int((px * px).sum()))
+            yield pd.DataFrame(
+                {
+                    k: pd.Series(v, dtype="int64")
+                    for k, v in rows.items()
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches, schema=PNG_PIXEL_SCHEMA
     )
 
 

@@ -362,6 +362,143 @@ ORDER BY media_id
 """
 
 
+def _be_hex(col: F.Column, nbytes: int) -> F.Column:
+    """Big-endian hex of a nonnegative integer column — PNG fields are
+    BE, unlike RIFF's LE."""
+    return F.lpad(F.lower(F.hex(col)), 2 * nbytes, "0")
+
+
+def media_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG pixel decode end to end — the image twin of
+    `media_wav_rms`, retiring the image half of the decode-stub family:
+    per doc, a COMPLETE spec-correct PNG (signature, IHDR, one IDAT
+    whose zlib stream wraps a stored-deflate block — so no compressor
+    is needed on the write side — and IEND, every chunk carrying a
+    true CRC-32 via `F.crc32`, the zlib Adler-32 folded with
+    `F.aggregate`) is synthesized by PURE byte expressions from a
+    deterministic 8-bit grayscale pixel formula, then DECODED with
+    stdlib `zlib` + numpy unfiltering inside Arrow `mapInPandas`
+    (`operators.multimodal.png_pixel_stats`) into exact integer pixel
+    stats. Scanlines deliberately mix filter types — None on row 0,
+    Sub on odd rows, Up on even rows (the formula makes the filtered
+    bytes constants: Δc=7, Δr=17) — so the decoder's filter
+    reconstruction is exercised for real, not just pass-through.
+
+    The DuckDB oracle never touches the binary: it re-derives every
+    stat from the pixel formula, so a hash match proves the byte
+    framing, both checksums, the inflate, AND the unfiltering agree
+    pixel-for-pixel. Scale: map-only synthesis + one Arrow hop; stats
+    are per-file, no shuffle until the output sort."""
+    from ..operators.multimodal import png_pixel_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id").cast("bigint")
+    width = doc_id % 8 + 4
+    height = doc_id % 6 + 3
+
+    def pix(r: F.Column, c: F.Column) -> F.Column:
+        return (doc_id * 31 + r * 17 + c * 7) % 256
+
+    def scanline(r_i: F.Column) -> F.Column:
+        """Filtered bytes for scanline r: [filter_type] + width bytes."""
+        r = r_i.cast("bigint")
+        ft = (
+            F.when(r == 0, F.lit(0))
+            .when(r % 2 == 1, F.lit(1))  # Sub
+            .otherwise(F.lit(2))  # Up
+            .cast("bigint")
+        )
+        cols = F.sequence(F.lit(0), (width - 1).cast("int"))
+        body = F.transform(
+            cols,
+            lambda c_i: F.when(ft == 0, pix(r, c_i.cast("bigint")))
+            .when((ft == 1) & (c_i == 0), pix(r, F.lit(0).cast("bigint")))
+            .when(ft == 1, F.lit(7).cast("bigint"))  # pix(r,c)-pix(r,c-1)
+            .otherwise(F.lit(17).cast("bigint")),  # pix(r,c)-pix(r-1,c)
+        )
+        return F.concat(F.array(ft), body)
+
+    raw = F.flatten(
+        F.transform(F.sequence(F.lit(0), (height - 1).cast("int")), scanline)
+    )
+    raw_len = height * (width + 1)
+    raw_hex = F.array_join(
+        F.transform(raw, lambda b: _be_hex(b, 1)), ""
+    )
+    # zlib Adler-32 over the uncompressed scanline stream: a=1+Σv,
+    # b=Σa, both mod 65521 — folded JVM-side, no Python
+    adler = F.aggregate(
+        raw,
+        F.struct(
+            F.lit(1).cast("bigint").alias("a"),
+            F.lit(0).cast("bigint").alias("b"),
+        ),
+        lambda acc, v: F.struct(
+            ((acc["a"] + v) % 65521).alias("a"),
+            ((acc["b"] + acc["a"] + v) % 65521).alias("b"),
+        ),
+        lambda acc: acc["b"] * 65536 + acc["a"],
+    )
+    # raw deflate STORED block (BFINAL=1, BTYPE=00): len/nlen are LE
+    zstream_hex = F.concat(
+        F.lit("7801"),  # CMF/FLG: deflate, 32K window, (0x7801 % 31)==0
+        F.lit("01"),
+        _le_hex(raw_len, 2),
+        _le_hex(F.lit(0xFFFF) - raw_len, 2),  # NLEN = ~LEN
+        raw_hex,
+        _be_hex(adler, 4),
+    )
+    ihdr_body_hex = F.concat(
+        _be_hex(width, 4),
+        _be_hex(height, 4),
+        F.lit("0800000000"),  # 8-bit, grayscale, deflate, adaptive, no interlace
+    )
+    ihdr_crc = F.crc32(F.unhex(F.concat(F.lit("49484452"), ihdr_body_hex)))
+    idat_crc = F.crc32(F.unhex(F.concat(F.lit("49444154"), zstream_hex)))
+    payload = F.unhex(
+        F.concat(
+            F.lit("89504e470d0a1a0a"),  # signature
+            F.lit("0000000d49484452"),  # IHDR length + type
+            ihdr_body_hex,
+            _be_hex(ihdr_crc, 4),
+            _be_hex(raw_len + 11, 4),  # IDAT length: 2+5+raw+4
+            F.lit("49444154"),
+            zstream_hex,
+            _be_hex(idat_crc, 4),
+            F.lit("0000000049454e44ae426082"),  # IEND
+        )
+    )
+    synth = docs.select(
+        F.col("doc_id").alias("media_id"), payload.alias("payload")
+    )
+    return png_pixel_stats(synth).orderBy("media_id")
+
+
+MEDIA_PNG_PIXELS_SQL = """
+WITH d AS (
+  SELECT doc_id AS media_id, doc_id % 8 + 4 AS w, doc_id % 6 + 3 AS h
+  FROM documents
+),
+rc AS (SELECT media_id, w, h, unnest(range(0, h)) AS r FROM d),
+p  AS (SELECT media_id, w, h, r, unnest(range(0, w)) AS c FROM rc),
+v  AS (
+  SELECT media_id, w, h, (media_id * 31 + r * 17 + c * 7) % 256 AS val
+  FROM p
+)
+SELECT media_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(count(*) AS BIGINT) AS n_pixels,
+       CAST(sum(val) AS BIGINT) AS px_sum,
+       CAST(min(val) AS BIGINT) AS px_min,
+       CAST(max(val) AS BIGINT) AS px_max,
+       CAST(sum(val * val) AS BIGINT) AS px_sum_sq
+FROM v
+GROUP BY media_id, w, h
+ORDER BY media_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "binary_meta": QuerySpec(binary_meta, BINARY_META_SQL),
     "media_wav_meta": QuerySpec(media_wav_meta, MEDIA_WAV_META_SQL),
@@ -369,4 +506,5 @@ QUERIES: dict[str, QuerySpec] = {
     "media_feature_knn": QuerySpec(media_feature_knn, _media_feature_knn_sql()),
     "media_frame_sample": QuerySpec(media_frame_sample, MEDIA_FRAME_SAMPLE_SQL),
     "media_wav_rms": QuerySpec(media_wav_rms, MEDIA_WAV_RMS_SQL),
+    "media_png_pixels": QuerySpec(media_png_pixels, MEDIA_PNG_PIXELS_SQL),
 }
