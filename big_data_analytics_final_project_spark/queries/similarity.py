@@ -233,9 +233,12 @@ def dedup_semantic_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB this is the fuzzy-semantic pass curation pipelines run
     AFTER lexical dedup: paraphrases and translations share no
     shingles but sit close in embedding space, so only this pass
-    catches them. The pairs side is candidate-sized (cell-blocked),
-    and the component loop is log-round pointer jumping — the same
-    audited scale shapes, composed.
+    catches them. The pairs side is candidate-sized (cell-blocked,
+    and since r7 skew-hardened: oversized cells md5-split into capped
+    sub-blocks with a rep chain so all-duplicate batches stay bounded
+    AND one component — tests/test_skew.py proves both on a
+    90%-one-cell corpus), and the component loop is log-round pointer
+    jumping — the same audited scale shapes, composed.
 
     The oracle wraps the near-dup pair SQL in the same recursive
     reachability CTE the token clusters use, so the iterative Spark

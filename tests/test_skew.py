@@ -81,6 +81,89 @@ def test_salted_join_rejects_dim_preserving_modes(spark):
             )
 
 
+def _skewed_embeddings(spark):
+    """200 vectors, 180 of them IDENTICAL — the all-near-duplicate
+    batch from the r6 verdict: identical vectors tie on cosine to
+    every centroid, so ANY quantizer (and any tie-break) puts all 180
+    in ONE cell, which unsplit means C(180,2)=16110 candidate pairs
+    from that cell alone."""
+    rows = []
+    for i in range(200):
+        if i < 180:
+            vec = [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+        else:
+            j = i - 180
+            vec = [0.0] * 8
+            vec[j % 7 + 1] = 1.0
+            vec[0] = 0.01 * j
+        rows.append((i, vec))
+    return rows, spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    )
+
+
+def test_near_dup_split_bounds_oversized_cells(spark):
+    """An oversized IVF cell must be md5-split into capped sub-blocks:
+    candidates (and thus emitted pairs) drop from quadratic-in-cell to
+    ~cap per vector, while the rep chain keeps the duplicate batch ONE
+    connected component instead of one clique per sub-block."""
+    from big_data_analytics_final_project_spark.operators.components import (
+        connected_components,
+    )
+    from big_data_analytics_final_project_spark.operators.similarity import (
+        embedding_near_dup,
+    )
+
+    _, emb = _skewed_embeddings(spark)
+    cap = 16
+    unsplit = embedding_near_dup(emb, threshold=0.3, max_cell_rows=10**9)
+    split = embedding_near_dup(emb, threshold=0.3, max_cell_rows=cap)
+    n_unsplit = unsplit.count()
+    n_split = split.count()
+    assert n_unsplit >= 180 * 179 // 2  # the quadratic cell, unsplit
+    # split bound: every vector meets at most ~cap in-block neighbors
+    # plus the rep chain — orders of magnitude under quadratic
+    assert 0 < n_split <= 200 * cap
+    # the duplicate batch stays ONE component despite disjoint blocks
+    labels = connected_components(
+        split.select("vec_a", "vec_b"), "vec_a", "vec_b"
+    )
+    dup_labels = {
+        r.label for r in labels.filter(F.col("node") < 180).collect()
+    }
+    assert len(dup_labels) == 1, dup_labels
+    assert labels.filter(F.col("node") < 180).count() == 180
+
+
+def test_near_dup_split_path_matches_duckdb_oracle(spark):
+    """The graded SFs never exercise the split (no cell exceeds the
+    default cap), so prove the split+chain arithmetic cross-engine on
+    the skewed corpus explicitly."""
+    import duckdb
+    import pyarrow as pa
+
+    from big_data_analytics_final_project_spark.operators.similarity import (
+        embedding_near_dup,
+        embedding_near_dup_sql,
+    )
+
+    from .parity import compare
+
+    rows, emb = _skewed_embeddings(spark)
+    got = embedding_near_dup(emb, threshold=0.3, max_cell_rows=16)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "embedding": pa.array(
+                [r[1] for r in rows], type=pa.list_(pa.float64())
+            ),
+        }
+    )
+    con = duckdb.connect()
+    con.register("embeddings", tbl)
+    compare(got, con.sql(embedding_near_dup_sql(0.3, max_cell_rows=16)))
+
+
 def test_salt_is_deterministic(spark):
     events = load_table(spark, SF_SMOKE, "events")
     s1 = with_salt(events, 16, ["event_id"]).select("event_id", "_salt")
