@@ -27,105 +27,94 @@ class QuerySpec:
 # registry (`__spark_entry__.queries()`) per round, so that iteration
 # order is the grading surface.
 #
-# ROTATION SCHEDULE (2-round coverage: with ~95 registered queries and
-# a 50-row window, every query gets a driver row at least every 2
-# rounds): each round the window holds, in order, (1) every query
-# whose implementation or oracle is new or changed this round —
-# mechanically enforced by scripts/grading_manifest.py in preflight;
-# (2) every query whose latest driver row is 2 rounds old; (3) a
-# stable-flagship remainder for round-over-round regression coverage.
-# Round-6 instance: (1) the 14 changed/new queries — the entropy LUT
-# rework, the two de-vacuated queries, the two sketch acceptance
-# oracles, the 6 TPC-H shapes completing the 1-22 census, the 2
-# curation stages, the real PCM decode, and semantic clusters;
-# (2) the 20 entries whose latest driver row is r3 (rotated out in
-# r4+r5 — the staleness gate in scripts/grading_manifest.py now
-# mechanically enforces their return); (3) 15 r4-green backfill
-# slots, flagships first. The remaining r4-green entries rest this
-# round and are due (and gated) for round 7's window.
+# ROTATION SCHEDULE (3-round cadence — round-6 verdict #2): with 136
+# registered queries and a 50-row window, 2-round full coverage is
+# arithmetically impossible (it would need 68 slots/round); the policy
+# is therefore: every query gets a green driver row at least every
+# THREE rounds. scripts/grading_manifest.py enforces both halves
+# mechanically: (a) anything whose latest green row would fall 3+
+# rounds old MUST be in this round's window, and (b) a schedule
+# simulation (`--simulate`) proves the NEXT round's forced set also
+# fits in 50, so the cadence stays satisfiable rather than silently
+# drifting. Steady-state arithmetic: 136/3 = ~46 forced slots/round,
+# leaving ~4-5 slots of headroom — which caps NEW/CHANGED queries at
+# about five per round (adding more would make some future window
+# infeasible; the simulation catches it at authoring time).
 #
-# `daily_active_users_approx` is graded via an ACCURACY-ACCEPTANCE
-# oracle as of round 6: its output is a per-day boolean (HLL estimate
-# within 5% of exact) that DuckDB asserts TRUE — raw sketch estimates
-# can never hash-match across engines, but the acceptance can. First
-# driver row this round.
+# Window composition each round, in order: (1) every query whose
+# implementation or oracle is new or changed this round (fingerprint
+# gate); (2) every query whose latest green driver row is 2 rounds
+# old (staleness gate); (3) r[N-2]-green backfill to fill remaining
+# slots, heaviest/flagship shapes first, which smooths the next
+# round's forced load.
+#
+# Round-7 instance: (1) the 3 new queries (gaps-and-islands runs, the
+# FK audit, the full-outer reconciliation) plus media_png_pixels (new
+# post-freeze in r6) and the 4 whose fingerprints moved with the r6
+# advisor fixes (both sketch acceptances; embedding_near_dup and
+# dedup_semantic_clusters via the IVF-cell skew split); (2) the 35
+# entries whose latest green is r4; (3) 7 r5-green backfill slots.
 GRADING_PRIORITY: tuple[str, ...] = (
-    # -- changed this round (r5 verdict #2/#3/#4 + ADVICE #1)
-    "doc_unigram_entropy",
-    "important_part_share",
-    "customers_without_orders",
-    "daily_active_users_approx",
-    # -- new this round: the remaining TPC-H plan shapes — Q2
-    #    correlated scalar subquery, Q21 double EXISTS, Q6 scan-only
-    #    aggregate, Q8 conditional-numerator share, Q9 computed-measure
-    #    star, Q20 nested-agg semi chain. Every TPC-H query 1-22 now
-    #    has a registry analog.
-    "min_cost_supplier",
-    "waiting_supplier",
-    "discount_revenue_delta",
-    "nation_market_share",
-    "product_profit_by_nation",
-    "dominant_part_suppliers",
-    # -- new this round: curation stages every training pipeline runs
-    #    (deterministic 80/10/10 split, temperature-mixing plan)
-    "corpus_split_assign",
-    "corpus_mix_plan",
-    # -- new this round: second sketch-acceptance oracle (approx
-    #    quantiles next to the HLL bound)
+    # -- new this round: gaps-and-islands run collapse, star-schema FK
+    #    audit (anti-join family), full-outer rollup-vs-detail
+    #    reconciliation — the registry's first FULL OUTER join shape
+    "user_event_runs",
+    "referential_integrity_audit",
+    "order_totals_reconciliation",
+    # -- new post-r6-freeze: real PNG pixel decode (stdlib zlib
+    #    inflate + unfilter inside Arrow mapInPandas)
+    "media_png_pixels",
+    # -- changed post-r6-freeze (advisor fixes): rank-interval quantile
+    #    acceptance; skew-split IVF cells feed both of these
     "order_price_quantiles_approx",
-    # -- new this round: REAL PCM16 decode through Arrow mapInPandas
-    #    (the codec-free member of the media family)
-    "media_wav_rms",
-    # -- new this round: semantic dedup end-to-end (embedding
-    #    near-dup pairs -> connected components)
-    "dedup_semantic_clusters",
-    # -- latest driver row is r3 (r5 verdict #1): dedup/similarity
-    "dedup_simhash",
-    "dedup_fuzzy_pairs",
-    "dedup_clusters",
-    "doc_dedup_survivors",
-    "ann_hyperplane_lsh",
+    "daily_active_users_approx",
     "embedding_near_dup",
-    # -- latest r3: multimodal
-    "binary_meta",
-    "media_png_dims",
-    "media_feature_knn",
-    "media_frame_sample",
-    # -- latest r3: export/roundtrip/ingest
-    "events_rowkey_export",
-    "events_json_roundtrip",
-    "json_ingest_roundtrip",
-    "json_ingest_with_errors",
-    "report_csv_roundtrip",
-    # -- latest r3: generator family
-    "gen_transactions_flat",
-    "gen_engagement_vs_spend",
-    "gen_top_spenders",
-    "gen_product_popularity",
-    "gen_also_bought_pairs",
-    # -- r4-green backfill: flagships + one per family (the rest of
-    #    the r4 cohort is due in round 7)
-    "pricing_summary",
-    "revenue_by_brand",
-    "also_bought_pairs",
-    "dedup_jaccard_pairs",
-    "purchase_last_click",
-    "clicks_before_purchase",
-    "events_hypertable_rollup",
-    "customer_order_history",
-    "events_sessionized",
-    "session_stats_per_user",
-    "doc_quality_score",
-    "doc_repetition_stats",
-    "dedup_minhash_lsh",
-    "knn_bruteforce",
-    "ann_ivf",
-    # (segment_counts, user_events_lookup, doc_lang_id, dedup_exact,
-    #  engagement_spend_correlation, user_rolling_7d_spend,
-    #  daily_active_users, top_spenders, engagement_vs_spend ceded
-    #  their backfill slots to this round's 9 extra new queries; due
-    #  r7 with the rest of the r4 cohort — the staleness gate
-    #  enforces it)
+    "dedup_semantic_clusters",
+    # -- staleness gate: latest green row is r4 (35 entries)
+    "concurrent_sessions_peak",
+    "corpus_curation_report",
+    "customer_spend_deciles",
+    "daily_active_users",
+    "dedup_exact",
+    "doc_bpe_token_stats",
+    "doc_fingerprint",
+    "doc_lang_id",
+    "doc_pii_scrub",
+    "doc_sample_stratified",
+    "embedding_kmeans",
+    "engagement_spend_correlation",
+    "engagement_vs_spend",
+    "event_type_pivot",
+    "events_gap_filled_hourly",
+    "events_props_parse",
+    "events_sliding_2h",
+    "events_tumbling_hourly",
+    "gen_revenue_by_category",
+    "international_revenue",
+    "nested_order_items",
+    "order_cart_map",
+    "orders_status_priority_cube",
+    "pairs_via_hof",
+    "pricing_summary_sparksql",
+    "purchase_last_click_matched",
+    "revenue_by_brand_salted",
+    "revenue_by_brand_sparksql",
+    "segment_counts",
+    "top_order_per_customer",
+    "top_spenders",
+    "user_events_lookup",
+    "user_rolling_7d_spend",
+    "user_spend_salted",
+    "zone_roundtrip_daily",
+    # -- r5-green backfill (smooths round 8's forced load), heaviest
+    #    shapes first
+    "dedup_overlap_pairs",
+    "dedup_incremental",
+    "part_pagerank",
+    "part_triangle_count",
+    "corpus_pack_bins",
+    "doc_chunk_windows",
+    "user_spend",
     # ---- driver's 50-entry window ends here ----
 )
 
@@ -140,6 +129,7 @@ def all_queries() -> dict[str, QuerySpec]:
         json_nested,
         maintenance,
         multimodal,
+        quality,
         similarity,
         text,
         windows,
@@ -158,6 +148,7 @@ def all_queries() -> dict[str, QuerySpec]:
         generated,
         maintenance,
         curation,
+        quality,
     ):
         for name, spec in mod.QUERIES.items():
             if name in merged:

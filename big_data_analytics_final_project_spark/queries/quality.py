@@ -1,0 +1,259 @@
+"""Data-quality queries: the audits a 100 TB ingest runs before it
+trusts a zone.
+
+The reference validates by eyeball (spark_analysis.py prints head());
+production corpora need machine-checkable contracts: referential
+integrity across the star schema (every fact key resolves to its
+dimension) and cross-representation reconciliation (a stored rollup
+agrees with the detail that claims to back it). Both are expressed as
+ordinary relational plans so they run at corpus scale under the same
+oracle gate as every analytic query.
+
+Scale notes: each integrity check is one fact-side key aggregate
+(shuffle on the key, so the join that follows sees DISTINCT keys — at
+100 TB that's the difference between joining 6 B lineitems and joining
+1.5 B order keys) followed by a dimension join that broadcasts whenever
+the dimension side is dimension-sized. The reconciliation full-outer
+join keys both sides on o_orderkey, the same key its detail aggregate
+just shuffled on, so the exchange is reused rather than repeated.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import exact_sum, exact_sum_sql
+from ..sources import load_table
+from . import QuerySpec
+
+
+def _integrity_check(
+    name: str,
+    fact: DataFrame,
+    key: str,
+    dim: DataFrame,
+    dim_key: str,
+    broadcast_dim: bool,
+) -> DataFrame:
+    """One FK audit row: fact rows / null keys / distinct keys / orphans.
+
+    The fact side collapses to one row per key FIRST, so the dimension
+    join and the orphan test run over distinct keys, not raw fact rows;
+    null keys are their own violation class (a null FK can't be an
+    orphan — it resolves to nothing by construction, not to a missing
+    dimension row).
+    """
+    per_key = fact.groupBy(F.col(key).alias("k")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    dim_keys = dim.select(F.col(dim_key).alias("dk"))
+    if broadcast_dim:
+        dim_keys = F.broadcast(dim_keys)
+    joined = per_key.join(dim_keys, per_key.k == dim_keys.dk, "left_outer")
+    return joined.agg(
+        F.sum("n").alias("fact_rows"),
+        F.sum(
+            F.when(F.col("k").isNull(), F.col("n")).otherwise(F.lit(0))
+        ).alias("null_keys"),
+        F.sum(
+            F.when(F.col("k").isNotNull(), 1).otherwise(0)
+        ).alias("distinct_keys"),
+        F.sum(
+            F.when(
+                F.col("k").isNotNull() & F.col("dk").isNull(), F.col("n")
+            ).otherwise(F.lit(0))
+        ).alias("orphan_rows"),
+    ).select(
+        F.lit(name).alias("check_name"),
+        "fact_rows",
+        "null_keys",
+        "distinct_keys",
+        "orphan_rows",
+    )
+
+
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema FK audit: five fact→dimension checks in one report.
+
+    Capability upgrade — the reference never validates its loads
+    (SURVEY.md §5 notes its only check is row counts). Each row audits
+    one edge of the schema graph; `orphan_rows` > 0 means fact rows
+    reference a missing dimension row, `null_keys` counts the
+    unresolvable-by-construction class separately.
+
+    Scale: the three dimension-sided checks broadcast (customer, part,
+    supplier stay dimension-sized at any SF); the fact→fact check
+    (lineitem→orders) shuffles DISTINCT order keys only, thanks to the
+    pre-aggregate inside `_integrity_check`. The five branches are
+    independent single-row aggregates unioned at the end — no branch
+    blocks another, and the union is 5 rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    events = load_table(spark, sf_dir, "events")
+    checks = [
+        _integrity_check(
+            "events.user_id -> customer",
+            events, "user_id", customer, "c_custkey", True,
+        ),
+        _integrity_check(
+            "lineitem.l_orderkey -> orders",
+            li, "l_orderkey", orders, "o_orderkey", False,
+        ),
+        _integrity_check(
+            "lineitem.l_partkey -> part",
+            li, "l_partkey", part, "p_partkey", True,
+        ),
+        _integrity_check(
+            "lineitem.l_suppkey -> supplier",
+            li, "l_suppkey", supplier, "s_suppkey", True,
+        ),
+        _integrity_check(
+            "orders.o_custkey -> customer",
+            orders, "o_custkey", customer, "c_custkey", True,
+        ),
+    ]
+    return reduce(DataFrame.unionByName, checks).orderBy("check_name")
+
+
+def _integrity_check_sql(name: str, fact: str, key: str, dim: str, dim_key: str) -> str:
+    return f"""
+SELECT '{name}' AS check_name,
+       count(*) AS fact_rows,
+       count(*) - count({key}) AS null_keys,
+       count(DISTINCT {key}) AS distinct_keys,
+       (SELECT count(*) FROM {fact} f
+         WHERE f.{key} IS NOT NULL
+           AND NOT EXISTS (SELECT 1 FROM {dim} d WHERE d.{dim_key} = f.{key})
+       ) AS orphan_rows
+FROM {fact}"""
+
+
+REFERENTIAL_INTEGRITY_AUDIT_SQL = (
+    "\nUNION ALL\n".join(
+        [
+            _integrity_check_sql(
+                "events.user_id -> customer",
+                "events", "user_id", "customer", "c_custkey",
+            ),
+            _integrity_check_sql(
+                "lineitem.l_orderkey -> orders",
+                "lineitem", "l_orderkey", "orders", "o_orderkey",
+            ),
+            _integrity_check_sql(
+                "lineitem.l_partkey -> part",
+                "lineitem", "l_partkey", "part", "p_partkey",
+            ),
+            _integrity_check_sql(
+                "lineitem.l_suppkey -> supplier",
+                "lineitem", "l_suppkey", "supplier", "s_suppkey",
+            ),
+            _integrity_check_sql(
+                "orders.o_custkey -> customer",
+                "orders", "o_custkey", "customer", "c_custkey",
+            ),
+        ]
+    )
+    + "\nORDER BY check_name"
+)
+
+
+def order_totals_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer reconciliation: does the stored order total agree
+    with the detail rows that claim to back it? Classifies every order
+    key into match / mismatch / order_without_lineitems /
+    lineitems_without_order and reports per-class counts and deltas —
+    the rollup-vs-detail audit every warehouse runs after a load, and
+    the registry's only FULL OUTER join shape (every divergence class
+    must survive, so neither side may drive).
+
+    The charge formula is the TPC-H one:
+    l_extendedprice * (1 - l_discount) * (1 + l_tax), summed through
+    the exact-decimal accumulator so both engines produce bit-identical
+    doubles regardless of accumulation order. The match tolerance is a
+    cent (|Δ| <= 0.01); missing sides report the surviving side's
+    magnitude as their delta.
+
+    Scale: the detail aggregate shuffles lineitem once on l_orderkey;
+    the full-outer join keys on the SAME column, so Spark reuses that
+    exchange and only orders pays a new shuffle. The class aggregate at
+    the end is 4 rows. No broadcast is possible (full outer preserves
+    both sides) and none is needed.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    charge = (
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+    )
+    gross = li.groupBy("l_orderkey").agg(exact_sum(charge, "gross"))
+    recon = orders.join(
+        gross, orders.o_orderkey == gross.l_orderkey, "full_outer"
+    ).select(
+        F.when(F.col("o_orderkey").isNull(), "lineitems_without_order")
+        .when(F.col("l_orderkey").isNull(), "order_without_lineitems")
+        .when(
+            F.abs(F.col("o_totalprice") - F.col("gross")) <= 0.01, "match"
+        )
+        .otherwise("mismatch")
+        .alias("recon_class"),
+        F.when(F.col("o_orderkey").isNull(), F.abs(F.col("gross")))
+        .when(F.col("l_orderkey").isNull(), F.abs(F.col("o_totalprice")))
+        .otherwise(F.abs(F.col("o_totalprice") - F.col("gross")))
+        .alias("abs_delta"),
+    )
+    return (
+        recon.groupBy("recon_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum("abs_delta", "sum_abs_delta"),
+            F.max("abs_delta").alias("max_abs_delta"),
+        )
+        .orderBy("recon_class")
+    )
+
+
+ORDER_TOTALS_RECONCILIATION_SQL = f"""
+WITH gross AS (
+  SELECT l_orderkey,
+         {exact_sum_sql(
+             "l_extendedprice * (1 - l_discount) * (1 + l_tax)", "gross"
+         )}
+  FROM lineitem
+  GROUP BY l_orderkey
+), recon AS (
+  SELECT CASE WHEN o.o_orderkey IS NULL THEN 'lineitems_without_order'
+              WHEN g.l_orderkey IS NULL THEN 'order_without_lineitems'
+              WHEN abs(o.o_totalprice - g.gross) <= 0.01 THEN 'match'
+              ELSE 'mismatch' END AS recon_class,
+         CASE WHEN o.o_orderkey IS NULL THEN abs(g.gross)
+              WHEN g.l_orderkey IS NULL THEN abs(o.o_totalprice)
+              ELSE abs(o.o_totalprice - g.gross) END AS abs_delta
+  FROM orders o FULL OUTER JOIN gross g ON o.o_orderkey = g.l_orderkey
+)
+SELECT recon_class, count(*) AS n_orders,
+       {exact_sum_sql("abs_delta", "sum_abs_delta")},
+       max(abs_delta) AS max_abs_delta
+FROM recon
+GROUP BY recon_class
+ORDER BY recon_class
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "referential_integrity_audit": QuerySpec(
+        referential_integrity_audit, REFERENTIAL_INTEGRITY_AUDIT_SQL
+    ),
+    "order_totals_reconciliation": QuerySpec(
+        order_totals_reconciliation, ORDER_TOTALS_RECONCILIATION_SQL
+    ),
+}

@@ -811,6 +811,74 @@ ORDER BY p.event_id
 """
 
 
+def user_event_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: collapse each user's event stream into maximal
+    runs of consecutive identical event types — (user, 'click' x 5,
+    [t0, t4]) — the classic change-detection shape behind session
+    labeling, state-transition mining, and dedup of repeated telemetry.
+    Neither sessionization (gap-timeout islands, `events_sessionized`)
+    nor tumbling windows express it: run boundaries are VALUE changes,
+    not time gaps.
+
+    Formulation: lag() marks type-change rows, a running ROWS-frame sum
+    of those marks numbers the runs, then one hash aggregate per
+    (user, run) emits bounds and counts. Order within a user is
+    (ts, event_id) — event_id is unique, so the numbering (and hence
+    the whole result) is deterministic on both engines.
+
+    Scale: both window passes AND the final aggregate share one
+    partitioning (user_id) — one shuffle total, then AQE-coalesced
+    output. No self-join, no global window; the per-user sort is the
+    only super-linear term and it stays inside each partition.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run_frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # eqNullSafe: the first row's lag() is NULL and must count as a
+    # change — identical to SQL's IS DISTINCT FROM.
+    chg = F.when(
+        F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 0
+    ).otherwise(1)
+    runs = ev.withColumn("run_id", F.sum(chg).over(run_frame))
+    return (
+        runs.groupBy("user_id", "run_id", "event_type")
+        .agg(
+            F.min("ts").alias("run_start"),
+            F.max("ts").alias("run_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value", "sum_value"),
+        )
+        .orderBy("user_id", "run_id")
+    )
+
+
+USER_EVENT_RUNS_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT *, CAST(sum(chg) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS run_id
+  FROM flagged
+)
+SELECT user_id, run_id, event_type,
+       min(ts) AS run_start,
+       max(ts) AS run_end,
+       count(*) AS n_events,
+       {exact_sum_sql("value", "sum_value")}
+FROM numbered
+GROUP BY user_id, run_id, event_type
+ORDER BY user_id, run_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "top_order_per_customer": QuerySpec(
         top_order_per_customer, TOP_ORDER_PER_CUSTOMER_SQL
@@ -855,4 +923,5 @@ QUERIES: dict[str, QuerySpec] = {
     "session_stats_per_user": QuerySpec(
         session_stats_per_user, SESSION_STATS_PER_USER_SQL
     ),
+    "user_event_runs": QuerySpec(user_event_runs, USER_EVENT_RUNS_SQL),
 }

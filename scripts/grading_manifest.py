@@ -146,6 +146,37 @@ def main() -> int:
         rc = 1
     else:
         print("OK: every stale query is inside the grading window")
+
+    # Schedule-feasibility simulation (round-6 verdict #2): with 3-round
+    # cadence, this round's rotation must not paint the NEXT round into
+    # a corner. Assume every window entry goes green this round, then
+    # count round N+1's forced set (entries whose latest green would be
+    # 2+ rounds old) plus a NEW_BUDGET allowance for next round's
+    # new/changed queries; it must fit the window.
+    NEW_BUDGET = 5
+    simulated = dict(latest)
+    for n in window:
+        simulated[n] = max(simulated.get(n, 0), prep_round)
+    next_forced = sorted(
+        n for n in current if simulated.get(n, 0) < prep_round - 1
+    )
+    headroom = WINDOW - len(next_forced) - NEW_BUDGET
+    print(
+        f"simulate: if r{prep_round}'s window goes green, "
+        f"r{prep_round + 1} forces {len(next_forced)} entries; "
+        f"+{NEW_BUDGET} new-query budget leaves headroom {headroom}"
+    )
+    if len(next_forced) + NEW_BUDGET > WINDOW:
+        print(
+            f"FAIL: r{prep_round + 1}'s forced set ({len(next_forced)}) "
+            f"+ new-query budget ({NEW_BUDGET}) exceeds the "
+            f"{WINDOW}-slot window — backfill more of it THIS round:"
+        )
+        for n in next_forced:
+            print(f"  - {n} (latest green r{simulated.get(n, 0)})")
+        rc = 1
+    else:
+        print("OK: next round's schedule is satisfiable")
     return rc
 
 
