@@ -163,6 +163,17 @@ HEADLINE = [
     # decorrelation — the two most join-intensive new plan shapes
     "nation_market_share",
     "min_cost_supplier",
+    # added r7 (totals not comparable to BENCH_r6 on these lines):
+    # waiting_supplier is the heaviest r6 join topology (semi + anti
+    # legs reusing one lineitem⋈orders exchange); the two media rows
+    # time the Arrow mapInPandas decode hop (PCM16 and zlib-PNG); the
+    # two quality rows time the full-outer reconciliation and the
+    # five-branch FK audit
+    "waiting_supplier",
+    "media_wav_rms",
+    "media_png_pixels",
+    "order_totals_reconciliation",
+    "referential_integrity_audit",
 ]
 
 

@@ -444,7 +444,11 @@ def test_transform_with_state_profile_matches_batch(spark, stream_dirs):
         "google.protobuf",
         reason="transformWithState needs the protobuf state-server "
         "protocol; not shipped in this container (env-blocked, like "
-        "the media codecs) — runs on any real cluster",
+        "the media codecs) — runs on any real cluster. Installing it "
+        "was considered (round-6 review) and rejected: this sandbox's "
+        "policy prohibits pip/apt installs, so the gap is closable "
+        "only where the dependency is already present. The fold logic "
+        "itself is unit-tested against a fake handle above.",
     )
     from big_data_analytics_final_project_spark.streaming.tws import (
         user_profile_stream,
