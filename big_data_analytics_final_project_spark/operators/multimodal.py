@@ -15,10 +15,12 @@ stubbed because no media libraries exist in this container):
   in one stage.
 
 Codec-free formats are decoded FOR REAL through that same plumbing:
-`pcm16_stats` (WAV/PCM16 via numpy) and `png_pixel_stats` (PNG via
-stdlib zlib inflate + scanline unfiltering). `decode_image` (JPEG and
-friends — needs libjpeg) and `sample_frames` (video — needs ffmpeg)
-raise NotImplementedError (clearly-marked env-blocked stubs);
+`pcm16_stats` (WAV/PCM16 via numpy), `png_pixel_stats` (PNG via stdlib
+zlib inflate + scanline unfiltering), and `avi_frame_pixel_stats`
+(uncompressed-DIB AVI video: RIFF walk, bottom-up BGR frames, stride
+pad). `decode_image` (JPEG and friends — needs libjpeg) and
+`sample_frames` (codec'd video — needs ffmpeg) raise
+NotImplementedError (clearly-marked env-blocked stubs);
 `fake_decode_meta` is the deterministic stand-in used by tests to prove
 the batch plumbing (schema, Arrow batch shape, partition behavior).
 """
@@ -89,12 +91,16 @@ def resize_image(df: DataFrame, width: int, height: int, payload_col: str = "pay
 
 
 def sample_frames(df: DataFrame, n_frames: int, payload_col: str = "payload") -> DataFrame:
-    """Real video frame sampling — NOT AVAILABLE (no codec libs). Row
-    expansion shape (1 input → n_frames outputs) is exercised by
+    """COMPRESSED-video frame sampling (H.264 & co) — NOT AVAILABLE
+    (needs ffmpeg). Uncompressed-DIB AVI video IS decoded for real by
+    `avi_frame_pixel_stats` below — container walk, bottom-up BGR
+    frames, stride handling — through the identical Arrow plumbing;
+    the row-expansion shape is also exercised by
     `fake_sample_frames`."""
     raise NotImplementedError(
         "video codecs are not installed in this container; "
-        "use fake_sample_frames for plumbing tests"
+        "uncompressed AVI decodes for real via avi_frame_pixel_stats, "
+        "codec'd formats via fake_sample_frames plumbing tests"
     )
 
 
@@ -379,6 +385,136 @@ def png_pixel_stats(
 
     return df.select(id_col, payload_col).mapInPandas(
         batches, schema=PNG_PIXEL_SCHEMA
+    )
+
+
+AVI_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("px_min", T.LongType()),
+        T.StructField("px_max", T.LongType()),
+        T.StructField("top_row_sum", T.LongType()),
+    ]
+)
+
+
+def avi_frame_pixel_stats(
+    df: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL video decode — not a stub: uncompressed 24-bit DIB frames
+    in a RIFF/AVI container need no codec, so the video member of the
+    decode family joins `pcm16_stats` (WAV) and `png_pixel_stats`
+    (PNG) as a genuine decoder through the identical Arrow plumbing.
+    Per file, inside Arrow-batched `mapInPandas`: walk the RIFF chunk
+    tree (word-aligned, as the spec requires), cross-check the three
+    places the container states its geometry (avih dwWidth/dwHeight/
+    dwTotalFrames, strh dwLength, strf BITMAPINFOHEADER), then decode
+    every '00db' frame — bottom-up scanline order, BGR byte order,
+    4-byte row stride padding, the three DIB-isms a naive reader gets
+    wrong — into exact integer per-frame stats. `top_row_sum` is over
+    the IMAGE's top row (the LAST stored scanline), so a decoder that
+    skips the vertical flip fails the oracle; the per-channel sums
+    fail it on BGR/RGB confusion; stride handling fails it on any
+    width not divisible by 4.
+
+    1 input row → n_frames output rows (the row-expansion contract of
+    `sample_frames`, delivered for real). Compressed codecs (H.264 &
+    co) remain env-blocked in `sample_frames`."""
+    import struct
+
+    import numpy as np
+
+    def chunks(buf: bytes, pos: int, end: int):
+        while pos + 8 <= end:
+            fourcc = buf[pos : pos + 4]
+            (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            yield fourcc, pos + 8, size
+            pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+
+    def decode_one(buf: bytes) -> tuple[int, int, int, list[np.ndarray]]:
+        if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+            raise ValueError("not an AVI: bad RIFF form")
+        avih = strh = strf = None
+        frames: list[bytes] = []
+
+        def walk_list(pos: int, end: int) -> None:
+            nonlocal avih, strh, strf
+            for fourcc, body, size in chunks(buf, pos, end):
+                if fourcc == b"LIST":
+                    walk_list(body + 4, body + size)
+                elif fourcc == b"avih":
+                    avih = buf[body : body + size]
+                elif fourcc == b"strh":
+                    strh = buf[body : body + size]
+                elif fourcc == b"strf":
+                    strf = buf[body : body + size]
+                elif fourcc == b"00db":
+                    frames.append(buf[body : body + size])
+
+        walk_list(12, len(buf))
+        if avih is None or strh is None or strf is None:
+            raise ValueError("missing avih/strh/strf header chunk")
+        total_frames, = struct.unpack("<I", avih[16:20])
+        avi_w, avi_h = struct.unpack("<II", avih[32:40])
+        if strh[:4] != b"vids":
+            raise ValueError("first stream is not video")
+        strh_len, = struct.unpack("<I", strh[32:36])
+        bi_w, bi_h = struct.unpack("<ii", strf[4:12])
+        bit_count, = struct.unpack("<H", strf[14:16])
+        compression, = struct.unpack("<I", strf[16:20])
+        if bit_count != 24 or compression != 0:
+            raise ValueError("only uncompressed 24-bit DIB is supported")
+        if (avi_w, avi_h) != (bi_w, bi_h) or total_frames != strh_len:
+            raise ValueError("avih / strh / strf geometry disagrees")
+        if total_frames != len(frames):
+            raise ValueError(
+                f"header claims {total_frames} frames, movi has {len(frames)}"
+            )
+        stride = (3 * bi_w + 3) // 4 * 4
+        decoded = []
+        for data in frames:
+            if len(data) != stride * bi_h:
+                raise ValueError("frame byte length != stride*height")
+            rows = np.frombuffer(data, dtype=np.uint8).reshape(bi_h, stride)
+            # positive biHeight = bottom-up storage: flip to image order,
+            # then drop the stride pad and split interleaved BGR
+            img = rows[::-1, : 3 * bi_w].reshape(bi_h, bi_w, 3)
+            decoded.append(img.astype(np.int64))
+        return bi_w, bi_h, total_frames, decoded
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in AVI_FRAME_SCHEMA.names}
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, nf, frames = decode_one(bytes(payload))
+                for fi, img in enumerate(frames):
+                    rows["media_id"].append(int(mid))
+                    rows["frame_idx"].append(fi)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["n_frames"].append(nf)
+                    rows["sum_b"].append(int(img[:, :, 0].sum()))
+                    rows["sum_g"].append(int(img[:, :, 1].sum()))
+                    rows["sum_r"].append(int(img[:, :, 2].sum()))
+                    rows["px_min"].append(int(img.min()))
+                    rows["px_max"].append(int(img.max()))
+                    rows["top_row_sum"].append(int(img[0].sum()))
+            yield pd.DataFrame(
+                {
+                    k: pd.Series(v, dtype="int64")
+                    for k, v in rows.items()
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches, schema=AVI_FRAME_SCHEMA
     )
 
 

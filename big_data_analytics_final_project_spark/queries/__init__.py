@@ -64,6 +64,9 @@ GRADING_PRIORITY: tuple[str, ...] = (
     # -- new post-r6-freeze: real PNG pixel decode (stdlib zlib
     #    inflate + unfilter inside Arrow mapInPandas)
     "media_png_pixels",
+    # -- new this round: real VIDEO decode (uncompressed-DIB AVI) —
+    #    the last decode-stub family member retired
+    "media_avi_frames",
     # -- changed post-r6-freeze (advisor fixes): rank-interval quantile
     #    acceptance; skew-split IVF cells feed both of these
     "order_price_quantiles_approx",
@@ -114,7 +117,8 @@ GRADING_PRIORITY: tuple[str, ...] = (
     "part_triangle_count",
     "corpus_pack_bins",
     "doc_chunk_windows",
-    "user_spend",
+    # (user_spend ceded its backfill slot to media_avi_frames; it is
+    #  r5-green and due r8 — the staleness gate enforces it)
     # ---- driver's 50-entry window ends here ----
 )
 
