@@ -172,6 +172,7 @@ HEADLINE = [
     "waiting_supplier",
     "media_wav_rms",
     "media_png_pixels",
+    "media_avi_frames",
     "order_totals_reconciliation",
     "referential_integrity_audit",
 ]

@@ -540,20 +540,29 @@ def media_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         def stored_row(s_i: F.Column) -> F.Column:
             s = s_i.cast("bigint")
             r = h - 1 - s  # bottom-up: stored row s is image row h-1-s
-            return F.transform(
-                F.sequence(F.lit(0), (stride - 1).cast("int")),
-                lambda i_i: F.when(
-                    i_i.cast("bigint") < row_bytes,
-                    (
-                        doc_id * 31
-                        + f * 53
-                        + r * 17
-                        + F.floor(i_i.cast("bigint") / 3).cast("bigint") * 7
-                        + (i_i.cast("bigint") % 3) * 11
-                    )
-                    % 256,
-                ).otherwise(F.lit(0).cast("bigint")),
+            # per-pixel channel triple (B,G,R = ch 0,1,2) instead of a
+            # per-byte div/mod — 3x fewer modular-arithmetic terms in
+            # the codegen'd loop; the stride pad is a literal suffix
+            pixels = F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), (w - 1).cast("int")),
+                    lambda c_i: F.array(
+                        *[
+                            (
+                                doc_id * 31
+                                + f * 53
+                                + r * 17
+                                + c_i.cast("bigint") * 7
+                                + ch * 11
+                            )
+                            % 256
+                            for ch in (0, 1, 2)
+                        ]
+                    ),
+                )
             )
+            pad = F.array_repeat(F.lit(0).cast("bigint"), (stride - row_bytes).cast("int"))
+            return F.concat(pixels, pad)
 
         body = F.array_join(
             F.transform(
@@ -639,7 +648,16 @@ def media_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     synth = docs.select(
         F.col("doc_id").alias("media_id"), payload.alias("payload")
     )
-    return avi_frame_pixel_stats(synth).orderBy("media_id", "frame_idx")
+    # decode is the CPU-bound stage: a small documents file arrives as
+    # ONE input split, which would serialize the Arrow hop on a single
+    # task — spread the payloads across the cluster first (at 100 TB
+    # this is the repartition-by-byte-volume step the operator
+    # docstring prescribes; keyed on media_id so placement is
+    # deterministic, results are placement-independent either way)
+    par = max(spark.sparkContext.defaultParallelism, 8)
+    return avi_frame_pixel_stats(synth.repartition(par, "media_id")).orderBy(
+        "media_id", "frame_idx"
+    )
 
 
 MEDIA_AVI_FRAMES_SQL = """

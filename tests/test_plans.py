@@ -393,3 +393,47 @@ def test_returned_item_customers_pushdown_and_topk(spark):
     assert "EqualTo(l_returnflag,R)" in plan
     assert "GreaterThanOrEqual(o_orderdate," in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_reconciliation_full_outer_single_detail_scan(spark):
+    """r7 full-outer reconciliation: lineitem is scanned ONCE (the
+    detail aggregate feeds the join — no second fact pass), the join
+    is genuinely FullOuter (both divergence sides survive), and the
+    shuffle budget is the designed four: detail agg, orders side,
+    class agg, output sort."""
+    df = _df(spark, "order_totals_reconciliation")
+    plan = physical_plan(df)
+    assert "FullOuter" in plan
+    assert count_scans(df) == 2  # lineitem once + orders once
+    assert count_shuffles(df) <= 4
+    assert_no_cartesian(df)
+
+
+def test_integrity_audit_broadcasts_dimensions(spark):
+    """r7 FK audit: the four dimension-sided checks broadcast their
+    dim (customer twice, part, supplier) — the fact side never
+    shuffles for those joins. The fifth (fact→fact) edge may shuffle;
+    its probe side is pre-aggregated to distinct keys."""
+    df = _df(spark, "referential_integrity_audit")
+    assert count_broadcasts(df) >= 4
+    assert_no_cartesian(df)
+
+
+def test_event_runs_one_partitioning_end_to_end(spark):
+    """r7 gaps-and-islands: both window passes AND the (user, run,
+    type) aggregate reuse the single user_id exchange — grouping keys
+    are a superset of the partition key, so Catalyst must not insert
+    a second hash exchange. Budget: 1 data shuffle + 1 output sort."""
+    df = _df(spark, "user_event_runs")
+    assert count_shuffles(df) <= 2
+
+
+def test_avi_frames_decode_parallelized(spark):
+    """r7 AVI decode: one documents scan; exchanges are exactly the
+    designed two — the pre-decode spread (a tiny file arrives as one
+    split, and the CPU-bound Arrow hop must not serialize on a single
+    task) and the output sort."""
+    df = _df(spark, "media_avi_frames")
+    assert count_scans(df) == 1
+    assert count_shuffles(df) <= 2
+    assert "MapInPandas" in physical_plan(df)
