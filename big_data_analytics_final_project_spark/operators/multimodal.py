@@ -104,6 +104,17 @@ def sample_frames(df: DataFrame, n_frames: int, payload_col: str = "payload") ->
     )
 
 
+def _spread(df: DataFrame, key_col: str) -> DataFrame:
+    """Pre-decode spread. Media payloads routinely arrive in a few
+    small splits (one manifest parquet, one tar index), which would
+    serialize the CPU-bound Arrow decode hop on one or two tasks —
+    the repartition-before-decode step the module docstring
+    prescribes, keyed so placement is deterministic (results are
+    placement-independent either way)."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(max(sc.defaultParallelism, 8), key_col)
+
+
 FEATURE_DIM = 16  # md5 digest bytes
 
 FEATURE_SCHEMA = T.StructType(
@@ -250,7 +261,7 @@ def pcm16_stats(
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(
+    return _spread(df.select(id_col, payload_col), id_col).mapInPandas(
         batches, schema=PCM_STATS_SCHEMA
     )
 
@@ -383,7 +394,7 @@ def png_pixel_stats(
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(
+    return _spread(df.select(id_col, payload_col), id_col).mapInPandas(
         batches, schema=PNG_PIXEL_SCHEMA
     )
 
@@ -513,7 +524,7 @@ def avi_frame_pixel_stats(
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(
+    return _spread(df.select(id_col, payload_col), id_col).mapInPandas(
         batches, schema=AVI_FRAME_SCHEMA
     )
 

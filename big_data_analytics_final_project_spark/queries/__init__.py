@@ -65,8 +65,11 @@ GRADING_PRIORITY: tuple[str, ...] = (
     #    inflate + unfilter inside Arrow mapInPandas)
     "media_png_pixels",
     # -- new this round: real VIDEO decode (uncompressed-DIB AVI) —
-    #    the last decode-stub family member retired
+    #    the last decode-stub family member retired; media_wav_rms
+    #    rides along because the operator-level pre-decode spread
+    #    (operators/multimodal.py `_spread`) changed its plan
     "media_avi_frames",
+    "media_wav_rms",
     # -- changed post-r6-freeze (advisor fixes): rank-interval quantile
     #    acceptance; skew-split IVF cells feed both of these
     "order_price_quantiles_approx",
@@ -116,9 +119,9 @@ GRADING_PRIORITY: tuple[str, ...] = (
     "part_pagerank",
     "part_triangle_count",
     "corpus_pack_bins",
-    "doc_chunk_windows",
-    # (user_spend ceded its backfill slot to media_avi_frames; it is
-    #  r5-green and due r8 — the staleness gate enforces it)
+    # (user_spend and doc_chunk_windows ceded their backfill slots to
+    #  media_avi_frames and media_wav_rms; both are r5-green and due
+    #  r8 — the staleness gate enforces it)
     # ---- driver's 50-entry window ends here ----
 )
 

@@ -648,16 +648,9 @@ def media_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     synth = docs.select(
         F.col("doc_id").alias("media_id"), payload.alias("payload")
     )
-    # decode is the CPU-bound stage: a small documents file arrives as
-    # ONE input split, which would serialize the Arrow hop on a single
-    # task — spread the payloads across the cluster first (at 100 TB
-    # this is the repartition-by-byte-volume step the operator
-    # docstring prescribes; keyed on media_id so placement is
-    # deterministic, results are placement-independent either way)
-    par = max(spark.sparkContext.defaultParallelism, 8)
-    return avi_frame_pixel_stats(synth.repartition(par, "media_id")).orderBy(
-        "media_id", "frame_idx"
-    )
+    # the operator's pre-decode spread parallelizes the CPU-bound
+    # Arrow hop (a small documents file arrives as ONE input split)
+    return avi_frame_pixel_stats(synth).orderBy("media_id", "frame_idx")
 
 
 MEDIA_AVI_FRAMES_SQL = """
