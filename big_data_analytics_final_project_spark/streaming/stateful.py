@@ -157,3 +157,151 @@ def stateful_sessionize(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental gaps-and-islands RUN collapse (the VALUE-change islands of
+# queries/windows.py::user_event_runs, stateful) — run boundaries are
+# event-type changes, not time gaps, so the open-state shape differs
+# from the sessionizer's: closing is triggered by the NEXT event's
+# type, and only the watermark can close a user's final run.
+
+RUN_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("run_start", T.TimestampType()),
+        T.StructField("run_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_micro", T.LongType()),
+    ]
+)
+
+_RUN_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_micro", T.LongType()),
+    ]
+)
+
+
+def _emit_run(
+    user: int, etype: str, start_us: int, last_us: int, n: int, micro: int
+) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "user_id": [user],
+            "event_type": [etype],
+            "run_start": [pd.to_datetime(start_us, unit="us")],
+            "run_end": [pd.to_datetime(last_us, unit="us")],
+            "n_events": [n],
+            "sum_micro": [micro],
+        }
+    )
+
+
+def _make_run_fold(idle_close_us: int):
+    def fold(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        (user,) = key
+        if state.hasTimedOut:
+            etype, start_us, last_us, n, micro = state.get
+            state.remove()
+            yield _emit_run(user, etype, start_us, last_us, n, micro)
+            return
+
+        if state.exists:
+            etype, start_us, last_us, n, micro = state.get
+        else:
+            etype, start_us, last_us, n, micro = None, -1, -1, 0, 0
+
+        # same chunk discipline as the sessionizer: applyInPandasWithState
+        # may split one group across pandas chunks in arbitrary order;
+        # concat+sort restores the (ts, event_id) fold order the batch
+        # window uses, so run numbering is identical
+        chunks = [pdf for pdf in pdfs if not pdf.empty]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            ts_us = (pdf["ts"].astype("int64") // 1000).to_numpy()
+            # floor(v*1e6 + 0.5) integer micro-units (streaming/tws.py
+            # convention): the running total is exact integer math, so
+            # emissions are chunking-independent
+            micros = (
+                np.floor(pdf["value"].fillna(0.0).to_numpy() * 1e6 + 0.5)
+                .astype("int64")
+            )
+            types = pdf["event_type"].to_numpy()
+            for t_us, v_micro, t_type in zip(ts_us, micros, types):
+                t_us, v_micro, t_type = int(t_us), int(v_micro), str(t_type)
+                if etype is None:
+                    etype, start_us, last_us = t_type, t_us, t_us
+                    n, micro = 1, v_micro
+                elif t_type == etype:
+                    # extension (or a late same-type event folded in
+                    # place — bounded disorder degrades bounds, never
+                    # state size)
+                    last_us = max(last_us, t_us)
+                    n += 1
+                    micro += v_micro
+                else:
+                    yield _emit_run(user, etype, start_us, last_us, n, micro)
+                    etype, start_us, last_us = t_type, t_us, t_us
+                    n, micro = 1, v_micro
+
+        state.update((etype, start_us, last_us, n, micro))
+        # a run has no natural end-time: flush it when the user goes
+        # idle past the horizon (watermark-driven, state never leaks)
+        state.setTimeoutTimestamp(
+            max(
+                last_us // 1000 + idle_close_us // 1000,
+                state.getCurrentWatermarkMs() + 1,
+            )
+        )
+
+    return fold
+
+
+def stateful_run_collapse(
+    events: DataFrame,
+    idle_close_seconds: int = 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Incremental value-change run collapse with explicit state.
+
+    Emits one row per CLOSED run (append mode): the same
+    (user_id, event_type, run_start, run_end, n_events) frame the
+    batch `user_event_runs` window produces, with the value total in
+    exact integer micro-units. State is ONE open run per user —
+    O(active users), independent of stream length.
+
+    Ordering contract: run semantics need per-key in-order arrival
+    (a Kafka partition keyed by user, or the chunked replay source);
+    within-trigger disorder is repaired by the concat+sort, and a
+    late SAME-type event folds into the open run, but a late
+    CROSS-type event under the watermark starts a new run rather than
+    splitting history — bounded-disorder degradation, like the
+    sessionizer's duration note.
+    """
+    prepared = events.selectExpr(
+        "CAST(user_id AS BIGINT) AS user_id",
+        "ts",
+        "CAST(event_id AS BIGINT) AS event_id",
+        "event_type",
+        "CAST(value AS DOUBLE) AS value",
+    ).withWatermark("ts", watermark)
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _make_run_fold(idle_close_seconds * 1_000_000),
+        outputStructType=RUN_SCHEMA,
+        stateStructType=_RUN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

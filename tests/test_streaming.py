@@ -588,3 +588,80 @@ def test_tws_processor_fold_logic_unit():
     staged = run([[all_nat], [pdf]])
     assert staged[4] == ts_us.min() and staged[5] == ts_us.max()
     assert staged[1] == 2 * n
+
+
+def test_stateful_run_collapse_matches_batch(spark, stream_dirs):
+    """applyInPandasWithState run collapse (VALUE-change islands):
+    every emitted (closed) run must equal the batch gaps-and-islands
+    window result — same boundaries, counts, and exact micro-unit
+    value totals — and every run a later cross-type event closes (all
+    but each user's final run) MUST have been emitted."""
+    from big_data_analytics_final_project_spark.streaming.stateful import (
+        stateful_run_collapse,
+    )
+
+    stream = read_event_stream(spark, stream_dirs["src"])
+    q = (
+        stateful_run_collapse(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stateful_runs_test")
+        .option("checkpointLocation", f"{stream_dirs['root']}/ckpt_runs")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "stream did not finish"
+    got = {
+        (r["user_id"], r["run_start"]): (
+            r["event_type"],
+            r["run_end"],
+            r["n_events"],
+            r["sum_micro"],
+        )
+        for r in spark.sql("SELECT * FROM stateful_runs_test").collect()
+    }
+
+    # batch twin: the same lag-change-flag + running-sum numbering
+    # user_event_runs uses, with the stream's micro quantization
+    ev = spark.read.schema(EVENT_SCHEMA).parquet(stream_dirs["src"])
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chg = F.when(
+        F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 0
+    ).otherwise(1)
+    batch = (
+        ev.withColumn("run_id", F.sum(chg).over(frame))
+        .groupBy("user_id", "run_id", "event_type")
+        .agg(
+            F.min("ts").alias("run_start"),
+            F.max("ts").alias("run_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 1e6 + 0.5)
+            ).alias("sum_micro"),
+        )
+        .collect()
+    )
+    want = {
+        (r["user_id"], r["run_start"]): (
+            r["event_type"],
+            r["run_end"],
+            r["n_events"],
+            r["sum_micro"],
+        )
+        for r in batch
+    }
+    assert got, "no runs were emitted"
+    for key, val in got.items():
+        assert key in want and want[key] == val, f"mismatch for {key}"
+    # completeness: non-final runs are always closed by a successor
+    last_start = {}
+    for r in batch:
+        if (
+            r["user_id"] not in last_start
+            or r["run_start"] > last_start[r["user_id"]]
+        ):
+            last_start[r["user_id"]] = r["run_start"]
+    non_final = {k for k in want if k[1] != last_start[k[0]]}
+    missing = non_final - set(got)
+    assert not missing, f"{len(missing)} successor-closed runs not emitted"
