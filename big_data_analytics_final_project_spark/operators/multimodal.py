@@ -18,8 +18,9 @@ Codec-free formats are decoded FOR REAL through that same plumbing:
 `pcm16_stats` (WAV/PCM16 via numpy), `png_pixel_stats` (PNG via stdlib
 zlib inflate + scanline unfiltering), and `avi_frame_pixel_stats`
 (uncompressed-DIB AVI video: RIFF walk, bottom-up BGR frames, stride
-pad). `decode_image` (JPEG and friends — needs libjpeg) and
-`sample_frames` (codec'd video — needs ffmpeg) raise
+pad), plus `resize_image` (nearest-neighbor PNG resample, decode →
+numpy → re-encode). `decode_image` (JPEG and friends — needs libjpeg)
+and `sample_frames` (codec'd video — needs ffmpeg) raise
 NotImplementedError (clearly-marked env-blocked stubs);
 `fake_decode_meta` is the deterministic stand-in used by tests to prove
 the batch plumbing (schema, Arrow batch shape, partition behavior).
@@ -80,13 +81,83 @@ def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
 
-def resize_image(df: DataFrame, width: int, height: int, payload_col: str = "payload") -> DataFrame:
-    """Real image resize — NOT AVAILABLE (no codec libs). Same
-    mapInPandas shape as `fake_decode_meta`: binary in, binary out,
-    one row per input."""
-    raise NotImplementedError(
-        "image codecs are not installed in this container; "
-        "the batch contract is exercised by fake_decode_meta"
+def encode_png_gray8(px) -> bytes:
+    """Encode an int (h, w) pixel array as a spec-correct 8-bit
+    grayscale PNG with the stdlib only: filter-type-0 scanlines,
+    one zlib-compressed IDAT, true chunk CRC-32s."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(px)
+    h, w = arr.shape
+    raw = b"".join(
+        b"\x00" + arr[r].astype(np.uint8).tobytes() for r in range(h)
+    )
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def resize_image(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL image resize — not a stub for the codec-free format: 8-bit
+    grayscale PNGs are decoded (`decode_png_gray8`), resampled to
+    (width, height) by nearest neighbor (source index
+    floor(dst·src_extent/dst_extent) — integer arithmetic, so the
+    mapping is deterministic on any engine), and re-encoded as
+    spec-correct PNGs, binary in → binary out, one row per input,
+    through the same Arrow `mapInPandas` plumbing as the decoders.
+    This is the thumbnail/normalize stage a multimodal lake runs
+    before feature extraction; codec-bound formats (JPEG & co) remain
+    env-blocked in `decode_image`."""
+    import numpy as np
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                w0, h0, px = decode_png_gray8(bytes(payload))
+                rows = (np.arange(height) * h0) // height
+                cols = (np.arange(width) * w0) // width
+                resized = px[np.ix_(rows, cols)]
+                ids.append(int(mid))
+                payloads.append(encode_png_gray8(resized))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    return _spread(df.select(id_col, payload_col), id_col).mapInPandas(
+        batches, schema=out_schema
     )
 
 
@@ -280,6 +351,90 @@ PNG_PIXEL_SCHEMA = T.StructType(
 )
 
 
+
+def decode_png_gray8(buf: bytes):
+    """Decode an 8-bit grayscale PNG with the stdlib only: chunk walk
+    with CRC-32 verification, zlib inflate of the IDAT stream, and
+    scanline unfiltering (all five standard filter types). Returns
+    (width, height, pixels) with pixels an int64 (h, w) ndarray —
+    shared by `png_pixel_stats` (stats) and `resize_image`
+    (resample + re-encode)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if buf[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    width = height = None
+    idat = b""
+    while pos + 12 <= len(buf):
+        (length,) = struct.unpack(">I", buf[pos : pos + 4])
+        ctype = buf[pos + 4 : pos + 8]
+        body = buf[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", buf[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            width, height, depth, color = struct.unpack(
+                ">IIBB", body[:10]
+            )
+            if depth != 8 or color != 0:
+                raise ValueError("only 8-bit grayscale is supported")
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if width is None:
+        raise ValueError("no IHDR chunk")
+    raw = zlib.decompress(idat)
+    stride = width + 1
+    if len(raw) != height * stride:
+        raise ValueError("decompressed length != height*(width+1)")
+    px = np.zeros((height, width), dtype=np.int64)
+    for r in range(height):
+        line = np.frombuffer(
+            raw[r * stride : (r + 1) * stride], dtype=np.uint8
+        )
+        ft, filt = int(line[0]), line[1:].astype(np.int64)
+        above = px[r - 1] if r else np.zeros(width, dtype=np.int64)
+        if ft == 0:  # None
+            out = filt
+        elif ft == 1:  # Sub: recon[c] = filt[c] + recon[c-1]
+            out = np.cumsum(filt) % 256
+        elif ft == 2:  # Up
+            out = (filt + above) % 256
+        elif ft == 3:  # Average — sequential in c (bpp=1)
+            out = np.zeros(width, dtype=np.int64)
+            left = 0
+            for c in range(width):
+                left = (filt[c] + (left + above[c]) // 2) % 256
+                out[c] = left
+        elif ft == 4:  # Paeth — sequential in c
+            out = np.zeros(width, dtype=np.int64)
+            left = ul = 0
+            for c in range(width):
+                up = int(above[c])
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = (
+                    left
+                    if pa <= pb and pa <= pc
+                    else (up if pb <= pc else ul)
+                )
+                left = (int(filt[c]) + pred) % 256
+                out[c] = left
+                ul = up
+        else:
+            raise ValueError(f"unknown filter type {ft}")
+        px[r] = out
+    return int(width), int(height), px
+
+
 def png_pixel_stats(
     df: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
 ) -> DataFrame:
@@ -298,87 +453,12 @@ def png_pixel_stats(
     the writer framed, so a formula-derived oracle that never touches
     the binary proves writer framing, chunk CRCs, inflate, AND
     unfiltering agree pixel-for-pixel."""
-    import struct
-    import zlib
-
-    import numpy as np
-
-    def decode_one(buf: bytes) -> tuple[int, int, np.ndarray]:
-        if buf[:8] != b"\x89PNG\r\n\x1a\n":
-            raise ValueError("not a PNG: bad signature")
-        pos = 8
-        width = height = None
-        idat = b""
-        while pos + 12 <= len(buf):
-            (length,) = struct.unpack(">I", buf[pos : pos + 4])
-            ctype = buf[pos + 4 : pos + 8]
-            body = buf[pos + 8 : pos + 8 + length]
-            (crc,) = struct.unpack(
-                ">I", buf[pos + 8 + length : pos + 12 + length]
-            )
-            if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
-                raise ValueError(f"bad CRC in {ctype!r} chunk")
-            if ctype == b"IHDR":
-                width, height, depth, color = struct.unpack(
-                    ">IIBB", body[:10]
-                )
-                if depth != 8 or color != 0:
-                    raise ValueError("only 8-bit grayscale is supported")
-            elif ctype == b"IDAT":
-                idat += body
-            elif ctype == b"IEND":
-                break
-            pos += 12 + length
-        if width is None:
-            raise ValueError("no IHDR chunk")
-        raw = zlib.decompress(idat)
-        stride = width + 1
-        if len(raw) != height * stride:
-            raise ValueError("decompressed length != height*(width+1)")
-        px = np.zeros((height, width), dtype=np.int64)
-        for r in range(height):
-            line = np.frombuffer(
-                raw[r * stride : (r + 1) * stride], dtype=np.uint8
-            )
-            ft, filt = int(line[0]), line[1:].astype(np.int64)
-            above = px[r - 1] if r else np.zeros(width, dtype=np.int64)
-            if ft == 0:  # None
-                out = filt
-            elif ft == 1:  # Sub: recon[c] = filt[c] + recon[c-1]
-                out = np.cumsum(filt) % 256
-            elif ft == 2:  # Up
-                out = (filt + above) % 256
-            elif ft == 3:  # Average — sequential in c (bpp=1)
-                out = np.zeros(width, dtype=np.int64)
-                left = 0
-                for c in range(width):
-                    left = (filt[c] + (left + above[c]) // 2) % 256
-                    out[c] = left
-            elif ft == 4:  # Paeth — sequential in c
-                out = np.zeros(width, dtype=np.int64)
-                left = ul = 0
-                for c in range(width):
-                    up = int(above[c])
-                    p = left + up - ul
-                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
-                    pred = (
-                        left
-                        if pa <= pb and pa <= pc
-                        else (up if pb <= pc else ul)
-                    )
-                    left = (int(filt[c]) + pred) % 256
-                    out[c] = left
-                    ul = up
-            else:
-                raise ValueError(f"unknown filter type {ft}")
-            px[r] = out
-        return int(width), int(height), px
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = {k: [] for k in PNG_PIXEL_SCHEMA.names}
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                w, h, px = decode_one(bytes(payload))
+                w, h, px = decode_png_gray8(bytes(payload))
                 rows["media_id"].append(int(mid))
                 rows["width"].append(w)
                 rows["height"].append(h)

@@ -132,3 +132,52 @@ def test_non_png_rejected(spark):
     )
     with pytest.raises(Exception, match="bad signature"):
         png_pixel_stats(df).collect()
+
+
+def test_resize_image_real_roundtrip(spark):
+    """resize_image is a REAL resize for the codec-free format: decode
+    → nearest-neighbor resample → re-encode. The output must be a
+    valid PNG (it round-trips through the decoder) whose pixels equal
+    the integer-arithmetic nearest-neighbor mapping of the source —
+    downscale and upscale both checked."""
+    from big_data_analytics_final_project_spark.operators.multimodal import (
+        decode_png_gray8,
+        resize_image,
+    )
+
+    rng = np.random.default_rng(11)
+    src = rng.integers(0, 256, size=(10, 14), dtype=np.uint8)
+    rows = [(1, _encode_png(src, ftypes=[0, 1, 2]))]
+    df = spark.createDataFrame(rows, "media_id BIGINT, payload BINARY")
+
+    for tw, th in ((7, 5), (21, 15)):
+        out = resize_image(df, width=tw, height=th).collect()
+        assert len(out) == 1
+        w, h, px = decode_png_gray8(bytes(out[0].payload))
+        assert (w, h) == (tw, th)
+        want = src.astype(np.int64)[
+            np.ix_((np.arange(th) * 10) // th, (np.arange(tw) * 14) // tw)
+        ]
+        assert (px == want).all()
+
+
+def test_resize_feeds_pixel_stats(spark):
+    """Pipeline composition: resize output flows straight back into
+    png_pixel_stats (binary contract preserved end to end)."""
+    from big_data_analytics_final_project_spark.operators.multimodal import (
+        resize_image,
+    )
+
+    src = np.arange(48, dtype=np.uint8).reshape(6, 8)
+    df = spark.createDataFrame(
+        [(7, _encode_png(src, ftypes=[0]))], "media_id BIGINT, payload BINARY"
+    )
+    stats = png_pixel_stats(resize_image(df, width=4, height=3)).collect()
+    assert len(stats) == 1
+    r = stats[0]
+    want = src.astype(np.int64)[
+        np.ix_((np.arange(3) * 6) // 3, (np.arange(4) * 8) // 4)
+    ]
+    assert (r.width, r.height, r.n_pixels) == (4, 3, 12)
+    assert r.px_sum == int(want.sum())
+    assert r.px_sum_sq == int((want * want).sum())
