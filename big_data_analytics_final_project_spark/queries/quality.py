@@ -38,40 +38,69 @@ def _integrity_check(
     dim_key: str,
     broadcast_dim: bool,
 ) -> DataFrame:
-    """One FK audit row: fact rows / null keys / distinct keys / orphans.
+    """One FK audit row: fact rows / null keys / distinct keys /
+    orphans / duplicated dimension keys.
 
     The fact side collapses to one row per key FIRST, so the dimension
     join and the orphan test run over distinct keys, not raw fact rows;
     null keys are their own violation class (a null FK can't be an
     orphan — it resolves to nothing by construction, not to a missing
-    dimension row).
+    dimension row). The dimension side is ALSO collapsed to one row
+    per key before the join — a dim with duplicated PKs is itself
+    corruption this audit must report (`dup_dim_keys`, counted over
+    the WHOLE dimension), and joining it raw would instead multiply
+    per_key rows and silently inflate every count the row claims to
+    audit.
     """
     per_key = fact.groupBy(F.col(key).alias("k")).agg(
         F.count(F.lit(1)).alias("n")
     )
-    dim_keys = dim.select(F.col(dim_key).alias("dk"))
+    dim_per_key = dim.groupBy(F.col(dim_key).alias("dk")).agg(
+        F.count(F.lit(1)).alias("dim_n")
+    )
+    # global PK-duplication scalar (1 row; the cross join is the
+    # benign 1-row scalar-broadcast pattern)
+    dim_dups = dim_per_key.agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("dk").isNotNull() & (F.col("dim_n") > 1),
+                    F.col("dim_n") - 1,
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("dup_dim_keys")
+    )
+    dim_keys = dim_per_key.select("dk")
     if broadcast_dim:
         dim_keys = F.broadcast(dim_keys)
     joined = per_key.join(dim_keys, per_key.k == dim_keys.dk, "left_outer")
-    return joined.agg(
-        F.sum("n").alias("fact_rows"),
-        F.sum(
-            F.when(F.col("k").isNull(), F.col("n")).otherwise(F.lit(0))
-        ).alias("null_keys"),
-        F.sum(
-            F.when(F.col("k").isNotNull(), 1).otherwise(0)
-        ).alias("distinct_keys"),
-        F.sum(
-            F.when(
-                F.col("k").isNotNull() & F.col("dk").isNull(), F.col("n")
-            ).otherwise(F.lit(0))
-        ).alias("orphan_rows"),
-    ).select(
-        F.lit(name).alias("check_name"),
-        "fact_rows",
-        "null_keys",
-        "distinct_keys",
-        "orphan_rows",
+    return (
+        joined.agg(
+            F.sum("n").alias("fact_rows"),
+            F.sum(
+                F.when(F.col("k").isNull(), F.col("n")).otherwise(F.lit(0))
+            ).alias("null_keys"),
+            F.sum(
+                F.when(F.col("k").isNotNull(), 1).otherwise(0)
+            ).alias("distinct_keys"),
+            F.sum(
+                F.when(
+                    F.col("k").isNotNull() & F.col("dk").isNull(), F.col("n")
+                ).otherwise(F.lit(0))
+            ).alias("orphan_rows"),
+        )
+        .crossJoin(F.broadcast(dim_dups))
+        .select(
+            F.lit(name).alias("check_name"),
+            "fact_rows",
+            "null_keys",
+            "distinct_keys",
+            "orphan_rows",
+            "dup_dim_keys",
+        )
     )
 
 
@@ -131,7 +160,9 @@ SELECT '{name}' AS check_name,
        (SELECT count(*) FROM {fact} f
          WHERE f.{key} IS NOT NULL
            AND NOT EXISTS (SELECT 1 FROM {dim} d WHERE d.{dim_key} = f.{key})
-       ) AS orphan_rows
+       ) AS orphan_rows,
+       (SELECT CAST(count({dim_key}) - count(DISTINCT {dim_key}) AS BIGINT)
+          FROM {dim}) AS dup_dim_keys
 FROM {fact}"""
 
 

@@ -80,6 +80,25 @@ def test_integrity_check_detects_injected_orphans(spark):
     assert row.null_keys == 2
     assert row.distinct_keys == 4  # 0, 1, 998, 999
     assert row.orphan_rows == 3  # the two 999s and the 998
+    assert row.dup_dim_keys == 0
+
+
+def test_integrity_check_reports_duplicated_dim_keys(spark):
+    """A dimension with duplicated PKs is corruption the audit must
+    REPORT, not amplify: counts stay grounded in fact rows (no join
+    fan-out) and the excess dim rows land in dup_dim_keys."""
+    dim = spark.createDataFrame(
+        [(0,), (1,), (1,), (1,), (2,), (2,), (None,)], "d_key: long"
+    )
+    fact = spark.createDataFrame([(0,), (1,), (5,)], "f_key: long")
+    row = _integrity_check(
+        "fact.f_key -> dim", fact, "f_key", dim, "d_key", True
+    ).collect()[0]
+    assert row.fact_rows == 3  # NOT inflated by the 3x key-1 rows
+    assert row.null_keys == 0
+    assert row.distinct_keys == 3
+    assert row.orphan_rows == 1  # the 5
+    assert row.dup_dim_keys == 3  # two extra 1s + one extra 2; null ignored
 
 
 def test_audit_fact_rows_match_tables(spark):
