@@ -27,16 +27,16 @@ class QuerySpec:
 # registry (`__spark_entry__.queries()`) per round, so that iteration
 # order is the grading surface.
 #
-# ROTATION SCHEDULE (3-round cadence — round-6 verdict #2): with 136
+# ROTATION SCHEDULE (3-round cadence — round-6 verdict #2): with 137
 # registered queries and a 50-row window, 2-round full coverage is
-# arithmetically impossible (it would need 68 slots/round); the policy
+# arithmetically impossible (it would need 69 slots/round); the policy
 # is therefore: every query gets a green driver row at least every
 # THREE rounds. scripts/grading_manifest.py enforces both halves
 # mechanically: (a) anything whose latest green row would fall 3+
 # rounds old MUST be in this round's window, and (b) a schedule
 # simulation (`--simulate`) proves the NEXT round's forced set also
 # fits in 50, so the cadence stays satisfiable rather than silently
-# drifting. Steady-state arithmetic: 136/3 = ~46 forced slots/round,
+# drifting. Steady-state arithmetic: 137/3 = ~46 forced slots/round,
 # leaving ~4-5 slots of headroom — which caps NEW/CHANGED queries at
 # about five per round (adding more would make some future window
 # infeasible; the simulation catches it at authoring time).
@@ -48,12 +48,14 @@ class QuerySpec:
 # slots, heaviest/flagship shapes first, which smooths the next
 # round's forced load.
 #
-# Round-7 instance: (1) the 3 new queries (gaps-and-islands runs, the
-# FK audit, the full-outer reconciliation) plus media_png_pixels (new
-# post-freeze in r6) and the 4 whose fingerprints moved with the r6
-# advisor fixes (both sketch acceptances; embedding_near_dup and
-# dedup_semantic_clusters via the IVF-cell skew split); (2) the 35
-# entries whose latest green is r4; (3) 7 r5-green backfill slots.
+# Round-7 instance: (1) the 4 new queries (gaps-and-islands runs, the
+# FK audit, the full-outer reconciliation, the AVI video decode) plus
+# media_png_pixels (new post-freeze in r6), media_wav_rms (plan moved
+# with the operator-level pre-decode spread), and the 4 whose
+# fingerprints moved with the r6 advisor fixes (both sketch
+# acceptances; embedding_near_dup and dedup_semantic_clusters via the
+# IVF-cell skew split); (2) the 35 entries whose latest green is r4;
+# (3) 5 r5-green backfill slots.
 GRADING_PRIORITY: tuple[str, ...] = (
     # -- new this round: gaps-and-islands run collapse, star-schema FK
     #    audit (anti-join family), full-outer rollup-vs-detail
