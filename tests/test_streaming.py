@@ -665,3 +665,77 @@ def test_stateful_run_collapse_matches_batch(spark, stream_dirs):
     non_final = {k for k in want if k[1] != last_start[k[0]]}
     missing = non_final - set(got)
     assert not missing, f"{len(missing)} successor-closed runs not emitted"
+
+
+def test_stateful_run_collapse_multi_chunk_groups(spark, stream_dirs):
+    """With a tiny Arrow batch size, one group's rows arrive as MANY
+    pandas chunks in no particular order; the run fold must
+    concat+sort before folding or runs split/merge wrongly. Emitted
+    runs still match the batch window exactly."""
+    from big_data_analytics_final_project_spark.streaming.stateful import (
+        stateful_run_collapse,
+    )
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "3")
+    try:
+        stream = read_event_stream(spark, stream_dirs["src"])
+        q = (
+            stateful_run_collapse(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("stateful_runs_chunked")
+            .option(
+                "checkpointLocation", f"{stream_dirs['root']}/ckpt_runs_chunk"
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300), "stream did not finish"
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    got = {
+        (r["user_id"], r["run_start"]): (
+            r["event_type"],
+            r["run_end"],
+            r["n_events"],
+            r["sum_micro"],
+        )
+        for r in spark.sql("SELECT * FROM stateful_runs_chunked").collect()
+    }
+    ev = spark.read.schema(EVENT_SCHEMA).parquet(stream_dirs["src"])
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chg = F.when(
+        F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 0
+    ).otherwise(1)
+    want = {
+        (r["user_id"], r["run_start"]): (
+            r["event_type"],
+            r["run_end"],
+            r["n_events"],
+            r["sum_micro"],
+        )
+        for r in (
+            ev.withColumn("run_id", F.sum(chg).over(frame))
+            .groupBy("user_id", "run_id", "event_type")
+            .agg(
+                F.min("ts").alias("run_start"),
+                F.max("ts").alias("run_end"),
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(
+                    F.floor(
+                        F.coalesce(F.col("value"), F.lit(0.0)) * 1e6 + 0.5
+                    )
+                ).alias("sum_micro"),
+            )
+            .collect()
+        )
+    }
+    assert got, "no runs were emitted"
+    for k, v in got.items():
+        assert k in want and want[k] == v, f"mismatch for {k}"
