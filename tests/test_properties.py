@@ -289,3 +289,57 @@ def test_connected_components_matches_union_find(spark, edges):
         for r in connected_components(df, "a", "b").collect()
     }
     assert got == _components_reference(edges)
+
+
+# --- codec-free media round-trips --------------------------------------
+
+gray_image = st.integers(min_value=1, max_value=24).flatmap(
+    lambda w: st.integers(min_value=1, max_value=16).flatmap(
+        lambda h: st.lists(
+            st.integers(min_value=0, max_value=255),
+            min_size=w * h,
+            max_size=w * h,
+        ).map(lambda vals: (w, h, vals))
+    )
+)
+
+
+@given(img=gray_image)
+@settings(max_examples=60, deadline=None)
+def test_png_encode_decode_roundtrip(img):
+    """Pure-function round trip (no Spark): encode_png_gray8 output is
+    a spec-correct PNG that decode_png_gray8 reconstructs bit-exactly,
+    for arbitrary dimensions and pixel content — the property that
+    makes resize_image's re-encode trustworthy."""
+    import numpy as np
+
+    from big_data_analytics_final_project_spark.operators.multimodal import (
+        decode_png_gray8,
+        encode_png_gray8,
+    )
+
+    w, h, vals = img
+    px = np.array(vals, dtype=np.int64).reshape(h, w)
+    w2, h2, out = decode_png_gray8(encode_png_gray8(px))
+    assert (w2, h2) == (w, h)
+    assert (out == px).all()
+
+
+@given(img=gray_image, scale=st.sampled_from([(1, 1), (2, 3), (3, 1)]))
+@settings(max_examples=30, deadline=None)
+def test_png_resize_mapping_is_nearest_neighbor(img, scale):
+    """The resize kernel's index math (floor(dst*src/dst_extent)) on
+    arbitrary shapes: every output pixel must equal SOME input pixel
+    at the computed source index — no interpolation, no off-by-one at
+    the edges (the last output row/col must map inside the source)."""
+    import numpy as np
+
+    w, h, vals = img
+    sx, sy = scale
+    tw, th = max(1, w * sx // 2), max(1, h * sy // 2)
+    rows = (np.arange(th) * h) // th
+    cols = (np.arange(tw) * w) // tw
+    assert rows.max() < h and cols.max() < w
+    px = np.array(vals, dtype=np.int64).reshape(h, w)
+    out = px[np.ix_(rows, cols)]
+    assert out.shape == (th, tw)
