@@ -1,0 +1,159 @@
+"""gif_pixel_stats decodes REAL GIFs: the encoder here is a genuine
+LZW COMPRESSOR (string-table build, variable-width code emission,
+12-bit cap with CLEAR resets) written independently of the decoder's
+table reconstruction, so round-trip agreement proves the decompression
+algorithm — including the KwKwK case and width growth — not just byte
+shuffling. Container corruption tests pin the validator behavior."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from big_data_analytics_final_project_spark.operators.multimodal import (
+    _lzw_decode_gif,
+    decode_gif_frame,
+    gif_pixel_stats,
+)
+
+
+def lzw_encode(indices: list[int], min_code_size: int) -> bytes:
+    """Real GIF-variant LZW compression, LSB-first packing."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    out_bits: list[tuple[int, int]] = []  # (code, width)
+    width = min_code_size + 1
+
+    def fresh():
+        return {(i,): i for i in range(clear)}
+
+    table = fresh()
+    next_code = end + 1
+    out_bits.append((clear, width))
+    prefix: tuple[int, ...] = ()
+    for sym in indices:
+        cand = prefix + (sym,)
+        if cand in table:
+            prefix = cand
+            continue
+        out_bits.append((table[prefix], width))
+        if next_code < 4096:
+            table[cand] = next_code
+            # the encoder grows the width AFTER assigning 2^width - 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        else:
+            out_bits.append((clear, width))
+            table = fresh()
+            width = min_code_size + 1
+            next_code = end + 1
+        prefix = (sym,)
+    if prefix:
+        out_bits.append((table[prefix], width))
+    out_bits.append((end, width))
+    acc = bits = 0
+    data = bytearray()
+    for code, w in out_bits:
+        acc |= code << bits
+        bits += w
+        while bits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+    if bits:
+        data.append(acc & 0xFF)
+    return bytes(data)
+
+
+def write_gif(idx: np.ndarray, palette: np.ndarray, min_code_size: int = 8) -> bytes:
+    """Minimal spec-correct GIF87a: logical screen + global color
+    table + one non-interlaced full-frame image."""
+    h, w = idx.shape
+    n = len(palette)
+    assert n & (n - 1) == 0 and n >= 2
+    packed = 0x80 | (n.bit_length() - 2)  # GCT flag + size bits
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HHBBB", w, h, packed, 0, 0)
+    out += palette.astype(np.uint8).tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(min_code_size)
+    data = lzw_encode([int(v) for v in idx.reshape(-1)], min_code_size)
+    for i in range(0, len(data), 255):
+        block = data[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def _stats(spark, payload: bytes):
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id: long, payload: binary"
+    )
+    return gif_pixel_stats(df).collect()[0]
+
+
+def test_lzw_pure_roundtrip():
+    """No Spark, no container: the compressor and decompressor are
+    independent implementations, fuzzed over repetitive AND random
+    sequences (repetition exercises table growth + KwKwK)."""
+    rng = np.random.default_rng(3)
+    for trial in range(8):
+        n = int(rng.integers(1, 4000))
+        if trial % 2:
+            seq = rng.integers(0, 256, size=n).tolist()
+        else:  # heavy repetition: long runs build deep table chains
+            seq = (rng.integers(0, 4, size=max(1, n // 50)).repeat(50))[
+                :n
+            ].tolist()
+        enc = lzw_encode(seq, 8)
+        assert _lzw_decode_gif(enc, 8, len(seq)) == seq
+
+
+def test_gif_decode_roundtrip(spark):
+    rng = np.random.default_rng(9)
+    idx = rng.integers(0, 256, size=(11, 13), dtype=np.int64)
+    palette = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    w, h, got_idx, got_pal = decode_gif_frame(write_gif(idx, palette))
+    assert (w, h) == (13, 11)
+    assert (got_idx == idx).all()
+    assert (got_pal == palette).all()
+
+    r = _stats(spark, write_gif(idx, palette))
+    px = palette[idx.reshape(-1)].astype(np.int64)
+    assert (r.width, r.height, r.n_pixels) == (13, 11, 143)
+    assert (r.sum_r, r.sum_g, r.sum_b) == tuple(
+        int(px[:, c].sum()) for c in range(3)
+    )
+    assert (r.idx_min, r.idx_max) == (int(idx.min()), int(idx.max()))
+
+
+def test_gif_small_palette_and_runs(spark):
+    """2-bit palette + long runs: the narrow-code path (width starts
+    at 3 bits) and table-growth boundaries."""
+    idx = np.tile(np.array([[0, 0, 1, 1], [2, 2, 3, 3]]), (6, 7))[:10, :25]
+    palette = np.array(
+        [[0, 0, 0], [85, 85, 85], [170, 170, 170], [255, 255, 255]],
+        dtype=np.uint8,
+    )
+    r = _stats(spark, write_gif(idx.astype(np.int64), palette, min_code_size=2))
+    px = palette[idx.reshape(-1)].astype(np.int64)
+    assert r.n_pixels == 250
+    assert r.sum_g == int(px[:, 1].sum())
+
+
+def test_gif_rejects_interlace_and_truncation(spark):
+    idx = np.zeros((4, 4), dtype=np.int64)
+    palette = np.zeros((2, 3), dtype=np.uint8)
+    buf = bytearray(write_gif(idx, palette, min_code_size=2))
+    i = buf.index(b"\x2c") + 9  # image descriptor packed byte
+    buf[i] |= 0x40
+    with pytest.raises(Exception, match="interlaced"):
+        decode_gif_frame(bytes(buf))
+
+    good = write_gif(idx, palette, min_code_size=2)
+    with pytest.raises(Exception):
+        # chop the data sub-blocks: LZW must fail loudly, not pad
+        decode_gif_frame(good[:-6] + b"\x00\x3b")
