@@ -786,10 +786,13 @@ def gif_pixel_stats(
     same Arrow plumbing: per file, decompress the first frame's LZW
     index stream, map indices through the global color table, and
     reduce to exact integer per-channel sums + index extrema. Not yet
-    a registry query (the round-7 grading window is full); the
-    synthesize-in-expressions twin is the natural next rotation slot —
-    LZW output for a constant-index image is periodic enough to frame
-    with pure byte expressions."""
+    a registry query (the round-7 grading window is full); the natural
+    next-rotation query pairs an ENCODER stage (the independently
+    written LZW compressor pattern proven in tests/test_gif_decode.py)
+    with this decoder over a formula-derived image, graded by a DuckDB
+    oracle that re-derives the stats from the formula — variable-width
+    LZW emission is inherently sequential, so unlike WAV/PNG/AVI the
+    writer belongs in an Arrow stage, not in column expressions."""
     import numpy as np
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
