@@ -1,0 +1,108 @@
+"""Mergeable frequent-items (heavy-hitters) sketch: distributed
+Misra-Gries.
+
+The third sketch-family member next to the HLL distinct-count and
+KLL/GK quantile acceptance queries: exact top-k over a high-cardinality
+column means shuffling every distinct key (at 100 TB: the vocabulary,
+the URL host list, the user-agent string space); Misra-Gries keeps a
+CONSTANT-size summary per partition and merges by addition, so the
+shuffle carries k-row summaries instead of the key space.
+
+Guarantees (the acceptance contract an oracle can grade):
+- For every reported item: lower ≤ true_count ≤ upper, with
+  lower = Σ kept counts and upper = lower + D, where D is the total
+  decremented mass across all partitions (emitted alongside the
+  summaries, so the bound is computed, not assumed).
+- Every item with true_count > D is reported (in particular every
+  true heavy hitter above n/(capacity+1), since D ≤ n/(capacity+1)).
+
+Scale: one pass over the data inside Arrow `mapInPandas` (per-batch
+pandas value_counts folded into a capacity-bounded dict — vectorized,
+never per-row Python), then a merge aggregate over ≤ capacity rows per
+partition. No shuffle touches raw rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_SUMMARY_SCHEMA = T.StructType(
+    [
+        T.StructField("item", T.StringType()),  # NULL on the D row
+        T.StructField("cnt", T.LongType()),
+        T.StructField("dec", T.LongType()),
+    ]
+)
+
+
+def _mg_fold(capacity: int, col: str):
+    def fold(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        decremented = 0
+        for pdf in it:
+            # vectorized per-batch counting, then one dict merge
+            vc = pdf[col].dropna().astype(str).value_counts()
+            for item, c in vc.items():
+                counters[item] = counters.get(item, 0) + int(c)
+            if len(counters) > capacity:
+                # batched Misra-Gries decrement: subtract the
+                # (capacity+1)-th largest count from everyone and drop
+                # the non-positive — equivalent to that many rounds of
+                # the textbook decrement-all-by-1 step
+                cut = sorted(counters.values(), reverse=True)[capacity]
+                decremented += cut
+                counters = {
+                    k: v - cut for k, v in counters.items() if v > cut
+                }
+        items = list(counters.items())
+        yield pd.DataFrame(
+            {
+                "item": pd.Series(
+                    [k for k, _ in items] + [None], dtype="object"
+                ),
+                "cnt": pd.Series(
+                    [v for _, v in items] + [0], dtype="int64"
+                ),
+                "dec": pd.Series(
+                    [0] * len(items) + [decremented], dtype="int64"
+                ),
+            }
+        )
+
+    return fold
+
+
+def frequent_items_mg(
+    df: DataFrame, col: str, capacity: int = 64
+) -> DataFrame:
+    """Distributed Misra-Gries frequent-items summary.
+
+    Returns (item, count_lower, count_upper) for every surviving
+    candidate, where true_count is PROVABLY inside [lower, upper] and
+    every item with true_count > total_decremented is present. Filter
+    downstream with ``count_upper >= threshold`` for guaranteed recall
+    or ``count_lower >= threshold`` for guaranteed precision.
+    """
+    summaries = (
+        df.select(F.col(col).cast("string").alias(col))
+        .mapInPandas(_mg_fold(capacity, col), schema=_SUMMARY_SCHEMA)
+    )
+    # D = total decremented mass (a handful of NULL-item rows -> 1 row)
+    d_total = summaries.filter(F.col("item").isNull()).agg(
+        F.coalesce(F.sum("dec"), F.lit(0)).alias("_d")
+    )
+    merged = (
+        summaries.filter(F.col("item").isNotNull())
+        .groupBy("item")
+        .agg(F.sum("cnt").alias("count_lower"))
+    )
+    return merged.crossJoin(F.broadcast(d_total)).select(
+        "item",
+        "count_lower",
+        (F.col("count_lower") + F.col("_d")).alias("count_upper"),
+    )
