@@ -289,7 +289,11 @@ def stateful_run_collapse(
     late SAME-type event folds into the open run, but a late
     CROSS-type event under the watermark starts a new run rather than
     splitting history — bounded-disorder degradation, like the
-    sessionizer's duration note.
+    sessionizer's duration note. The idle flush is likewise a POLICY:
+    a user who resumes the same type after ``idle_close_seconds`` of
+    silence opens a NEW run (state cannot be held for unboundedly
+    quiet keys) — size the horizon to the longest silence the domain
+    treats as continuity.
     """
     prepared = events.selectExpr(
         "CAST(user_id AS BIGINT) AS user_id",

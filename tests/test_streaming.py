@@ -739,3 +739,123 @@ def test_stateful_run_collapse_multi_chunk_groups(spark, stream_dirs):
     assert got, "no runs were emitted"
     for k, v in got.items():
         assert k in want and want[k] == v, f"mismatch for {k}"
+
+
+def test_stateful_run_collapse_recovers_from_checkpoint(spark):
+    """State-store persistence across RESTARTS: drain two chunks, stop,
+    land a third, restart on the SAME checkpoint — open runs must
+    survive the restart (a run spanning the stop/start boundary is
+    closed by a post-restart event exactly once), and the union of
+    both runs' emissions must match the batch result with no
+    duplicates."""
+    import tempfile as _tf
+
+    from big_data_analytics_final_project_spark.streaming.stateful import (
+        stateful_run_collapse,
+    )
+
+    root = _tf.mkdtemp(prefix="runs_recovery_")
+    src = f"{root}/src"
+    events = (
+        load_table(spark, SF_SMOKE, "events")
+        .select(*[f.name for f in EVENT_SCHEMA.fields])
+        .withColumn(
+            "_chunk", F.ntile(3).over(Window.orderBy("ts", "event_id"))
+        )
+    )
+    for c in (1, 2):
+        events.filter(F.col("_chunk") == c).drop("_chunk").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    out = f"{root}/out"
+
+    def drain():
+        # memory sink cannot resume from a checkpoint; a foreachBatch
+        # parquet append is the recoverable sink shape (and the one a
+        # real pipeline uses). idle_close is pushed past the whole
+        # data span: the idle FLUSH is a policy (it deliberately
+        # splits a run when a user goes quiet), and this test isolates
+        # STATE persistence — a run spanning the restart must close by
+        # type change exactly once, not by the flush policy firing in
+        # between.
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            stateful_run_collapse(
+                read_event_stream(spark, src),
+                idle_close_seconds=90 * 24 * 3600,
+            )
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300), "stream did not finish"
+
+    drain()
+    events.filter(F.col("_chunk") == 3).drop("_chunk").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    drain()
+
+    emitted = spark.read.parquet(out).collect()
+    keys = [(r["user_id"], r["run_start"]) for r in emitted]
+    assert len(keys) == len(set(keys)), "duplicate emission across restart"
+    got = {
+        (r["user_id"], r["run_start"]): (
+            r["event_type"],
+            r["run_end"],
+            r["n_events"],
+            r["sum_micro"],
+        )
+        for r in emitted
+    }
+
+    ev = spark.read.schema(EVENT_SCHEMA).parquet(src)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chg = F.when(
+        F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 0
+    ).otherwise(1)
+    batch = (
+        ev.withColumn("run_id", F.sum(chg).over(frame))
+        .groupBy("user_id", "run_id", "event_type")
+        .agg(
+            F.min("ts").alias("run_start"),
+            F.max("ts").alias("run_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 1e6 + 0.5)
+            ).alias("sum_micro"),
+        )
+        .collect()
+    )
+    want = {
+        (r["user_id"], r["run_start"]): (
+            r["event_type"],
+            r["run_end"],
+            r["n_events"],
+            r["sum_micro"],
+        )
+        for r in batch
+    }
+    assert got, "no runs were emitted"
+    for k, v in got.items():
+        assert k in want and want[k] == v, f"mismatch for {k}"
+    # completeness: every run closed by a successor is in the union —
+    # in particular the runs whose closing event arrived AFTER the
+    # restart (the state-survival property this test exists for)
+    last_start = {}
+    for r in batch:
+        if (
+            r["user_id"] not in last_start
+            or r["run_start"] > last_start[r["user_id"]]
+        ):
+            last_start[r["user_id"]] = r["run_start"]
+    non_final = {k for k in want if k[1] != last_start[k[0]]}
+    missing = non_final - set(got)
+    assert not missing, f"{len(missing)} successor-closed runs not emitted"
+    shutil.rmtree(root, ignore_errors=True)
