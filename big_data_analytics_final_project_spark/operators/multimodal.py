@@ -134,10 +134,13 @@ def resize_image(
     env-blocked in `decode_image`."""
     import numpy as np
 
+    # output columns are named after the CALLER's id/payload columns —
+    # a caller passing id_col="doc_id" gets "doc_id" back, not a
+    # silent rename to "media_id"
     out_schema = T.StructType(
         [
-            T.StructField("media_id", T.LongType()),
-            T.StructField("payload", T.BinaryType()),
+            T.StructField(id_col, T.LongType()),
+            T.StructField(payload_col, T.BinaryType()),
         ]
     )
 
@@ -153,8 +156,8 @@ def resize_image(
                 payloads.append(encode_png_gray8(resized))
             yield pd.DataFrame(
                 {
-                    "media_id": pd.Series(ids, dtype="int64"),
-                    "payload": pd.Series(payloads, dtype="object"),
+                    id_col: pd.Series(ids, dtype="int64"),
+                    payload_col: pd.Series(payloads, dtype="object"),
                 }
             )
 
@@ -698,6 +701,12 @@ def _lzw_decode_gif(data: bytes, min_code_size: int, expected: int) -> list[int]
                         f"LZW ended at {len(out)} of {expected} pixels"
                     )
                 return out
+            if len(out) > expected:
+                # corrupt stream: don't decode unbounded garbage
+                # waiting for an EOI that may never come
+                raise ValueError(
+                    f"LZW overran {expected} pixels without an EOI code"
+                )
             if prev is None:
                 entry = table[code]
             elif code in table:
@@ -744,8 +753,10 @@ def decode_gif_frame(buf: bytes):
         block = buf[pos]
         if block == 0x21:  # extension: label + sub-blocks
             pos += 2
-            while buf[pos] != 0:
+            while pos < len(buf) and buf[pos] != 0:
                 pos += 1 + buf[pos]
+            if pos >= len(buf):
+                raise ValueError("truncated GIF: unterminated extension")
             pos += 1
         elif block == 0x2C:  # image descriptor
             left, top, w, h, ipacked = struct.unpack(
@@ -761,10 +772,12 @@ def decode_gif_frame(buf: bytes):
             min_code_size = buf[pos]
             pos += 1
             data = bytearray()
-            while buf[pos] != 0:
+            while pos < len(buf) and buf[pos] != 0:
                 n = buf[pos]
                 data += buf[pos + 1 : pos + 1 + n]
                 pos += 1 + n
+            if pos >= len(buf):
+                raise ValueError("truncated GIF: unterminated image data")
             pos += 1
             idx = _lzw_decode_gif(bytes(data), min_code_size, w * h)
             arr = np.array(idx, dtype=np.int64).reshape(h, w)

@@ -215,7 +215,10 @@ def _make_run_fold(idle_close_us: int):
         if state.hasTimedOut:
             etype, start_us, last_us, n, micro = state.get
             state.remove()
-            yield _emit_run(user, etype, start_us, last_us, n, micro)
+            # n > 0 guard: a defensively-stored empty state (below)
+            # must flush silently, never emit a NULL-typed zero-run
+            if n > 0:
+                yield _emit_run(user, etype, start_us, last_us, n, micro)
             return
 
         if state.exists:
@@ -257,6 +260,11 @@ def _make_run_fold(idle_close_us: int):
                     etype, start_us, last_us = t_type, t_us, t_us
                     n, micro = 1, v_micro
 
+        if etype is None:
+            # no prior state and only empty chunks this trigger: there
+            # is no run to hold — storing (None, -1, ...) would arm a
+            # timeout that emits a garbage row at the epoch
+            return
         state.update((etype, start_us, last_us, n, micro))
         # a run has no natural end-time: flush it when the user goes
         # idle past the horizon (watermark-driven, state never leaks)

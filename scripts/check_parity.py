@@ -93,6 +93,10 @@ def main() -> int:
     if json_out:
         summary = {
             "sf_dir": sf_dir,
+            # a subset run must be distinguishable from a full-registry
+            # sweep by more than row count (r7 advice)
+            "full_registry": not only,
+            "only": sorted(only) if only else None,
             "n_pass": sum(1 for r in records.values() if r["status"] == "pass"),
             "n_fail": len(failed),
             "n_skip": sum(1 for r in records.values() if r["status"] == "skip"),
