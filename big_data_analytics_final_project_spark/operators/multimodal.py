@@ -665,6 +665,91 @@ GIF_PIXEL_SCHEMA = T.StructType(
 )
 
 
+def lzw_encode_gif(indices: list[int], min_code_size: int) -> bytes:
+    """GIF-variant LZW COMPRESSION, LSB-first variable-width packing —
+    written independently of `_lzw_decode_gif`'s table reconstruction
+    (string-table build here vs. prefix-chain replay there), so
+    round-trip agreement proves the algorithm, not byte shuffling.
+    Emission is inherently sequential (each code's width depends on
+    the table size at that point), so unlike the WAV/PNG/AVI writers
+    this encoder cannot be column expressions — callers run it inside
+    an Arrow `mapInPandas` stage (see queries/multimodal.py
+    `media_gif_pixels`)."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    out_bits: list[tuple[int, int]] = []  # (code, width)
+    width = min_code_size + 1
+
+    def fresh():
+        return {(i,): i for i in range(clear)}
+
+    table = fresh()
+    next_code = end + 1
+    out_bits.append((clear, width))
+    prefix: tuple[int, ...] = ()
+    for sym in indices:
+        cand = prefix + (sym,)
+        if cand in table:
+            prefix = cand
+            continue
+        out_bits.append((table[prefix], width))
+        if next_code < 4096:
+            table[cand] = next_code
+            # the encoder grows the width AFTER assigning 2^width - 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        else:
+            out_bits.append((clear, width))
+            table = fresh()
+            width = min_code_size + 1
+            next_code = end + 1
+        prefix = (sym,)
+    if prefix:
+        out_bits.append((table[prefix], width))
+    out_bits.append((end, width))
+    acc = bits = 0
+    data = bytearray()
+    for code, w in out_bits:
+        acc |= code << bits
+        bits += w
+        while bits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+    if bits:
+        data.append(acc & 0xFF)
+    return bytes(data)
+
+
+def encode_gif(idx, palette, min_code_size: int = 8) -> bytes:
+    """Minimal spec-correct GIF87a from an int (h, w) index array and
+    an (n, 3) palette: logical screen descriptor + global color table
+    + one non-interlaced full-frame image, LZW-compressed via
+    `lzw_encode_gif` and chopped into <=255-byte sub-blocks."""
+    import struct
+
+    import numpy as np
+
+    idx = np.asarray(idx)
+    h, w = idx.shape
+    n = len(palette)
+    if n & (n - 1) or n < 2:
+        raise ValueError("palette size must be a power of two >= 2")
+    packed = 0x80 | (n.bit_length() - 2)  # GCT flag + size bits
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HHBBB", w, h, packed, 0, 0)
+    out += np.asarray(palette, dtype=np.uint8).tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(min_code_size)
+    data = lzw_encode_gif([int(v) for v in idx.reshape(-1)], min_code_size)
+    for i in range(0, len(data), 255):
+        block = data[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def _lzw_decode_gif(data: bytes, min_code_size: int, expected: int) -> list[int]:
     """GIF-variant LZW decompression — pure algorithm, no codec
     library: LSB-first variable-width codes (min_code_size+1 .. 12
@@ -792,20 +877,23 @@ def decode_gif_frame(buf: bytes):
 
 
 def gif_pixel_stats(
-    df: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    pre_spread: bool = True,
 ) -> DataFrame:
     """REAL GIF decode — LZW needs no codec library, so the third
     image-family member joins WAV/PNG/AVI as a genuine decoder in the
     same Arrow plumbing: per file, decompress the first frame's LZW
     index stream, map indices through the global color table, and
-    reduce to exact integer per-channel sums + index extrema. Not yet
-    a registry query (the round-7 grading window is full); the natural
-    next-rotation query pairs an ENCODER stage (the independently
-    written LZW compressor pattern proven in tests/test_gif_decode.py)
-    with this decoder over a formula-derived image, graded by a DuckDB
-    oracle that re-derives the stats from the formula — variable-width
-    LZW emission is inherently sequential, so unlike WAV/PNG/AVI the
-    writer belongs in an Arrow stage, not in column expressions."""
+    reduce to exact integer per-channel sums + index extrema. Graded
+    as the `media_gif_pixels` registry query (queries/multimodal.py):
+    an ENCODER Arrow stage (`lzw_encode_gif`/`encode_gif` — written
+    independently of this decoder) synthesizes formula-derived GIFs
+    and a DuckDB oracle re-derives the stats from the formula —
+    variable-width LZW emission is inherently sequential, so unlike
+    WAV/PNG/AVI the writer runs in an Arrow stage, not in column
+    expressions."""
     import numpy as np
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -827,6 +915,10 @@ def gif_pixel_stats(
                 {k: pd.Series(v, dtype="int64") for k, v in rows.items()}
             )
 
-    return _spread(df.select(id_col, payload_col), id_col).mapInPandas(
-        batches, schema=GIF_PIXEL_SCHEMA
-    )
+    src = df.select(id_col, payload_col)
+    if pre_spread:
+        # pre_spread=False lets a caller whose input is ALREADY spread
+        # (e.g. an upstream Arrow encode stage) chain decode in the
+        # same task set with no second exchange
+        src = _spread(src, id_col)
+    return src.mapInPandas(batches, schema=GIF_PIXEL_SCHEMA)

@@ -48,82 +48,69 @@ class QuerySpec:
 # slots, heaviest/flagship shapes first, which smooths the next
 # round's forced load.
 #
-# Round-7 instance: (1) the 4 new queries (gaps-and-islands runs, the
-# FK audit, the full-outer reconciliation, the AVI video decode) plus
-# media_png_pixels (new post-freeze in r6), media_wav_rms (plan moved
-# with the operator-level pre-decode spread), and the 4 whose
-# fingerprints moved with the r6 advisor fixes (both sketch
-# acceptances; embedding_near_dup and dedup_semantic_clusters via the
-# IVF-cell skew split); (2) the 35 entries whose latest green is r4;
-# (3) 5 r5-green backfill slots.
+# Round-8 instance: (1) the 3 new queries (GIF LZW round-trip decode,
+# type-2 SCD collapse, Misra-Gries heavy-hitter acceptance); (2) the
+# 42 entries whose latest green is r5 (the full forced set — round
+# 7's window held none of them, so they all come due at once); (3) 5
+# r6-green backfill slots spent on the heaviest bench shapes (the
+# dedup pair that drifted in r7 gets re-graded on purpose).
 GRADING_PRIORITY: tuple[str, ...] = (
-    # -- new this round: gaps-and-islands run collapse, star-schema FK
-    #    audit (anti-join family), full-outer rollup-vs-detail
-    #    reconciliation — the registry's first FULL OUTER join shape
-    "user_event_runs",
-    "referential_integrity_audit",
-    "order_totals_reconciliation",
-    # -- new post-r6-freeze: real PNG pixel decode (stdlib zlib
-    #    inflate + unfilter inside Arrow mapInPandas)
-    "media_png_pixels",
-    # -- new this round: real VIDEO decode (uncompressed-DIB AVI) —
-    #    the last decode-stub family member retired; media_wav_rms
-    #    rides along because the operator-level pre-decode spread
-    #    (operators/multimodal.py `_spread`) changed its plan
-    "media_avi_frames",
-    "media_wav_rms",
-    # -- changed post-r6-freeze (advisor fixes): rank-interval quantile
-    #    acceptance; skew-split IVF cells feed both of these
-    "order_price_quantiles_approx",
-    "daily_active_users_approx",
-    "embedding_near_dup",
-    "dedup_semantic_clusters",
-    # -- staleness gate: latest green row is r4 (35 entries)
-    "concurrent_sessions_peak",
-    "corpus_curation_report",
-    "customer_spend_deciles",
-    "daily_active_users",
-    "dedup_exact",
-    "doc_bpe_token_stats",
-    "doc_fingerprint",
-    "doc_lang_id",
-    "doc_pii_scrub",
-    "doc_sample_stratified",
-    "embedding_kmeans",
-    "engagement_spend_correlation",
-    "engagement_vs_spend",
-    "event_type_pivot",
-    "events_gap_filled_hourly",
-    "events_props_parse",
-    "events_sliding_2h",
-    "events_tumbling_hourly",
-    "gen_revenue_by_category",
-    "international_revenue",
-    "nested_order_items",
-    "order_cart_map",
-    "orders_status_priority_cube",
-    "pairs_via_hof",
-    "pricing_summary_sparksql",
-    "purchase_last_click_matched",
-    "revenue_by_brand_salted",
-    "revenue_by_brand_sparksql",
-    "segment_counts",
-    "top_order_per_customer",
-    "top_spenders",
-    "user_events_lookup",
-    "user_rolling_7d_spend",
-    "user_spend_salted",
-    "zone_roundtrip_daily",
-    # -- r5-green backfill (smooths round 8's forced load), heaviest
-    #    shapes first
-    "dedup_overlap_pairs",
-    "dedup_incremental",
-    "part_pagerank",
-    "part_triangle_count",
-    "corpus_pack_bins",
-    # (user_spend and doc_chunk_windows ceded their backfill slots to
-    #  media_avi_frames and media_wav_rms; both are r5-green and due
-    #  r8 — the staleness gate enforces it)
+    # -- new this round: real GIF decode behind the from-scratch LZW
+    #    compressor round-trip; SCD2 validity intervals; MG sketch
+    #    acceptance
+    "media_gif_pixels",
+    "customer_status_scd2",
+    "frequent_items_mg",
+    # -- staleness gate: latest green row is r5 (42 entries)
+    "conversion_funnel",
+    "corpus_bigram_topk",
+    "corpus_bigram_topk_udtf",
+    "corpus_vocab_topk",
+    "customer_cohort_setops",
+    "customer_order_distribution",
+    "doc_chunk_windows",
+    "doc_length_histogram",
+    "doc_ngram_contamination",
+    "doc_token_stats",
+    "doc_top_keywords",
+    "doc_winnowing_fingerprint",
+    "dormant_high_value_customers",
+    "embedding_random_projection",
+    "embedding_scalar_quantize",
+    "events_jsonl_source_scan",
+    "events_props_variant",
+    "large_volume_customers",
+    "late_shipments_by_priority",
+    "media_wav_meta",
+    "nation_trade_volume",
+    "order_item_stats",
+    "order_priority_returns",
+    "orders_grouping_sets",
+    "product_popularity",
+    "promo_disjunctive_revenue",
+    "promo_revenue_share",
+    "regional_supplier_volume",
+    "returned_item_customers",
+    "revenue_rollup",
+    "segment_purchasing_power",
+    "shipping_priority",
+    "small_order_revenue",
+    "supplier_count_by_part",
+    "top_customers_top5",
+    "top_event_type_per_user",
+    "top_order_per_customer_agg",
+    "top_orders_lateral",
+    "top_supplier_by_revenue",
+    "user_engagement",
+    "user_spend",
+    "weekly_retention",
+    # -- r6-green backfill (smooths round 9's forced load), heaviest
+    #    bench shapes first — includes the r7 dedup drift pair
+    "dedup_jaccard_pairs",
+    "dedup_minhash_lsh",
+    "also_bought_pairs",
+    "ann_ivf",
+    "revenue_by_brand",
     # ---- driver's 50-entry window ends here ----
 )
 

@@ -688,6 +688,98 @@ ORDER BY media_id, frame_idx
 """
 
 
+def media_gif_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode end to end — the fourth decode-family member
+    next to `media_wav_rms` (PCM16), `media_png_pixels` (zlib inflate
+    + unfilter) and `media_avi_frames` (RIFF/DIB): per doc, a complete
+    GIF87a — logical screen descriptor, 64-entry global color table,
+    one non-interlaced frame whose index stream is LZW-COMPRESSED by
+    the from-scratch encoder (`operators.multimodal.lzw_encode_gif`,
+    string-table build with variable-width LSB-first emission) — is
+    synthesized from a deterministic per-(row,col) index formula, then
+    DECODED by the independently-written LZW decompressor
+    (`gif_pixel_stats`: prefix-chain table replay, KwKwK case, width
+    growth) into exact integer per-channel sums and index extrema.
+
+    Unlike the WAV/PNG/AVI writers, variable-width LZW emission is
+    inherently sequential (each code's width depends on the table size
+    at that instant), so the ENCODER runs in an Arrow `mapInPandas`
+    stage rather than column expressions; one `_spread` exchange feeds
+    both Arrow hops (encode chains straight into decode with
+    `pre_spread=False` — no second shuffle).
+
+    The DuckDB oracle never touches bytes: it re-derives every stat
+    from the index/palette formulas, so a hash match proves compressor
+    and decompressor agree pixel-for-pixel through a real container.
+    Scale: map-only synthesis, two pipelined Arrow hops, per-file
+    stats; no shuffle after the spread until the output sort."""
+    from ..operators.multimodal import _spread, encode_gif, gif_pixel_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    params = _spread(
+        docs.select(F.col("doc_id").alias("media_id")), "media_id"
+    )
+
+    def encode(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            ids, payloads = [], []
+            pal_i = np.arange(64)
+            palette = np.stack(
+                [
+                    (pal_i * 5 + 1) % 256,
+                    (pal_i * 7 + 3) % 256,
+                    (pal_i * 11 + 5) % 256,
+                ],
+                axis=1,
+            ).astype(np.uint8)
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h = mid % 7 + 4, mid % 5 + 3
+                r = np.arange(h).reshape(-1, 1)
+                c = np.arange(w).reshape(1, -1)
+                idx = (mid * 13 + r * 5 + c * 3) % 64
+                ids.append(mid)
+                payloads.append(encode_gif(idx, palette, min_code_size=6))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    synth = params.mapInPandas(encode, schema="media_id long, payload binary")
+    return gif_pixel_stats(synth, pre_spread=False).orderBy("media_id")
+
+
+MEDIA_GIF_PIXELS_SQL = """
+WITH d AS (
+  SELECT doc_id AS media_id, doc_id % 7 + 4 AS w, doc_id % 5 + 3 AS h
+  FROM documents
+),
+rc AS (SELECT media_id, w, h, unnest(range(0, h)) AS r FROM d),
+p  AS (SELECT media_id, w, h, r, unnest(range(0, w)) AS c FROM rc),
+v  AS (
+  SELECT media_id, w, h, (media_id * 13 + r * 5 + c * 3) % 64 AS idx
+  FROM p
+)
+SELECT media_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(count(*) AS BIGINT) AS n_pixels,
+       CAST(sum((idx * 5 + 1) % 256) AS BIGINT) AS sum_r,
+       CAST(sum((idx * 7 + 3) % 256) AS BIGINT) AS sum_g,
+       CAST(sum((idx * 11 + 5) % 256) AS BIGINT) AS sum_b,
+       CAST(min(idx) AS BIGINT) AS idx_min,
+       CAST(max(idx) AS BIGINT) AS idx_max
+FROM v
+GROUP BY media_id, w, h
+ORDER BY media_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "binary_meta": QuerySpec(binary_meta, BINARY_META_SQL),
     "media_wav_meta": QuerySpec(media_wav_meta, MEDIA_WAV_META_SQL),
@@ -697,4 +789,5 @@ QUERIES: dict[str, QuerySpec] = {
     "media_wav_rms": QuerySpec(media_wav_rms, MEDIA_WAV_RMS_SQL),
     "media_png_pixels": QuerySpec(media_png_pixels, MEDIA_PNG_PIXELS_SQL),
     "media_avi_frames": QuerySpec(media_avi_frames, MEDIA_AVI_FRAMES_SQL),
+    "media_gif_pixels": QuerySpec(media_gif_pixels, MEDIA_GIF_PIXELS_SQL),
 }

@@ -879,6 +879,158 @@ ORDER BY user_id, run_id
 """
 
 
+def customer_status_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD collapse over a change log (`operators.scd2`):
+    each customer's order stream, ordered by (o_orderdate, o_orderkey),
+    is treated as observations of a 2-attribute state
+    (o_orderstatus, o_orderpriority); the operator collapses maximal
+    unchanged periods into validity intervals — valid_from / valid_to
+    (exclusive, NULL while current) / is_current / n_observations —
+    the warehouse pattern that, at training-data scale, tracks
+    document-license and label revisions for cutoff-dated corpora.
+
+    The MULTI-column change predicate is what `user_event_runs`
+    (single-value gaps-and-islands) doesn't exercise: a version breaks
+    when EITHER attribute moves, via null-safe lag comparison.
+
+    Scale (pinned in tests/test_scd2.py): the change-flag window, the
+    version numbering, and the collapse aggregate all share ONE
+    partitioning (o_custkey) — a single shuffle for the heavy pass;
+    the valid_to lead() runs on the collapsed (one row per version)
+    frame. Deterministic: o_orderkey is unique, so ordering ties are
+    broken identically on both engines."""
+    from ..operators.scd2 import scd2_collapse
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        "o_orderstatus", "o_orderpriority",
+    )
+    out = scd2_collapse(
+        orders,
+        key_cols=["o_custkey"],
+        ts_col="o_orderdate",
+        attr_cols=["o_orderstatus", "o_orderpriority"],
+        tiebreak_col="o_orderkey",
+    )
+    return out.select(
+        "o_custkey",
+        "version",
+        "o_orderstatus",
+        "o_orderpriority",
+        "valid_from",
+        "valid_to",
+        "is_current",
+        "n_observations",
+    ).orderBy("o_custkey", "version")
+
+
+CUSTOMER_STATUS_SCD2_SQL = """
+WITH flagged AS (
+  SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus, o_orderpriority,
+         CASE WHEN row_number() OVER w = 1
+                   OR lag(o_orderstatus) OVER w IS DISTINCT FROM o_orderstatus
+                   OR lag(o_orderpriority) OVER w IS DISTINCT FROM o_orderpriority
+              THEN 1 ELSE 0 END AS chg
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+), numbered AS (
+  SELECT *, CAST(sum(chg) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS version
+  FROM flagged
+), coll AS (
+  SELECT o_custkey, version, o_orderstatus, o_orderpriority,
+         min(o_orderdate) AS valid_from, count(*) AS n_observations
+  FROM numbered
+  GROUP BY o_custkey, version, o_orderstatus, o_orderpriority
+)
+SELECT o_custkey, version, o_orderstatus, o_orderpriority, valid_from,
+       lead(valid_from) OVER wv AS valid_to,
+       (lead(valid_from) OVER wv) IS NULL AS is_current,
+       n_observations
+FROM coll
+WINDOW wv AS (PARTITION BY o_custkey ORDER BY version)
+ORDER BY o_custkey, version
+"""
+
+
+def frequent_event_types_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters (`operators.sketches.
+    frequent_items_mg`) with a graded ACCEPTANCE — the third sketch
+    family member next to the HLL distinct bound and the KLL/GK
+    quantile rank-interval: at 100 TB, exact top-k over a
+    high-cardinality column shuffles the whole key space, while MG
+    merges capacity-bounded per-partition summaries (the shuffle
+    carries <= capacity rows per partition, never raw keys).
+
+    The REPORTED set depends on partition boundaries, so the graded
+    output is the sketch's partition-independent CONTRACT, judged on
+    the deterministic guaranteed-heavy set (true_count > n/(cap+1)):
+    each such item must be reported (true_count > n/(cap+1) >= D, the
+    total decremented mass, forces survival), its bounds must bracket
+    the true count, and `all_reported_bounds_hold` asserts
+    lower <= true <= upper over EVERY reported item (the exact
+    groupBy here exists only to judge the sketch — the production
+    plan at scale is `frequent_items_mg` alone). The DuckDB oracle
+    computes the same guaranteed-heavy set exactly and asserts every
+    acceptance column TRUE; capacity (4) sits below the event-type
+    cardinality (5), so decrements REALLY happen in every partition —
+    the bounds are exercised, not vacuous."""
+    from ..operators.sketches import frequent_items_mg
+
+    cap = 4
+    ev = load_table(spark, sf_dir, "events")
+    reported = frequent_items_mg(
+        ev.select("event_type"), "event_type", capacity=cap
+    )
+    exact = ev.groupBy(F.col("event_type").alias("item")).agg(
+        F.count(F.lit(1)).alias("true_cnt")
+    )
+    n_total = ev.agg(F.count(F.lit(1)).alias("n"))
+    joined = exact.join(reported, "item", "left")
+    bounds_ok = joined.agg(
+        F.coalesce(
+            F.bool_and(
+                F.when(
+                    F.col("count_lower").isNotNull(),
+                    (F.col("count_lower") <= F.col("true_cnt"))
+                    & (F.col("true_cnt") <= F.col("count_upper")),
+                )
+            ),
+            F.lit(True),
+        ).alias("all_reported_bounds_hold")
+    )
+    heavy = joined.crossJoin(F.broadcast(n_total)).filter(
+        F.col("true_cnt") > F.col("n") / (cap + 1)
+    )
+    return (
+        heavy.crossJoin(F.broadcast(bounds_ok))
+        .select(
+            "item",
+            F.col("count_lower").isNotNull().alias("is_reported"),
+            (F.col("count_lower") <= F.col("true_cnt")).alias("lower_le_true"),
+            (F.col("true_cnt") <= F.col("count_upper")).alias("true_le_upper"),
+            "all_reported_bounds_hold",
+        )
+        .orderBy("item")
+    )
+
+
+FREQUENT_ITEMS_MG_SQL = """
+WITH tot AS (SELECT count(*) AS n FROM events),
+ex AS (SELECT event_type AS item, count(*) AS c FROM events GROUP BY event_type)
+SELECT item,
+       TRUE AS is_reported,
+       TRUE AS lower_le_true,
+       TRUE AS true_le_upper,
+       TRUE AS all_reported_bounds_hold
+FROM ex, tot
+WHERE c > n / 5.0
+ORDER BY item
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "top_order_per_customer": QuerySpec(
         top_order_per_customer, TOP_ORDER_PER_CUSTOMER_SQL
@@ -924,4 +1076,10 @@ QUERIES: dict[str, QuerySpec] = {
         session_stats_per_user, SESSION_STATS_PER_USER_SQL
     ),
     "user_event_runs": QuerySpec(user_event_runs, USER_EVENT_RUNS_SQL),
+    "customer_status_scd2": QuerySpec(
+        customer_status_scd2, CUSTOMER_STATUS_SCD2_SQL
+    ),
+    "frequent_items_mg": QuerySpec(
+        frequent_event_types_mg, FREQUENT_ITEMS_MG_SQL
+    ),
 }

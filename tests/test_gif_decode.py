@@ -1,13 +1,15 @@
-"""gif_pixel_stats decodes REAL GIFs: the encoder here is a genuine
-LZW COMPRESSOR (string-table build, variable-width code emission,
-12-bit cap with CLEAR resets) written independently of the decoder's
-table reconstruction, so round-trip agreement proves the decompression
-algorithm — including the KwKwK case and width growth — not just byte
-shuffling. Container corruption tests pin the validator behavior."""
+"""gif_pixel_stats decodes REAL GIFs: the encoder (now hosted in
+operators/multimodal.py as `lzw_encode_gif`/`encode_gif` so the
+`media_gif_pixels` registry query can synthesize payloads) is a
+genuine LZW COMPRESSOR (string-table build, variable-width code
+emission, 12-bit cap with CLEAR resets) written independently of the
+decoder's table reconstruction, so round-trip agreement proves the
+decompression algorithm — including the KwKwK case and width growth —
+not just byte shuffling. Container corruption tests pin the validator
+behavior."""
 
 from __future__ import annotations
 
-import struct
 
 import numpy as np
 import pytest
@@ -17,75 +19,12 @@ from big_data_analytics_final_project_spark.operators.multimodal import (
     decode_gif_frame,
     gif_pixel_stats,
 )
-
-
-def lzw_encode(indices: list[int], min_code_size: int) -> bytes:
-    """Real GIF-variant LZW compression, LSB-first packing."""
-    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
-    out_bits: list[tuple[int, int]] = []  # (code, width)
-    width = min_code_size + 1
-
-    def fresh():
-        return {(i,): i for i in range(clear)}
-
-    table = fresh()
-    next_code = end + 1
-    out_bits.append((clear, width))
-    prefix: tuple[int, ...] = ()
-    for sym in indices:
-        cand = prefix + (sym,)
-        if cand in table:
-            prefix = cand
-            continue
-        out_bits.append((table[prefix], width))
-        if next_code < 4096:
-            table[cand] = next_code
-            # the encoder grows the width AFTER assigning 2^width - 1
-            if next_code == (1 << width) and width < 12:
-                width += 1
-            next_code += 1
-        else:
-            out_bits.append((clear, width))
-            table = fresh()
-            width = min_code_size + 1
-            next_code = end + 1
-        prefix = (sym,)
-    if prefix:
-        out_bits.append((table[prefix], width))
-    out_bits.append((end, width))
-    acc = bits = 0
-    data = bytearray()
-    for code, w in out_bits:
-        acc |= code << bits
-        bits += w
-        while bits >= 8:
-            data.append(acc & 0xFF)
-            acc >>= 8
-            bits -= 8
-    if bits:
-        data.append(acc & 0xFF)
-    return bytes(data)
-
-
-def write_gif(idx: np.ndarray, palette: np.ndarray, min_code_size: int = 8) -> bytes:
-    """Minimal spec-correct GIF87a: logical screen + global color
-    table + one non-interlaced full-frame image."""
-    h, w = idx.shape
-    n = len(palette)
-    assert n & (n - 1) == 0 and n >= 2
-    packed = 0x80 | (n.bit_length() - 2)  # GCT flag + size bits
-    out = bytearray(b"GIF87a")
-    out += struct.pack("<HHBBB", w, h, packed, 0, 0)
-    out += palette.astype(np.uint8).tobytes()
-    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
-    out.append(min_code_size)
-    data = lzw_encode([int(v) for v in idx.reshape(-1)], min_code_size)
-    for i in range(0, len(data), 255):
-        block = data[i : i + 255]
-        out.append(len(block))
-        out += block
-    out += b"\x00\x3b"
-    return bytes(out)
+from big_data_analytics_final_project_spark.operators.multimodal import (
+    encode_gif as write_gif,
+)
+from big_data_analytics_final_project_spark.operators.multimodal import (
+    lzw_encode_gif as lzw_encode,
+)
 
 
 def _stats(spark, payload: bytes):
