@@ -122,3 +122,101 @@ def lint_registry(spark, sf_dir: str, names=None) -> list[LintFinding]:
             continue
         findings.extend(lint_query(name, df))
     return findings
+
+# --- driver-materialization lint (round-7 verdict #5) -----------------
+#
+# `.collect()` and friends are invisible to the plan checks above: they
+# run at query BUILD time, on the driver, before any physical plan is
+# formatted — yet an unbounded one is the fastest way to turn a
+# distributed operator into a driver-side loop. Policy: every
+# materialization site in package source must be AGGREGATE-BOUNDED
+# (scalars, counters, k x d centroids — never data-sized rows) and
+# carry a reason here. Keyed by (file, enclosing function), not line
+# number, so refactors don't silently rotate entries.
+
+_MATERIALIZERS = frozenset(
+    {"collect", "toPandas", "head", "first", "toLocalIterator"}
+)
+
+COLLECT_ALLOW: dict[tuple[str, str], str] = {
+    ("operators/kmeans.py", "kmeans_assign"): (
+        "Lloyd's rounds collect only k seed rows + k*d averaged"
+        " centroid components per iteration (aggregate-bounded, never"
+        " data-sized); the corpus is persisted and scanned distributed"
+        " — the MLlib iteration pattern"
+    ),
+    ("sources/__init__.py", "read_json_zone_with_skips"): (
+        "ONE aggregate row (total + skipped counts) collected to"
+        " surface the loader's ingest/skip counters, the reference's"
+        " load-telemetry contract"
+    ),
+    ("queries/maintenance.py", "zone_roundtrip_daily"): (
+        "ONE scalar (max(day)) picks the incremental-leg cutoff before"
+        " the write/merge/read cycle"
+    ),
+}
+
+
+@dataclass
+class CollectFinding:
+    file: str
+    function: str
+    line: int
+    call: str
+    allowed: bool
+    reason: str | None
+
+
+def lint_collect_sites(package_root: str | None = None) -> list[CollectFinding]:
+    """AST-scan every package source file for driver-materialization
+    calls (`collect`/`toPandas`/`head`/`first`/`toLocalIterator`) and
+    check each against COLLECT_ALLOW. Pure source analysis — no Spark
+    session. Pandas `.head()` inside Arrow closures would surface here
+    too; that's intended — a human adds the reasoned allowlist row."""
+    import ast
+    import os
+
+    if package_root is None:
+        package_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    findings: list[CollectFinding] = []
+    for dirpath, _dirs, files in os.walk(package_root):
+        for fn in sorted(files):
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            rel = os.path.relpath(path, package_root).replace(os.sep, "/")
+            tree = ast.parse(open(path).read())
+            stack: list[str] = []
+
+            class _V(ast.NodeVisitor):
+                def visit_FunctionDef(self, node):
+                    stack.append(node.name)
+                    self.generic_visit(node)
+                    stack.pop()
+
+                visit_AsyncFunctionDef = visit_FunctionDef
+
+                def visit_Call(self, node):
+                    f = node.func
+                    if (
+                        isinstance(f, ast.Attribute)
+                        and f.attr in _MATERIALIZERS
+                    ):
+                        func = stack[0] if stack else "<module>"
+                        reason = COLLECT_ALLOW.get((rel, func))
+                        findings.append(
+                            CollectFinding(
+                                file=rel,
+                                function=func,
+                                line=node.lineno,
+                                call=f.attr,
+                                allowed=reason is not None,
+                                reason=reason,
+                            )
+                        )
+                    self.generic_visit(node)
+
+            _V().visit(tree)
+    return findings
+

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from big_data_analytics_final_project_spark.plans.lint import (
     ALLOW,
+    COLLECT_ALLOW,
+    lint_collect_sites,
     lint_registry,
 )
 from big_data_analytics_final_project_spark.queries import all_queries
@@ -35,3 +37,23 @@ def test_allowlist_entries_still_needed(spark):
 
 def test_allowlist_names_are_registered():
     assert set(ALLOW) <= set(all_queries())
+
+
+def test_no_unallowlisted_driver_materialization():
+    """Every `.collect()`/`.toPandas()`/`.head()`/`.first()` site in
+    package source must carry an aggregate-boundedness reason in
+    COLLECT_ALLOW — the plan linter can't see these (they run at build
+    time on the driver), and an unbounded one is how a distributed
+    operator degrades into a driver-side loop (round-7 verdict #5)."""
+    findings = lint_collect_sites()
+    bad = [f for f in findings if not f.allowed]
+    assert not bad, [(f.file, f.function, f.line, f.call) for f in bad]
+
+
+def test_collect_allowlist_entries_still_needed():
+    """A stale COLLECT_ALLOW row would silently pre-approve a future
+    materialization added to that (file, function)."""
+    hit = {(f.file, f.function) for f in lint_collect_sites() if f.allowed}
+    assert hit == set(COLLECT_ALLOW), (
+        f"stale entries: {set(COLLECT_ALLOW) - hit}"
+    )
