@@ -63,6 +63,13 @@ ALLOW: dict[str, dict[str, str]] = {
             " scheme; the per-customer ranking itself is distributed"
         )
     },
+    "events_hourly_anomaly": {
+        "single_task_window": (
+            "trailing 24-bucket stats over the HOURLY frame — one row"
+            " per hour (~10^5 rows/decade), never event-sized; the"
+            " event-level aggregation below is a distributed hash agg"
+        )
+    },
     "events_gap_filled_hourly": {
         "single_task_window": (
             "forward-fill over the generated hour SPINE — one row per"
@@ -202,6 +209,14 @@ def lint_collect_sites(package_root: str | None = None) -> list[CollectFinding]:
                     if (
                         isinstance(f, ast.Attribute)
                         and f.attr in _MATERIALIZERS
+                        # F.first(...) is the AGGREGATE function on the
+                        # pyspark.sql.functions alias, not a driver
+                        # materialization — skip calls on the module
+                        # alias itself
+                        and not (
+                            isinstance(f.value, ast.Name)
+                            and f.value.id == "F"
+                        )
                     ):
                         func = stack[0] if stack else "<module>"
                         reason = COLLECT_ALLOW.get((rel, func))

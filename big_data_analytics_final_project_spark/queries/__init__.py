@@ -48,10 +48,11 @@ class QuerySpec:
 # slots, heaviest/flagship shapes first, which smooths the next
 # round's forced load.
 #
-# Round-8 instance: (1) the 3 new queries (GIF LZW round-trip decode,
-# type-2 SCD collapse, Misra-Gries heavy-hitter acceptance); (2) the
+# Round-8 instance: (1) the 5 new queries (GIF LZW round-trip decode,
+# type-2 SCD collapse, Misra-Gries heavy-hitter acceptance, and the
+# new drift family: hourly z-score anomalies + per-segment PSI); (2) the
 # 42 entries whose latest green is r5 (the full forced set — round
-# 7's window held none of them, so they all come due at once); (3) 5
+# 7's window held none of them, so they all come due at once); (3) 3
 # r6-green backfill slots spent on the heaviest bench shapes (the
 # dedup pair that drifted in r7 gets re-graded on purpose).
 GRADING_PRIORITY: tuple[str, ...] = (
@@ -61,6 +62,12 @@ GRADING_PRIORITY: tuple[str, ...] = (
     "media_gif_pixels",
     "customer_status_scd2",
     "frequent_items_mg",
+    # -- new this round: observability/drift family (trailing z-score
+    #    volume anomalies; per-segment PSI distribution drift) — takes
+    #    two of the backfill slots (schedule stays satisfiable: r9
+    #    forced 42 + 5 budget = 47)
+    "events_hourly_anomaly",
+    "segment_value_psi",
     # -- staleness gate: latest green row is r5 (42 entries)
     "conversion_funnel",
     "corpus_bigram_topk",
@@ -109,8 +116,6 @@ GRADING_PRIORITY: tuple[str, ...] = (
     "dedup_jaccard_pairs",
     "dedup_minhash_lsh",
     "also_bought_pairs",
-    "ann_ivf",
-    "revenue_by_brand",
     # ---- driver's 50-entry window ends here ----
 )
 
@@ -120,6 +125,7 @@ def all_queries() -> dict[str, QuerySpec]:
         batch,
         curation,
         dedup,
+        drift,
         generated,
         integrated,
         json_nested,
@@ -145,6 +151,7 @@ def all_queries() -> dict[str, QuerySpec]:
         maintenance,
         curation,
         quality,
+        drift,
     ):
         for name, spec in mod.QUERIES.items():
             if name in merged:

@@ -1,0 +1,306 @@
+"""Observability / drift-detection family: the monitoring pass a
+production data pipeline runs BESIDE the analytics — "did this hour's
+volume spike?" and "has the value distribution shifted since the
+reference period?". The reference has nothing like it (its pipeline is
+batch one-shot); at 100 TB training-data scale these are the checks
+that catch a broken upstream crawler or a re-weighted source mix
+before a corpus ships (complementing the row-level checks in
+queries/quality.py — FK integrity, rollup reconciliation — with
+DISTRIBUTION-level ones).
+
+Cross-engine exactness discipline (the repo's standing rule): every
+statistic is accumulated in exact integer/decimal arithmetic — window
+sums of counts, integer-micro value buckets, the `_QLOG_LUT`
+quantized log2 from queries/text.py — and doubles appear only in a
+final, fixed-order IEEE expression both engines evaluate identically
+(int→double casts and +,-,*,/,sqrt are all correctly rounded, so
+identical inputs give identical bits; no libm transcendentals).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from . import QuerySpec
+from .text import _QLOG_LUT, _QLOG_SCALE, _qlog2_nano, _qlog2_nano_sql
+
+_WARMUP = 12  # trailing buckets required before a z-score is judged
+_Z_THRESH = 3.0
+_N_BINS = 10
+_PSI_DRIFT_BITS = 0.25  # ~0.17 nats; conventional "action" PSI ~ 0.25
+
+
+def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window z-score anomaly detection on hourly event
+    volume: each hour's count is judged against the mean/stddev of the
+    24 trailing hourly buckets (self-excluded — ROWS BETWEEN 24
+    PRECEDING AND 1 PRECEDING — so a spike can't dilute its own
+    baseline), with a 12-bucket warm-up before anything is flagged.
+
+    Exactness: the trailing sum and sum-of-squares are BIGINT window
+    aggregates over exact counts; variance comes from the integer
+    numerator n·Σx² − (Σx)² (no float cancellation), and the closing
+    mean/z expressions are the same fixed-order IEEE double ops on
+    both engines, so even the doubles hash-match.
+
+    Scale: the event-level aggregation is a distributed hash agg (one
+    shuffle); the trailing window then runs over the HOURLY frame —
+    one row per hour, ~10^5 rows per decade, never event-sized — the
+    same bounded-frame two-level pattern as `events_gap_filled_hourly`
+    (allowlisted in plans/lint.py with that reason)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+
+    w = Window.orderBy("hour").rowsBetween(-24, -1)
+    n = F.col("n_events")
+    s = F.sum("n_events").over(w).alias("s")
+    sq = F.sum(n * n).over(w).alias("sq")
+    cnt = F.count("n_events").over(w).alias("n_trail")
+    t = hourly.select("hour", "n_events", cnt, s, sq)
+
+    var_num = F.col("n_trail") * F.col("sq") - F.col("s") * F.col("s")
+    mean = F.when(
+        F.col("n_trail") > 0,
+        F.col("s").cast("double") / F.col("n_trail"),
+    )
+    z = F.when(
+        (F.col("n_trail") >= _WARMUP) & (var_num > 0),
+        (n.cast("double") - F.col("s").cast("double") / F.col("n_trail"))
+        / F.sqrt(
+            var_num.cast("double")
+            / (F.col("n_trail") * F.col("n_trail")).cast("double")
+        ),
+    )
+    return t.select(
+        "hour",
+        "n_events",
+        "n_trail",
+        mean.alias("trail_mean"),
+        z.alias("z"),
+        F.coalesce(F.abs(z) > _Z_THRESH, F.lit(False)).alias("is_anomaly"),
+    ).orderBy("hour")
+
+
+EVENTS_HOURLY_ANOMALY_SQL = f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, count(*) AS n_events
+  FROM events GROUP BY 1
+),
+t AS (
+  SELECT hour, n_events,
+         count(n_events) OVER w AS n_trail,
+         CAST(coalesce(sum(n_events) OVER w, 0) AS BIGINT) AS s,
+         CAST(coalesce(sum(n_events * n_events) OVER w, 0) AS BIGINT) AS sq
+  FROM hourly
+  WINDOW w AS (ORDER BY hour ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT CAST(hour AS TIMESTAMP) AS hour,
+       n_events,
+       n_trail,
+       CASE WHEN n_trail > 0
+            THEN CAST(s AS DOUBLE) / n_trail END AS trail_mean,
+       CASE WHEN n_trail >= {_WARMUP} AND (n_trail * sq - s * s) > 0
+            THEN (CAST(n_events AS DOUBLE) - CAST(s AS DOUBLE) / n_trail)
+                 / sqrt(CAST(n_trail * sq - s * s AS DOUBLE)
+                        / CAST(n_trail * n_trail AS DOUBLE))
+       END AS z,
+       coalesce(abs(
+         CASE WHEN n_trail >= {_WARMUP} AND (n_trail * sq - s * s) > 0
+              THEN (CAST(n_events AS DOUBLE) - CAST(s AS DOUBLE) / n_trail)
+                   / sqrt(CAST(n_trail * sq - s * s AS DOUBLE)
+                          / CAST(n_trail * n_trail AS DOUBLE))
+         END) > {_Z_THRESH}, FALSE) AS is_anomaly
+FROM t
+ORDER BY hour
+"""
+
+
+def segment_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the `value` distribution per
+    event type, reference period (first half of the time range by day)
+    vs current (second half) — the standard drift score a feature
+    store / corpus-mix monitor computes per segment per release:
+    PSI = Σ_bins (p_i − q_i)·log(p_i/q_i), here in BITS (log2).
+
+    Construction, kept engine-exact end to end:
+    - the split day and the value range come from ONE scalar aggregate
+      (broadcast back — the benign 1-row attach);
+    - values bucket into {_N_BINS} equal-width bins by INTEGER
+      arithmetic on micro-units (floor(v·1e6+0.5), then integer
+      div — no float boundary can disagree);
+    - every (type, bin) gets +1 smoothing (so empty bins are defined),
+      over a generated full type×bin grid;
+    - log2(p_i/q_i) = qlog2(a_i'·B') − qlog2(b_i'·A') via the shared
+      `_QLOG_LUT` literal (queries/text.py) — no libm on either
+      engine; each PSI term is a DECIMAL(38,0) product of exact
+      integers, so the sum is order-independent;
+    - the closing normalization is one fixed-order double expression.
+
+    Scale: one events scan → tiny scalar agg + one (type, bin) hash
+    agg ({_N_BINS}·|types| rows); everything after the aggregate is
+    constant-sized. The per-type totals ride a window over the
+    (type, bin) frame — bounded rows, partitioned by type."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"),
+        F.floor(F.col("value") * 1e6 + F.lit(0.5))
+        .cast("bigint")
+        .alias("vmicro"),
+    )
+    bounds = ev.agg(
+        F.min("day").alias("d0"),
+        F.max("day").alias("d1"),
+        F.min("vmicro").alias("v0"),
+        F.max("vmicro").alias("v1"),
+    ).select(
+        F.expr("date_add(d0, CAST(datediff(d1, d0) div 2 AS INT))").alias(
+            "mid_day"
+        ),
+        "v0",
+        "v1",
+    )
+    b = ev.crossJoin(F.broadcast(bounds)).selectExpr(
+        "event_type",
+        "day < mid_day AS is_ref",
+        # `div` = exact integer division (DuckDB `//`) — a double `/`
+        # could round across a bin boundary
+        f"least(((vmicro - v0) * {_N_BINS}) div (v1 - v0 + 1), "
+        f"{_N_BINS - 1}) AS bin",
+    )
+    counts = b.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("a"),
+        F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("bb"),
+    )
+    grid = (
+        counts.select("event_type")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                ev.sparkSession.range(_N_BINS).select(
+                    F.col("id").alias("bin")
+                )
+            )
+        )
+    )
+    full = (
+        grid.join(counts, ["event_type", "bin"], "left")
+        .select(
+            "event_type",
+            "bin",
+            (F.coalesce(F.col("a"), F.lit(0)) + 1).alias("a1"),
+            (F.coalesce(F.col("bb"), F.lit(0)) + 1).alias("b1"),
+        )
+    )
+    # totals are named "ta"/"tb", NOT "A1"/"B1": Spark's DEFAULT
+    # case-insensitive resolution would make withColumn("A1", ...)
+    # silently REPLACE column a1
+    wt = Window.partitionBy("event_type")
+    full = full.withColumn("ta", F.sum("a1").over(wt)).withColumn(
+        "tb", F.sum("b1").over(wt)
+    )
+    # PSI·ta·tb·1e9 = Σ (a1·tb − b1·ta)·(qlog2(a1·tb) − qlog2(b1·ta)),
+    # every factor an exact integer; DECIMAL(38,0) keeps the product
+    # exact at any graded scale
+    dec = "decimal(19,0)"
+    term = (
+        (F.col("a1") * F.col("tb") - F.col("b1") * F.col("ta")).cast(dec)
+        * (
+            _qlog2_nano(F.col("a1") * F.col("tb"))
+            - _qlog2_nano(F.col("b1") * F.col("ta"))
+        ).cast(dec)
+    )
+    agg = full.groupBy("event_type").agg(
+        (F.first("ta") - F.lit(_N_BINS)).alias("n_ref"),
+        (F.first("tb") - F.lit(_N_BINS)).alias("n_cur"),
+        F.sum(term).alias("_s"),
+        F.first("ta").alias("_ta"),
+        F.first("tb").alias("_tb"),
+    )
+    psi = F.col("_s").cast("double") / (
+        F.col("_ta").cast("double")
+        * F.col("_tb").cast("double")
+        * F.lit(float(_QLOG_SCALE))
+    )
+    return agg.select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        psi.alias("psi_bits"),
+        (psi > _PSI_DRIFT_BITS).alias("is_drifted"),
+    ).orderBy("event_type")
+
+
+SEGMENT_VALUE_PSI_SQL = f"""
+WITH lut AS (SELECT {_QLOG_LUT} AS l),
+ev AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vmicro
+  FROM events
+),
+bounds AS (
+  SELECT min(day) + CAST(date_diff('day', min(day), max(day)) // 2 AS INT)
+           AS mid_day,
+         min(vmicro) AS v0, max(vmicro) AS v1
+  FROM ev
+),
+b AS (
+  SELECT event_type, day < mid_day AS is_ref,
+         least((vmicro - v0) * {_N_BINS} // (v1 - v0 + 1),
+               {_N_BINS - 1}) AS bin
+  FROM ev CROSS JOIN bounds
+),
+counts AS (
+  SELECT event_type, bin,
+         sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS a,
+         sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS bb
+  FROM b GROUP BY event_type, bin
+),
+grid AS (
+  SELECT event_type, gs.bin
+  FROM (SELECT DISTINCT event_type FROM counts)
+  CROSS JOIN (SELECT unnest(range(0, {_N_BINS})) AS bin) gs
+),
+full_grid AS (
+  SELECT g.event_type, g.bin,
+         coalesce(c.a, 0) + 1 AS a1,
+         coalesce(c.bb, 0) + 1 AS b1
+  FROM grid g LEFT JOIN counts c
+    ON g.event_type = c.event_type AND g.bin = c.bin
+),
+tot AS (
+  SELECT *, sum(a1) OVER (PARTITION BY event_type) AS At,
+            sum(b1) OVER (PARTITION BY event_type) AS Bt
+  FROM full_grid
+),
+agg AS (
+  SELECT event_type,
+         CAST(first(At) - {_N_BINS} AS BIGINT) AS n_ref,
+         CAST(first(Bt) - {_N_BINS} AS BIGINT) AS n_cur,
+         CAST(sum(CAST(a1 * Bt - b1 * At AS HUGEINT)
+                  * CAST({_qlog2_nano_sql("CAST(a1 * Bt AS BIGINT)")}
+                         - {_qlog2_nano_sql("CAST(b1 * At AS BIGINT)")}
+                    AS HUGEINT))
+              AS DOUBLE) AS s,
+         CAST(first(At) AS DOUBLE) AS Ad,
+         CAST(first(Bt) AS DOUBLE) AS Bd
+  FROM tot CROSS JOIN lut
+  GROUP BY event_type
+)
+SELECT event_type, n_ref, n_cur,
+       s / (Ad * Bd * {float(_QLOG_SCALE)}) AS psi_bits,
+       s / (Ad * Bd * {float(_QLOG_SCALE)}) > {_PSI_DRIFT_BITS}
+         AS is_drifted
+FROM agg
+ORDER BY event_type
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "events_hourly_anomaly": QuerySpec(
+        events_hourly_anomaly, EVENTS_HOURLY_ANOMALY_SQL
+    ),
+    "segment_value_psi": QuerySpec(segment_value_psi, SEGMENT_VALUE_PSI_SQL),
+}

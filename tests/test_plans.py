@@ -428,6 +428,22 @@ def test_event_runs_one_partitioning_end_to_end(spark):
     assert count_shuffles(df) <= 2
 
 
+def test_gif_pixels_encode_decode_share_one_spread(spark):
+    """r8 GIF round-trip: one documents scan; the encode Arrow stage
+    and the decode Arrow stage chain in the SAME task set (decode is
+    built with pre_spread=False), so the exchanges are exactly the
+    designed two — the shared pre-encode spread and the output sort —
+    and the plan carries TWO MapInPandas hops with no exchange
+    between them."""
+    df = _df(spark, "media_gif_pixels")
+    plan = physical_plan(df)
+    assert count_scans(df) == 1
+    assert count_shuffles(df) <= 2
+    import re
+
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 2
+
+
 def test_avi_frames_decode_parallelized(spark):
     """r7 AVI decode: one documents scan; exchanges are exactly the
     designed two — the pre-decode spread (a tiny file arrives as one
