@@ -175,6 +175,15 @@ HEADLINE = [
     "media_avi_frames",
     "order_totals_reconciliation",
     "referential_integrity_audit",
+    # added r8 (totals not comparable to BENCH_r7 on these lines): the
+    # GIF row times the double Arrow hop (LZW encode stage chained
+    # into decode with no second exchange); SCD2 is the heaviest new
+    # window-collapse shape; the drift rows time the new observability
+    # family (bounded-frame trailing stats; PSI's scan+tiny-agg)
+    "media_gif_pixels",
+    "customer_status_scd2",
+    "events_hourly_anomaly",
+    "segment_value_psi",
 ]
 
 

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..sources import load_table
 from . import QuerySpec
-from .text import _QLOG_LUT, _QLOG_SCALE, _qlog2_nano, _qlog2_nano_sql
+from .text import _QLOG_BITS, _QLOG_LUT, _QLOG_SCALE, _qlog2_nano_sql
 
 _WARMUP = 12  # trailing buckets required before a z-score is judged
 _Z_THRESH = 3.0
@@ -38,6 +38,8 @@ def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     24 trailing hourly buckets (self-excluded — ROWS BETWEEN 24
     PRECEDING AND 1 PRECEDING — so a spike can't dilute its own
     baseline), with a 12-bucket warm-up before anything is flagged.
+    A zero-variance baseline leaves z NULL, but any deviation from a
+    perfectly flat window still flags (infinite-sigma case).
 
     Exactness: the trailing sum and sum-of-squares are BIGINT window
     aggregates over exact counts; variance comes from the integer
@@ -75,13 +77,22 @@ def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_trail") * F.col("n_trail")).cast("double")
         ),
     )
+    # zero-variance baseline: z is undefined (NULL), but ANY deviation
+    # from a perfectly flat trailing window is infinite-sigma — flag it
+    flat_dev = (
+        (F.col("n_trail") >= _WARMUP)
+        & (var_num == 0)
+        & (n * F.col("n_trail") != F.col("s"))
+    )
     return t.select(
         "hour",
         "n_events",
         "n_trail",
         mean.alias("trail_mean"),
         z.alias("z"),
-        F.coalesce(F.abs(z) > _Z_THRESH, F.lit(False)).alias("is_anomaly"),
+        (F.coalesce(F.abs(z) > _Z_THRESH, F.lit(False)) | flat_dev).alias(
+            "is_anomaly"
+        ),
     ).orderBy("hour")
 
 
@@ -113,7 +124,9 @@ SELECT CAST(hour AS TIMESTAMP) AS hour,
               THEN (CAST(n_events AS DOUBLE) - CAST(s AS DOUBLE) / n_trail)
                    / sqrt(CAST(n_trail * sq - s * s AS DOUBLE)
                           / CAST(n_trail * n_trail AS DOUBLE))
-         END) > {_Z_THRESH}, FALSE) AS is_anomaly
+         END) > {_Z_THRESH}, FALSE)
+       OR (n_trail >= {_WARMUP} AND (n_trail * sq - s * s) = 0
+           AND n_events * n_trail != s) AS is_anomaly
 FROM t
 ORDER BY hour
 """
@@ -126,7 +139,11 @@ def segment_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     store / corpus-mix monitor computes per segment per release:
     PSI = Σ_bins (p_i − q_i)·log(p_i/q_i), here in BITS (log2).
 
-    Construction, kept engine-exact end to end:
+    Construction, kept engine-exact end to end (the LUT rides as
+    broadcast DATA — a 1-row array frame, exactly the SQL twin's
+    `lut` CTE — not as an inline literal: four 2047-element literals
+    in the expression tree cost ~4.5s of driver-side Catalyst
+    analysis per build, vs 0.1s of actual execution):
     - the split day and the value range come from ONE scalar aggregate
       (broadcast back — the benign 1-row attach);
     - values bucket into {_N_BINS} equal-width bins by INTEGER
@@ -144,6 +161,19 @@ def segment_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg ({_N_BINS}·|types| rows); everything after the aggregate is
     constant-sized. The per-type totals ride a window over the
     (type, bin) frame — bounded rows, partitioned by type."""
+    def qlog2(c):
+        """round(log2(c)*1e9) for BIGINT c >= 1 — the `_QLOG_LUT`
+        trick (queries/text.py), but indexing the broadcast `_lut`
+        COLUMN instead of inlining the literal at every call site."""
+        sh = F.greatest(
+            F.length(F.bin(c)) - F.lit(_QLOG_BITS), F.lit(0)
+        ).cast("int")
+        v = F.call_function("shiftright", c.cast("bigint"), sh)
+        return F.element_at(F.col("_lut"), v.cast("int")) + sh.cast(
+            "bigint"
+        ) * F.lit(_QLOG_SCALE)
+
+    lut_df = spark.createDataFrame([(_QLOG_LUT,)], "_lut: array<bigint>")
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", F.to_date("ts").alias("day"),
         F.floor(F.col("value") * 1e6 + F.lit(0.5))
@@ -174,32 +204,24 @@ def segment_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("a"),
         F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("bb"),
     )
-    grid = (
-        counts.select("event_type")
-        .distinct()
-        .crossJoin(
-            F.broadcast(
-                ev.sparkSession.range(_N_BINS).select(
-                    F.col("id").alias("bin")
-                )
-            )
-        )
-    )
-    full = (
-        grid.join(counts, ["event_type", "bin"], "left")
-        .select(
-            "event_type",
-            "bin",
-            (F.coalesce(F.col("a"), F.lit(0)) + 1).alias("a1"),
-            (F.coalesce(F.col("bb"), F.lit(0)) + 1).alias("b1"),
-        )
-    )
-    # totals are named "ta"/"tb", NOT "A1"/"B1": Spark's DEFAULT
+    # Empty bins never materialize: a missing bin's smoothed counts are
+    # a1=b1=1, so its PSI term is the CONSTANT (tb−ta)·(qlog2(tb)−
+    # qlog2(ta)) — added analytically, (bins−present)·that, instead of
+    # via a type×bin grid join (which would re-scan the corpus for the
+    # distinct types). Totals likewise fold in the smoothing:
+    # ta = Σa + bins regardless of which bins are present.
+    # (Totals are named "ta"/"tb", NOT "A1"/"B1": Spark's DEFAULT
     # case-insensitive resolution would make withColumn("A1", ...)
-    # silently REPLACE column a1
+    # silently replace a column named a1.)
     wt = Window.partitionBy("event_type")
-    full = full.withColumn("ta", F.sum("a1").over(wt)).withColumn(
-        "tb", F.sum("b1").over(wt)
+    full = (
+        counts.withColumn(
+            "ta", F.sum("a").over(wt) + F.lit(_N_BINS)
+        )
+        .withColumn("tb", F.sum("bb").over(wt) + F.lit(_N_BINS))
+        .withColumn("a1", F.col("a") + 1)
+        .withColumn("b1", F.col("bb") + 1)
+        .crossJoin(F.broadcast(lut_df))
     )
     # PSI·ta·tb·1e9 = Σ (a1·tb − b1·ta)·(qlog2(a1·tb) − qlog2(b1·ta)),
     # every factor an exact integer; DECIMAL(38,0) keeps the product
@@ -208,18 +230,25 @@ def segment_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     term = (
         (F.col("a1") * F.col("tb") - F.col("b1") * F.col("ta")).cast(dec)
         * (
-            _qlog2_nano(F.col("a1") * F.col("tb"))
-            - _qlog2_nano(F.col("b1") * F.col("ta"))
+            qlog2(F.col("a1") * F.col("tb"))
+            - qlog2(F.col("b1") * F.col("ta"))
         ).cast(dec)
     )
     agg = full.groupBy("event_type").agg(
         (F.first("ta") - F.lit(_N_BINS)).alias("n_ref"),
         (F.first("tb") - F.lit(_N_BINS)).alias("n_cur"),
-        F.sum(term).alias("_s"),
+        F.sum(term).alias("_sp"),
+        F.count(F.lit(1)).alias("_present"),
         F.first("ta").alias("_ta"),
         F.first("tb").alias("_tb"),
+    ).crossJoin(F.broadcast(lut_df))
+    missing_term = (
+        ((F.lit(_N_BINS) - F.col("_present")) * (F.col("_tb") - F.col("_ta")))
+        .cast(dec)
+        * (qlog2(F.col("_tb")) - qlog2(F.col("_ta"))).cast(dec)
     )
-    psi = F.col("_s").cast("double") / (
+    total = F.col("_sp") + missing_term
+    psi = total.cast("double") / (
         F.col("_ta").cast("double")
         * F.col("_tb").cast("double")
         * F.lit(float(_QLOG_SCALE))
@@ -258,42 +287,43 @@ counts AS (
          sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS bb
   FROM b GROUP BY event_type, bin
 ),
-grid AS (
-  SELECT event_type, gs.bin
-  FROM (SELECT DISTINCT event_type FROM counts)
-  CROSS JOIN (SELECT unnest(range(0, {_N_BINS})) AS bin) gs
-),
-full_grid AS (
-  SELECT g.event_type, g.bin,
-         coalesce(c.a, 0) + 1 AS a1,
-         coalesce(c.bb, 0) + 1 AS b1
-  FROM grid g LEFT JOIN counts c
-    ON g.event_type = c.event_type AND g.bin = c.bin
-),
 tot AS (
-  SELECT *, sum(a1) OVER (PARTITION BY event_type) AS At,
-            sum(b1) OVER (PARTITION BY event_type) AS Bt
-  FROM full_grid
+  SELECT event_type, bin, a + 1 AS a1, bb + 1 AS b1,
+         CAST(sum(a) OVER (PARTITION BY event_type) + {_N_BINS}
+              AS BIGINT) AS At,
+         CAST(sum(bb) OVER (PARTITION BY event_type) + {_N_BINS}
+              AS BIGINT) AS Bt
+  FROM counts
 ),
 agg AS (
   SELECT event_type,
          CAST(first(At) - {_N_BINS} AS BIGINT) AS n_ref,
          CAST(first(Bt) - {_N_BINS} AS BIGINT) AS n_cur,
-         CAST(sum(CAST(a1 * Bt - b1 * At AS HUGEINT)
-                  * CAST({_qlog2_nano_sql("CAST(a1 * Bt AS BIGINT)")}
-                         - {_qlog2_nano_sql("CAST(b1 * At AS BIGINT)")}
-                    AS HUGEINT))
-              AS DOUBLE) AS s,
-         CAST(first(At) AS DOUBLE) AS Ad,
-         CAST(first(Bt) AS DOUBLE) AS Bd
+         sum(CAST(a1 * Bt - b1 * At AS HUGEINT)
+             * CAST({_qlog2_nano_sql("CAST(a1 * Bt AS BIGINT)")}
+                    - {_qlog2_nano_sql("CAST(b1 * At AS BIGINT)")}
+               AS HUGEINT)) AS sp,
+         count(*) AS present,
+         first(At) AS At1,
+         first(Bt) AS Bt1
   FROM tot CROSS JOIN lut
   GROUP BY event_type
+),
+closed AS (
+  SELECT event_type, n_ref, n_cur,
+         CAST(sp + CAST(({_N_BINS} - present) * (Bt1 - At1) AS HUGEINT)
+                   * CAST({_qlog2_nano_sql("Bt1")}
+                          - {_qlog2_nano_sql("At1")} AS HUGEINT)
+              AS DOUBLE) AS s,
+         CAST(At1 AS DOUBLE) AS Ad,
+         CAST(Bt1 AS DOUBLE) AS Bd
+  FROM agg CROSS JOIN lut
 )
 SELECT event_type, n_ref, n_cur,
        s / (Ad * Bd * {float(_QLOG_SCALE)}) AS psi_bits,
        s / (Ad * Bd * {float(_QLOG_SCALE)}) > {_PSI_DRIFT_BITS}
          AS is_drifted
-FROM agg
+FROM closed
 ORDER BY event_type
 """
 
