@@ -908,6 +908,26 @@ def _qlog2_nano(c: Column) -> Column:
     ) * F.lit(_QLOG_SCALE)
 
 
+def _qlog2_nano_col(c: Column, lut_col: str = "_lut") -> Column:
+    """`_qlog2_nano`, but indexing a broadcast LUT COLUMN instead of
+    inlining the 2047-element literal at the call site — each inline
+    copy costs seconds of driver-side Catalyst analysis per query
+    build (r8 finding, queries/drift.py). Callers attach the LUT once:
+
+        lut_df = spark.createDataFrame([(_QLOG_LUT,)],
+                                       "_lut: array<bigint>")
+        df = df.crossJoin(F.broadcast(lut_df))
+
+    and drop/exclude `_lut` from the output selection."""
+    s = F.greatest(
+        F.length(F.bin(c)) - F.lit(_QLOG_BITS), F.lit(0)
+    ).cast("int")
+    v = F.call_function("shiftright", c.cast("bigint"), s)
+    return F.element_at(F.col(lut_col), v.cast("int")) + s.cast(
+        "bigint"
+    ) * F.lit(_QLOG_SCALE)
+
+
 def _qlog2_nano_sql(c: str) -> str:
     """DuckDB twin of `_qlog2_nano` over the SAME literal list; assumes
     a 1-row CTE `lut(l)` holding it is in scope (cross-joined in)."""

