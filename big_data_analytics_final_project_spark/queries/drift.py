@@ -39,7 +39,10 @@ def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     PRECEDING AND 1 PRECEDING — so a spike can't dilute its own
     baseline), with a 12-bucket warm-up before anything is flagged.
     A zero-variance baseline leaves z NULL, but any deviation from a
-    perfectly flat window still flags (infinite-sigma case).
+    perfectly flat window still flags (infinite-sigma case). Hours
+    with ZERO events never materialize a row (the frame is observed
+    hours, not a calendar spine) — to catch outage-shaped anomalies,
+    compose with the `events_gap_filled_hourly` spine first.
 
     Exactness: the trailing sum and sum-of-squares are BIGINT window
     aggregates over exact counts; variance comes from the integer
