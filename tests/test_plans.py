@@ -428,6 +428,23 @@ def test_event_runs_one_partitioning_end_to_end(spark):
     assert count_shuffles(df) <= 2
 
 
+def test_drift_family_plan_shapes(spark):
+    """r8 drift family: the anomaly query is one distributed hash agg
+    plus the bounded hourly-frame window (2 exchanges, 1 scan); PSI is
+    the bounds scan + the main scan with the totals and LUT attached
+    by BROADCAST (never a shuffle join), and the per-type window rides
+    the tiny (type, bin) frame — partitioned, not global."""
+    df = _df(spark, "events_hourly_anomaly")
+    assert count_scans(df) == 1
+    assert count_shuffles(df) <= 2
+
+    df2 = _df(spark, "segment_value_psi")
+    plan2 = physical_plan(df2)
+    assert count_scans(df2) == 2  # scalar bounds + main
+    assert "BroadcastNestedLoopJoin" in plan2  # 1-row attaches
+    assert "SortMergeJoin" not in plan2
+
+
 def test_gif_pixels_encode_decode_share_one_spread(spark):
     """r8 GIF round-trip: one documents scan; the encode Arrow stage
     and the decode Arrow stage chain in the SAME task set (decode is
