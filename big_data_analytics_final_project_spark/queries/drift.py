@@ -152,8 +152,12 @@ def segment_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     - values bucket into {_N_BINS} equal-width bins by INTEGER
       arithmetic on micro-units (floor(v·1e6+0.5), then integer
       div — no float boundary can disagree);
-    - every (type, bin) gets +1 smoothing (so empty bins are defined),
-      over a generated full type×bin grid;
+    - every (type, bin) gets +1 smoothing (so empty bins are
+      defined); bins that never materialize are folded in analytically
+      (their smoothed term is a per-type constant);
+    - NULL-valued events are excluded up front: a NULL bin row would
+      silently distort the missing-bin fold on BOTH engines (the one
+      failure mode parity can't catch);
     - log2(p_i/q_i) = qlog2(a_i'·B') − qlog2(b_i'·A') via the shared
       `_QLOG_LUT` literal (queries/text.py) — no libm on either
       engine; each PSI term is a DECIMAL(38,0) product of exact
@@ -168,11 +172,15 @@ def segment_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on the driver-side analysis cost of inline literals)
     qlog2 = _qlog2_nano_col
     lut_df = spark.createDataFrame([(_QLOG_LUT,)], "_lut: array<bigint>")
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type", F.to_date("ts").alias("day"),
-        F.floor(F.col("value") * 1e6 + F.lit(0.5))
-        .cast("bigint")
-        .alias("vmicro"),
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type", F.to_date("ts").alias("day"),
+            F.floor(F.col("value") * 1e6 + F.lit(0.5))
+            .cast("bigint")
+            .alias("vmicro"),
+        )
     )
     bounds = ev.agg(
         F.min("day").alias("d0"),
@@ -261,7 +269,7 @@ WITH lut AS (SELECT {_QLOG_LUT} AS l),
 ev AS (
   SELECT event_type, CAST(ts AS DATE) AS day,
          CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vmicro
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ),
 bounds AS (
   SELECT min(day) + CAST(date_diff('day', min(day), max(day)) // 2 AS INT)
@@ -345,14 +353,18 @@ def user_spend_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ((user, day) roll-up, then per-user sums) — at 100 TB the first
     agg is map-side combinable and the second reuses the shuffle;
     nothing is corpus-global."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias(
-            "x"
-        ),
-        F.floor(F.col("value") * 1e6 + F.lit(0.5))
-        .cast("bigint")
-        .alias("vmicro"),
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.datediff(
+                F.to_date("ts"), F.lit("1970-01-01").cast("date")
+            ).alias("x"),
+            F.floor(F.col("value") * 1e6 + F.lit(0.5))
+            .cast("bigint")
+            .alias("vmicro"),
+        )
     )
     daily = ev.groupBy("user_id", "x").agg(
         F.sum("vmicro").alias("y")
@@ -394,7 +406,7 @@ WITH ev AS (
   SELECT user_id,
          date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
          CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vmicro
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ),
 daily AS (
   SELECT user_id, x, CAST(sum(vmicro) AS BIGINT) AS y

@@ -163,3 +163,20 @@ def test_hourly_anomaly_spike_over_flat_baseline(spark, tmp_path):
     # positive there, and steady 30s are within 3 sigma - quiet
     quiet = [h for h, r in rows.items() if r["is_anomaly"] and h != 30]
     assert not quiet, f"false positives at hours {quiet}"
+
+
+def test_psi_excludes_null_values(spark, tmp_path):
+    """NULL-valued events must not reach the binning: a NULL bin row
+    would distort the analytic missing-bin fold identically on both
+    engines — the one failure mode the oracle can't catch — so the
+    exclusion is pinned here: counts match the non-null subset."""
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(120):
+        v = None if i % 3 == 0 else float(i % 50)
+        rows.append(
+            (i, base + dt.timedelta(days=(20 if i % 2 else 2)), i, "view", v, None)
+        )
+    sf = _write_events(spark, tmp_path, rows)
+    [r] = segment_value_psi(spark, sf).collect()
+    assert r["n_ref"] + r["n_cur"] == 80  # 120 minus the 40 NULLs
