@@ -96,3 +96,20 @@ def test_gif_rejects_interlace_and_truncation(spark):
     with pytest.raises(Exception):
         # chop the data sub-blocks: LZW must fail loudly, not pad
         decode_gif_frame(good[:-6] + b"\x00\x3b")
+
+
+def test_gif_truncation_raises_clean_valueerror():
+    """r8 advice fix: sub-block walks are bounded — a payload cut off
+    mid-extension or mid-image-data raises the module's clean
+    ValueError diagnostics, never IndexError."""
+    idx = np.zeros((4, 4), dtype=np.int64)
+    palette = np.zeros((2, 3), dtype=np.uint8)
+    good = bytearray(write_gif(idx, palette, min_code_size=2))
+    # graphic-control-style extension with an unterminated sub-block
+    i = good.index(b"\x2c")
+    cut = bytes(good[:i]) + b"\x21\xf9\x04"  # extension, then EOF
+    with pytest.raises(ValueError, match="truncated GIF"):
+        decode_gif_frame(cut)
+    # image data cut before the 0-terminator
+    with pytest.raises(ValueError):
+        decode_gif_frame(bytes(good[:-3]))

@@ -134,6 +134,27 @@ def test_non_png_rejected(spark):
         png_pixel_stats(df).collect()
 
 
+def test_resize_image_honors_caller_column_names(spark):
+    """r8 advice fix: output columns are named after the CALLER's
+    id/payload columns — a doc_id in must come back as doc_id, not be
+    silently renamed to media_id."""
+    from big_data_analytics_final_project_spark.operators.multimodal import (
+        encode_png_gray8,
+        resize_image,
+    )
+    import numpy as np
+
+    px = np.arange(12, dtype=np.int64).reshape(3, 4) * 20
+    df = spark.createDataFrame(
+        [(5, bytearray(encode_png_gray8(px)))], "doc_id: long, blob: binary"
+    )
+    out = resize_image(df, width=2, height=2, id_col="doc_id",
+                       payload_col="blob")
+    assert out.columns == ["doc_id", "blob"]
+    [r] = out.collect()
+    assert r["doc_id"] == 5 and bytes(r["blob"])[:4] == b"\x89PNG"
+
+
 def test_resize_image_real_roundtrip(spark):
     """resize_image is a REAL resize for the codec-free format: decode
     → nearest-neighbor resample → re-encode. The output must be a

@@ -590,6 +590,77 @@ def test_tws_processor_fold_logic_unit():
     assert staged[1] == 2 * n
 
 
+def test_run_collapse_fold_guards_empty_state():
+    """r8 advice fix, pinned at the fold level (no Spark): a key
+    invoked with NO prior state and only empty chunks must store
+    nothing and arm no timeout (state.update would otherwise hold
+    (None, -1, ...) forever-idle keys), and a defensively-stored empty
+    state that times out must flush silently — never the NULL-typed
+    epoch row the advisor described."""
+    import pandas as pd
+
+    from big_data_analytics_final_project_spark.streaming.stateful import (
+        _make_run_fold,
+    )
+
+    class FakeGroupState:
+        def __init__(self):
+            self._v = None
+            self.hasTimedOut = False
+            self.timeout_ms = None
+            self.removed = False
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            if self._v is None:
+                raise ValueError("no state")
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def remove(self):
+            self._v = None
+            self.removed = True
+
+        def setTimeoutTimestamp(self, ms):
+            self.timeout_ms = ms
+
+        def getCurrentWatermarkMs(self):
+            return 0
+
+    fold = _make_run_fold(3600 * 1_000_000)
+
+    # no prior state + only empty chunks: nothing stored, no timeout
+    st = FakeGroupState()
+    assert list(fold((7,), iter([pd.DataFrame()]), st)) == []
+    assert st._v is None and st.timeout_ms is None
+
+    # an empty stored state that times out: silent flush, no emission
+    st2 = FakeGroupState()
+    st2._v = (None, -1, -1, 0, 0)
+    st2.hasTimedOut = True
+    assert list(fold((7,), iter([]), st2)) == []
+    assert st2.removed
+
+    # positive path still arms: one real row stores a run + timeout
+    st3 = FakeGroupState()
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime([1_600_000_000], unit="s"),
+            "event_id": [1],
+            "event_type": ["click"],
+            "value": [2.5],
+        }
+    )
+    assert list(fold((7,), iter([pdf]), st3)) == []  # run stays open
+    assert st3._v is not None and st3.timeout_ms is not None
+
+
 def test_stateful_run_collapse_matches_batch(spark, stream_dirs):
     """applyInPandasWithState run collapse (VALUE-change islands):
     every emitted (closed) run must equal the batch gaps-and-islands
