@@ -974,20 +974,26 @@ def frequent_event_types_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy here exists only to judge the sketch — the production
     plan at scale is `frequent_items_mg` alone). The DuckDB oracle
     computes the same guaranteed-heavy set exactly and asserts every
-    acceptance column TRUE; capacity (4) sits below the event-type
+    acceptance column TRUE; capacity (4) sits below the language
     cardinality (5), so decrements REALLY happen in every partition —
-    the bounds are exercised, not vacuous."""
+    the bounds are exercised, not vacuous.
+
+    The graded column is `documents.lang`, whose generator gives 'en'
+    a ~40% share at every SF — far above the 20% guarantee threshold —
+    so the heavy set stays non-empty under any testdata regeneration
+    (event_type sits ~0.2% from its threshold: one reroll from a
+    vacuous result)."""
     from ..operators.sketches import frequent_items_mg
 
     cap = 4
-    ev = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
     reported = frequent_items_mg(
-        ev.select("event_type"), "event_type", capacity=cap
+        docs.select("lang"), "lang", capacity=cap
     )
-    exact = ev.groupBy(F.col("event_type").alias("item")).agg(
+    exact = docs.groupBy(F.col("lang").alias("item")).agg(
         F.count(F.lit(1)).alias("true_cnt")
     )
-    n_total = ev.agg(F.count(F.lit(1)).alias("n"))
+    n_total = docs.agg(F.count(F.lit(1)).alias("n"))
     joined = exact.join(reported, "item", "left")
     bounds_ok = joined.agg(
         F.coalesce(
@@ -1018,8 +1024,8 @@ def frequent_event_types_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 FREQUENT_ITEMS_MG_SQL = """
-WITH tot AS (SELECT count(*) AS n FROM events),
-ex AS (SELECT event_type AS item, count(*) AS c FROM events GROUP BY event_type)
+WITH tot AS (SELECT count(*) AS n FROM documents),
+ex AS (SELECT lang AS item, count(*) AS c FROM documents GROUP BY lang)
 SELECT item,
        TRUE AS is_reported,
        TRUE AS lower_le_true,
