@@ -234,6 +234,166 @@ ORDER BY doc_a, doc_b
 """
 
 
+def jaccard_pairs_collapsed(
+    docs: DataFrame,
+    threshold: float = 0.9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    use_shingles: bool = False,
+    expand: bool = True,
+) -> DataFrame:
+    """`jaccard_pairs` with exact duplicates collapsed FIRST — the
+    production composition for duplicate-heavy corpora.
+
+    The r8 scale smoke (SCALE_r08.md) measured why this matters: on a
+    10x-replicated corpus every doc gains 9 verbatim copies, the true
+    pair set grows ~1000x, and a pair-listing operator is lower-bounded
+    by its output — plain `jaccard_pairs` paid 29x runtime emitting it.
+    Real web corpora are exactly this shape (Common-Crawl-scale dedup
+    reports put verbatim duplicates at 30-80% of raw pages), so the
+    scalable plan is:
+
+      1. collapse exact copies by content hash (one shuffle; same key
+         as `dedup_exact`) — the PPJoin candidate generator then runs
+         on DISTINCT texts only, so its cost no longer grows with the
+         duplication factor at all;
+      2. near-dup join on the survivors;
+      3. re-expand rep-level pairs through the duplicate groups —
+         two output-bounded fan-out joins, no candidate generation.
+
+    With `expand=True` the result is ROW-IDENTICAL to
+    `jaccard_pairs(docs, ...)` (differential-tested): within-group
+    pairs carry jaccard exactly 1.0 and n_common = |term set|;
+    cross-group pairs inherit the rep pair's exact (n_common,
+    jaccard). `tokens` is a split, so every doc's term set is
+    non-empty (blank text → {""}), and the base operator pairs
+    blank-ish docs via the shared "" token — the expansion reproduces
+    that too (the `_sz > 0` guards only fire if tokenization ever
+    starts yielding genuinely empty sets, where the base operator
+    would stop pairing).
+
+    With `expand=False` the C(n,2) materialization is skipped — the
+    100 TB-honest output: one row per REP pair plus one row per
+    duplicate group of ≥2 (doc_a = doc_b = rep), each carrying
+    `n_pairs`, the count of doc-level pairs it stands for
+    (n_copies_a·n_copies_b cross, C(n,2) within). Σ n_pairs equals
+    the expanded row count exactly.
+
+    Same md5-collision assumption as `dedup_exact`.
+    """
+    hashed = docs.select(
+        F.col(id_col).alias("member_id"),
+        F.col(text_col).alias("_text"),
+        F.md5(F.col(text_col)).alias("_h"),
+    )
+    reps = hashed.groupBy("_h").agg(
+        F.min("member_id").alias("doc_id"),
+        F.first("_text").alias(text_col),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    rep_pairs = jaccard_pairs(
+        reps.select("doc_id", text_col),
+        threshold=threshold,
+        text_col=text_col,
+        id_col="doc_id",
+        use_shingles=use_shingles,
+    )
+    # within-group machinery only touches groups with >=2 copies — on a
+    # duplicate-free corpus `dups` is empty and the second
+    # tokenize+shingle pass (rep_sz) costs nothing
+    dups = reps.filter(F.col("n_copies") >= 2)
+    rep_sets = (
+        _shingle_sets(dups, text_col, "doc_id")
+        if use_shingles
+        else _word_sets(dups, text_col, "doc_id")
+    )
+    rep_sz = rep_sets.select("doc_id", F.size("terms").alias("_sz"))
+
+    if not expand:
+        sizes = reps.select(F.col("doc_id").alias("_rid"), "n_copies")
+        cross = (
+            rep_pairs.join(
+                sizes.select(
+                    F.col("_rid").alias("doc_a"),
+                    F.col("n_copies").alias("n_copies_a"),
+                ),
+                "doc_a",
+            )
+            .join(
+                sizes.select(
+                    F.col("_rid").alias("doc_b"),
+                    F.col("n_copies").alias("n_copies_b"),
+                ),
+                "doc_b",
+            )
+            .select(
+                "doc_a",
+                "doc_b",
+                "n_common",
+                "jaccard",
+                (F.col("n_copies_a") * F.col("n_copies_b")).alias("n_pairs"),
+            )
+        )
+        within = (
+            dups.join(rep_sz, "doc_id")
+            .filter(F.col("_sz") > 0)
+            .select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("doc_id").alias("doc_b"),
+                F.col("_sz").alias("n_common"),
+                F.lit(1.0).alias("jaccard"),
+                (F.col("n_copies") * (F.col("n_copies") - 1) / 2)
+                .cast("long")
+                .alias("n_pairs"),
+            )
+        )
+        return cross.unionByName(within).orderBy("doc_a", "doc_b")
+
+    members = hashed.select("member_id", "_h")
+    rep_to_h = reps.select(F.col("doc_id").alias("_rid"), "_h")
+    # cross-group: rep pair -> every member of A x every member of B;
+    # both joins fan out by exactly the rows the output needs
+    ma = rep_to_h.join(members, "_h").select(
+        F.col("_rid").alias("doc_a"), F.col("member_id").alias("_ma")
+    )
+    mb = rep_to_h.join(members, "_h").select(
+        F.col("_rid").alias("doc_b"), F.col("member_id").alias("_mb")
+    )
+    cross = (
+        rep_pairs.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            F.least("_ma", "_mb").alias("doc_a"),
+            F.greatest("_ma", "_mb").alias("doc_b"),
+            "n_common",
+            "jaccard",
+        )
+    )
+    # within-group: all id-ordered pairs of exact copies, jaccard 1.0;
+    # the self-join runs only over members of duplicated groups
+    dup_members = members.join(dups.select("_h"), "_h")
+    wa = dup_members.alias("wa")
+    wb = dup_members.alias("wb")
+    within = (
+        wa.join(wb, "_h")
+        .where(F.col("wa.member_id") < F.col("wb.member_id"))
+        .join(
+            dups.select(F.col("_h").alias("_hh"), F.col("doc_id").alias("_rid"))
+            .join(rep_sz, F.col("_rid") == rep_sz.doc_id)
+            .select(F.col("_hh").alias("_h"), "_sz"),
+            "_h",
+        )
+        .filter(F.col("_sz") > 0)
+        .select(
+            F.col("wa.member_id").alias("doc_a"),
+            F.col("wb.member_id").alias("doc_b"),
+            F.col("_sz").alias("n_common"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within).orderBy("doc_a", "doc_b")
+
+
 def overlap_coeff_pairs(
     docs: DataFrame,
     threshold: float = 0.6,
