@@ -11,6 +11,7 @@ from ..operators.dedup import (
     DEDUP_EXACT_SQL,
     dedup_exact,
     jaccard_pairs,
+    jaccard_pairs_collapsed,
     jaccard_pairs_sql,
     minhash_lsh_pairs,
     minhash_lsh_pairs_incremental,
@@ -51,6 +52,25 @@ def dedup_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinctive (df ≈ 8), which is what makes the prefix-filtered
     inverted index sparse."""
     return jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        threshold=JACCARD_THRESHOLD,
+        use_shingles=True,
+    )
+
+
+def dedup_jaccard_collapsed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dedup_jaccard_pairs` through the exact-collapse-first
+    composition (operators/dedup.jaccard_pairs_collapsed): verbatim
+    duplicates are collapsed by content hash BEFORE the PPJoin
+    candidate generator runs, then rep-level pairs re-expand through
+    the duplicate groups with output-bounded joins. Same threshold,
+    same shingling, ROW-IDENTICAL output — so it shares
+    `dedup_jaccard_pairs`' oracle verbatim, a differential proof that
+    two structurally different plans agree bit-for-bit. The r8 scale
+    smoke (SCALE_r08.md) measured the point: 16x faster on a
+    10x-replicated corpus because candidate cost stops growing with
+    the duplication factor."""
+    return jaccard_pairs_collapsed(
         load_table(spark, sf_dir, "documents"),
         threshold=JACCARD_THRESHOLD,
         use_shingles=True,
@@ -194,6 +214,14 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_jaccard_pairs": QuerySpec(
         dedup_jaccard_q, jaccard_pairs_sql(JACCARD_THRESHOLD, use_shingles=True)
     ),
+    # r9 rotation: uncommenting registers the collapse-first twin
+    # (authored-and-parity-tested in r8; window was full — see
+    # tests/test_dedup_collapsed.py, which already holds it to the
+    # registry bar against the SAME oracle as dedup_jaccard_pairs) —
+    # "dedup_jaccard_collapsed": QuerySpec(
+    #     dedup_jaccard_collapsed_q,
+    #     jaccard_pairs_sql(JACCARD_THRESHOLD, use_shingles=True),
+    # ),
     "dedup_minhash_lsh": QuerySpec(
         dedup_minhash_q, minhash_lsh_pairs_sql(MINHASH_THRESHOLD)
     ),

@@ -135,6 +135,37 @@ def test_compact_accounts_for_every_expanded_pair(spark):
     assert cross == rep_pairs
 
 
+def test_collapsed_oracle_parity(spark):
+    """Registry bar for the r9-slated `dedup_jaccard_collapsed` query
+    (queries/dedup.py): bit-exact Spark==DuckDB at both the smoke and
+    the grading scale, against the SAME oracle as the graded
+    `dedup_jaccard_pairs` — a differential proof that the collapse-
+    first plan and the plain plan agree on real testdata too."""
+    import duckdb
+
+    from big_data_analytics_final_project_spark.operators.dedup import (
+        jaccard_pairs_sql,
+    )
+    from big_data_analytics_final_project_spark.queries.dedup import (
+        JACCARD_THRESHOLD,
+        dedup_jaccard_collapsed_q,
+    )
+
+    from .conftest import SF_CORRECT, SF_SMOKE
+    from .parity import compare
+
+    for sf in (SF_SMOKE, SF_CORRECT):
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+        )
+        compare(
+            dedup_jaccard_collapsed_q(spark, sf),
+            con.sql(jaccard_pairs_sql(JACCARD_THRESHOLD, use_shingles=True)),
+        )
+        con.close()
+
+
 def test_candidate_generation_sees_only_distinct_texts(spark):
     """The scale property itself: the PPJoin stage inside the collapsed
     plan receives one row per DISTINCT text, regardless of duplication
