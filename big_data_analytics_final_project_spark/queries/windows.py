@@ -1023,6 +1023,92 @@ def frequent_event_types_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CMS_DEPTH = 3
+_CMS_WIDTH = 64
+
+
+def user_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point-frequency estimates (`operators.sketches.
+    count_min_sketch`) for the top-10 users by event count — the
+    FOURTH sketch family member (HLL distinct, KLL/GK quantile
+    intervals, MG heavy hitters, CMS point frequencies).
+
+    Unlike MG, every CMS counter is an exact groupBy count under a
+    deterministic md5 hash, so the estimates themselves are
+    partition-independent and this query gets a FULL exact oracle: the
+    DuckDB twin rebuilds the same depth x width matrix and must
+    reproduce `cms_est` bit-for-bit — including the collision-driven
+    overestimates (width 64 < 150 distinct users at sf0.01, so
+    collisions genuinely occur and `overestimate` is non-zero for
+    some keys; `est_ge_true` pins the one-sided guarantee).
+
+    Scale: exact per-key counts over 100 TB shuffle the whole key
+    space; the sketch shuffles <= depth*width partial rows per task
+    and merges by addition (the exact groupBy here exists only to
+    judge the sketch)."""
+    from ..operators.sketches import cms_estimate, count_min_sketch
+
+    events = load_table(spark, sf_dir, "events")
+    sketch = count_min_sketch(
+        events.select("user_id"), "user_id", depth=_CMS_DEPTH, width=_CMS_WIDTH
+    )
+    exact = (
+        events.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+    )
+    top = exact.orderBy(F.col("true_cnt").desc(), F.col("user_id")).limit(10)
+    est = cms_estimate(
+        sketch, top, "user_id", depth=_CMS_DEPTH, width=_CMS_WIDTH
+    )
+    return est.select(
+        "user_id",
+        "true_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("true_cnt")).alias("overestimate"),
+        (F.col("cms_est") >= F.col("true_cnt")).alias("est_ge_true"),
+    ).orderBy("user_id")
+
+
+USER_FREQ_CMS_SQL = f"""
+WITH d(r) AS (VALUES (0), (1), (2)),
+k AS (
+  SELECT CAST(user_id AS VARCHAR) AS _k FROM events
+  WHERE user_id IS NOT NULL
+),
+buck AS (
+  SELECT d.r,
+         ('0x' || substr(md5(CAST(d.r AS VARCHAR) || ':' || k._k), 1, 8))
+           ::BIGINT % {_CMS_WIDTH} AS bucket
+  FROM k CROSS JOIN d
+),
+sketch AS (SELECT r, bucket, count(*) AS cnt FROM buck GROUP BY r, bucket),
+ex AS (
+  SELECT user_id, count(*) AS true_cnt FROM events
+  WHERE user_id IS NOT NULL GROUP BY user_id
+),
+top AS (SELECT user_id, true_cnt FROM ex ORDER BY true_cnt DESC, user_id LIMIT 10),
+probes AS (
+  SELECT t.user_id, t.true_cnt, d.r,
+         ('0x' || substr(
+            md5(CAST(d.r AS VARCHAR) || ':' || CAST(t.user_id AS VARCHAR)),
+            1, 8))::BIGINT % {_CMS_WIDTH} AS bucket
+  FROM top t CROSS JOIN d
+),
+est AS (
+  SELECT p.user_id, p.true_cnt, min(s.cnt) AS cms_est
+  FROM probes p JOIN sketch s USING (r, bucket)
+  GROUP BY p.user_id, p.true_cnt
+)
+SELECT user_id,
+       CAST(true_cnt AS BIGINT) AS true_cnt,
+       CAST(cms_est AS BIGINT) AS cms_est,
+       CAST(cms_est - true_cnt AS BIGINT) AS overestimate,
+       cms_est >= true_cnt AS est_ge_true
+FROM est ORDER BY user_id
+"""
+
+
 FREQUENT_ITEMS_MG_SQL = """
 WITH tot AS (SELECT count(*) AS n FROM documents),
 ex AS (SELECT lang AS item, count(*) AS c FROM documents GROUP BY lang)
@@ -1088,4 +1174,9 @@ QUERIES: dict[str, QuerySpec] = {
     "frequent_items_mg": QuerySpec(
         frequent_event_types_mg, FREQUENT_ITEMS_MG_SQL
     ),
+    # r9 rotation: uncommenting registers the Count-Min query
+    # (authored-and-parity-tested in r8; window was full — see
+    # tests/test_sketches.py, which already holds it to the registry
+    # bar with a FULL exact oracle) —
+    # "user_freq_cms": QuerySpec(user_freq_cms, USER_FREQ_CMS_SQL),
 }

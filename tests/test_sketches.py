@@ -80,3 +80,123 @@ def test_contract_fuzz(spark, data, capacity):
     values = [str(v) for v in data]
     got = _run(spark, values, capacity=capacity, n_partitions=3)
     _check_contract(got, values, capacity)
+
+
+# ---------------------------------------------------------------- CMS
+
+
+def test_cms_estimate_ge_true_and_exact_when_sparse(spark):
+    """est >= true always; with width >> distinct keys and no
+    collisions across all depth rows, est == true exactly."""
+    from big_data_analytics_final_project_spark.operators.sketches import (
+        cms_estimate,
+        count_min_sketch,
+    )
+
+    values = ["a"] * 50 + ["b"] * 30 + ["c"] * 7 + ["d"]
+    df = spark.createDataFrame(
+        [(v,) for v in values], "item: string"
+    ).repartition(8)
+    exact = Counter(values)
+    keys = spark.createDataFrame(
+        [(k,) for k in exact], "item: string"
+    )
+    for width in (8, 4096):
+        sketch = count_min_sketch(df, "item", depth=3, width=width)
+        got = {
+            r.item: r.cms_est
+            for r in cms_estimate(
+                sketch, keys, "item", depth=3, width=width
+            ).collect()
+        }
+        assert set(got) == set(exact)
+        for k, c in exact.items():
+            assert got[k] >= c, (width, k, got[k], c)
+        if width == 4096:
+            # 4 keys x 3 rows in 4096 buckets: md5 scatters them
+            # collision-free (verified by this assertion itself)
+            assert got == dict(exact)
+
+
+def test_cms_merges_by_addition(spark):
+    """sketch(A union B) == per-part sketches summed on (r, bucket) —
+    the property that lets executors build sketches independently."""
+    from big_data_analytics_final_project_spark.operators.sketches import (
+        count_min_sketch,
+    )
+
+    a_vals = [f"k{i % 17}" for i in range(300)]
+    b_vals = [f"k{i % 23}" for i in range(200)]
+    mk = lambda vals: spark.createDataFrame(  # noqa: E731
+        [(v,) for v in vals], "item: string"
+    )
+    whole = {
+        (r.r, r.bucket): r.cnt
+        for r in count_min_sketch(
+            mk(a_vals + b_vals), "item", depth=3, width=32
+        ).collect()
+    }
+    sa = count_min_sketch(mk(a_vals), "item", depth=3, width=32)
+    sb = count_min_sketch(mk(b_vals), "item", depth=3, width=32)
+    merged = {}
+    for r in sa.unionByName(sb).groupBy("r", "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    ).collect():
+        merged[(r.r, r.bucket)] = r.cnt
+    assert merged == whole
+
+
+def test_cms_ignores_null_keys(spark):
+    from big_data_analytics_final_project_spark.operators.sketches import (
+        count_min_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [("a",), (None,), ("a",), (None,)], "item: string"
+    )
+    total = (
+        count_min_sketch(df, "item", depth=2, width=16)
+        .groupBy("r")
+        .agg(F.sum("cnt").alias("n"))
+        .collect()
+    )
+    # each depth row counts every non-null input exactly once
+    assert {r.n for r in total} == {2}
+
+
+def test_cms_oracle_parity(spark):
+    """Registry bar for the r9-slated `user_freq_cms` query
+    (queries/windows.py): bit-exact Spark==DuckDB at both the smoke
+    and the grading scale — a FULL exact oracle (the estimates are
+    deterministic), not an acceptance check."""
+    import duckdb
+
+    from big_data_analytics_final_project_spark.queries.windows import (
+        USER_FREQ_CMS_SQL,
+        user_freq_cms,
+    )
+
+    from .conftest import SF_CORRECT, SF_SMOKE
+    from .parity import compare
+
+    for sf in (SF_SMOKE, SF_CORRECT):
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+        compare(user_freq_cms(spark, sf), con.sql(USER_FREQ_CMS_SQL))
+        con.close()
+
+
+def test_cms_collisions_do_occur_at_query_shape(spark):
+    """The graded shape (width 64 < 150 users at sf0.01) must actually
+    exercise collisions — a sketch with zero overestimate anywhere
+    would make `est_ge_true` vacuous."""
+    from big_data_analytics_final_project_spark.queries.windows import (
+        user_freq_cms,
+    )
+
+    from .conftest import SF_CORRECT
+
+    rows = user_freq_cms(spark, SF_CORRECT).collect()
+    assert len(rows) == 10
+    assert all(r.est_ge_true for r in rows)
+    assert any(r.overestimate > 0 for r in rows)
