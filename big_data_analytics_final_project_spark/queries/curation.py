@@ -279,10 +279,54 @@ ORDER BY source
 """
 
 
+_WSAMPLE_K = 100
+
+
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample without replacement (operators/sampling.py
+    priority sampling — Duffield-Lund-Thorup): 100 documents drawn
+    proportional to n_chars, each carrying the unbiased subset-sum
+    estimator weight max(w, tau). The data-MIXING primitive the
+    stratified hash sampler can't express: token-budget-proportional
+    draws with estimator weights that let any downstream report over
+    the sample estimate the population total unbiasedly.
+
+    Fully exact oracle: the md5 race and the w*2^32/(h+1) priority use
+    only correctly-rounded IEEE multiply/divide (no libm), so Spark
+    and DuckDB produce bit-identical priorities, the same top-k, the
+    same tau, and the same estimator weights. Scale: top-(k+1) is
+    TakeOrderedAndProject (per-task heaps, no global sort, corpus read
+    once); tau is an aggregate over the k+1 frame broadcast back."""
+    from ..operators.sampling import priority_sample
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return priority_sample(docs, "n_chars", _WSAMPLE_K).orderBy("doc_id")
+
+
+def _doc_weighted_sample_sql() -> str:
+    from ..operators.sampling import priority_sample_sql
+
+    return priority_sample_sql(
+        "documents",
+        "n_chars",
+        _WSAMPLE_K,
+        select_cols="doc_id, lang, source, n_chars",
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "corpus_curation_report": QuerySpec(
         corpus_curation_report, corpus_curation_report_sql()
     ),
+    # r9 rotation: uncommenting registers the weighted-sampling query
+    # (authored-and-parity-tested in r8; window was full — see
+    # tests/test_priority_sample.py, which already holds it to the
+    # registry bar with a FULL exact oracle) —
+    # "doc_weighted_sample": QuerySpec(
+    #     doc_weighted_sample, _doc_weighted_sample_sql()
+    # ),
     "corpus_split_assign": QuerySpec(
         corpus_split_assign, CORPUS_SPLIT_ASSIGN_SQL
     ),
