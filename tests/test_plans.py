@@ -470,3 +470,42 @@ def test_avi_frames_decode_parallelized(spark):
     assert count_scans(df) == 1
     assert count_shuffles(df) <= 2
     assert "MapInPandas" in physical_plan(df)
+
+
+def test_priority_sample_take_ordered_no_global_sort(spark):
+    """The weighted sample's top-(k+1) race must plan as
+    TakeOrderedAndProject (per-task heaps + driver merge) with the
+    tau aggregate broadcast back — never a global sort of the corpus,
+    and never a corpus-sized shuffle."""
+    from big_data_analytics_final_project_spark.queries.curation import (
+        doc_weighted_sample,
+    )
+
+    df = doc_weighted_sample(spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert count_broadcasts(df) >= 1  # tau joins the sample broadcast
+
+
+def test_cms_sketch_partial_agg_before_exchange(spark):
+    """The Count-Min counter build must fold map-side: a partial
+    hash aggregate on (r, bucket) ahead of the one exchange, so the
+    shuffle carries <= depth*width partials per task, never the
+    exploded row stream."""
+    from big_data_analytics_final_project_spark.operators.sketches import (
+        count_min_sketch,
+    )
+    from big_data_analytics_final_project_spark.sources import load_table
+
+    sketch = count_min_sketch(
+        load_table(spark, SF_SMOKE, "events").select("user_id"),
+        "user_id",
+        depth=3,
+        width=64,
+    )
+    plan = physical_plan(sketch)
+    # partial_count before the exchange, merge_count after it
+    assert plan.index("partial_count") < plan.index("Exchange") or (
+        "partial_count" in plan and count_shuffles(sketch) == 1
+    ), plan
+    assert count_shuffles(sketch) == 1, plan

@@ -930,3 +930,39 @@ def test_stateful_run_collapse_recovers_from_checkpoint(spark):
     missing = non_final - set(got)
     assert not missing, f"{len(missing)} successor-closed runs not emitted"
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_cms_sketch_stream_matches_batch(spark, stream_dirs):
+    """The Count-Min build (operators/sketches.count_min_sketch) is
+    mode-agnostic: the SAME operator code over the chunked stream
+    (complete-mode aggregation — explode + groupBy count are both
+    stream-supported) must converge to exactly the batch sketch, which
+    is the merge-by-addition property exercised by Spark's own
+    incremental state instead of a manual union."""
+    from big_data_analytics_final_project_spark.operators.sketches import (
+        count_min_sketch,
+    )
+
+    stream = read_event_stream(spark, stream_dirs["src"]).select("user_id")
+    q = (
+        count_min_sketch(stream, "user_id", depth=3, width=64)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("cms_stream_test")
+        .option("checkpointLocation", f"{stream_dirs['root']}/ckpt_cms")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "stream did not finish"
+    got = {
+        (r.r, r.bucket): r.cnt
+        for r in spark.sql("SELECT * FROM cms_stream_test").collect()
+    }
+    batch = spark.read.schema(EVENT_SCHEMA).parquet(stream_dirs["src"]).select(
+        "user_id"
+    )
+    want = {
+        (r.r, r.bucket): r.cnt
+        for r in count_min_sketch(batch, "user_id", depth=3, width=64).collect()
+    }
+    assert got == want and got
