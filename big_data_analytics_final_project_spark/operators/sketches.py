@@ -196,3 +196,66 @@ def cms_estimate(
         .groupBy(*keys.columns)
         .agg(F.min("cnt").alias("cms_est"))
     )
+
+
+def hll_daily_sketches(
+    df: DataFrame, ts_col: str, key_col: str, lgk: int = 12
+) -> DataFrame:
+    """Per-day Datasketches HLL state for `key_col`: ``(day, sketch)``.
+
+    The pre-aggregation half of the sketch-rollup pattern: the corpus
+    is scanned ONCE, and what persists per day is a fixed <= 2^lgk
+    -register binary blob instead of the day's key set. NULL keys are
+    excluded (they aren't a distinct value of interest).
+    """
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .groupBy(F.to_date(F.col(ts_col)).alias("day"))
+        .agg(F.hll_sketch_agg(F.col(key_col), F.lit(lgk)).alias("sketch"))
+    )
+
+
+def hll_rolling_distinct(
+    daily: DataFrame, window_days: int = 7
+) -> DataFrame:
+    """Rolling `window_days`-day distinct estimates from per-day HLL
+    sketches: ``(day, n_days_merged, approx_distinct)``.
+
+    THE reason sketches exist at 100 TB: an exact rolling 7-day
+    distinct either rescans 7 days of raw data per output day or
+    shuffles the full (day x key) space through a window; this merges
+    7 byte-blobs per day from a frame whose size is the number of
+    DAYS. HLL union is lossless over sketch state — union(sketch(A),
+    sketch(B)) has identical registers to sketch(A ∪ B) at the same
+    lgk — so pre-aggregation costs NO accuracy vs sketching each
+    window from raw data (test-pinned).
+
+    Each day contributes via an explode over its forward window
+    offsets (0..window_days-1): day d's sketch reaches target days
+    d..d+w-1, and target days keep only windows fully inside the
+    observed range. Input is day-cardinality-sized; everything here
+    is negligible next to the one corpus scan in
+    `hll_daily_sketches`.
+    """
+    w = window_days
+    fanned = daily.select(
+        F.explode(F.sequence(F.lit(0), F.lit(w - 1))).alias("_off"),
+        F.col("day"),
+        F.col("sketch"),
+    ).select(
+        F.date_add(F.col("day"), F.col("_off")).alias("target_day"), "sketch"
+    )
+    merged = fanned.groupBy("target_day").agg(
+        F.hll_union_agg("sketch").alias("merged"),
+        F.count(F.lit(1)).alias("n_days_merged"),
+    )
+    # one output row per OBSERVED day (the forward fan-out also lands
+    # on up to w-1 phantom days past the range; days early in the
+    # range legitimately carry partial windows, reported via
+    # n_days_merged) — day-cardinality join, broadcast
+    observed = daily.select(F.col("day").alias("target_day"))
+    return merged.join(F.broadcast(observed), "target_day").select(
+        F.col("target_day").alias("day"),
+        "n_days_merged",
+        F.hll_sketch_estimate("merged").alias("approx_distinct"),
+    )

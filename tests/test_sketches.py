@@ -200,3 +200,111 @@ def test_cms_collisions_do_occur_at_query_shape(spark):
     assert len(rows) == 10
     assert all(r.est_ge_true for r in rows)
     assert any(r.overestimate > 0 for r in rows)
+
+
+# ------------------------------------------------------- HLL rollup
+
+
+def test_hll_rollup_preagg_is_lossless(spark):
+    """The pattern's load-bearing property: merging per-day sketches
+    gives the SAME estimate as sketching each window's raw rows
+    directly — HLL union is lossless over sketch state, so daily
+    pre-aggregation costs no accuracy."""
+    from big_data_analytics_final_project_spark.operators.sketches import (
+        hll_daily_sketches,
+        hll_rolling_distinct,
+    )
+    from big_data_analytics_final_project_spark.sources import load_table
+
+    from .conftest import SF_SMOKE
+
+    events = load_table(spark, SF_SMOKE, "events")
+    daily = hll_daily_sketches(events, "ts", "user_id")
+    got = {
+        r.day: (r.n_days_merged, r.approx_distinct)
+        for r in hll_rolling_distinct(daily, window_days=7).collect()
+    }
+    days = sorted(got)
+    assert days  # non-vacuous
+    import datetime as dt
+
+    for day in days:
+        lo = day - dt.timedelta(days=6)
+        direct = (
+            events.filter(
+                (F.to_date("ts") >= F.lit(lo)) & (F.to_date("ts") <= F.lit(day))
+            )
+            .filter(F.col("user_id").isNotNull())
+            .agg(
+                F.hll_sketch_estimate(
+                    F.hll_sketch_agg(F.col("user_id"), F.lit(12))
+                ).alias("e")
+            )
+            .collect()[0]
+            .e
+        )
+        assert got[day][1] == direct, (day, got[day], direct)
+
+
+def test_hll_rollup_tracks_exact_within_5pct(spark):
+    from big_data_analytics_final_project_spark.operators.sketches import (
+        hll_daily_sketches,
+        hll_rolling_distinct,
+    )
+    from big_data_analytics_final_project_spark.sources import load_table
+
+    from .conftest import SF_CORRECT
+
+    events = load_table(spark, SF_CORRECT, "events")
+    daily = hll_daily_sketches(events, "ts", "user_id")
+    approx = {
+        r.day: r.approx_distinct
+        for r in hll_rolling_distinct(daily, window_days=7).collect()
+    }
+    exact_rows = (
+        events.filter(F.col("user_id").isNotNull())
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+        .collect()
+    )
+    import datetime as dt
+    from collections import defaultdict
+
+    by_day = defaultdict(set)
+    for r in exact_rows:
+        by_day[r.day].add(r.user_id)
+    for day, est in approx.items():
+        exact = len(
+            set().union(
+                *(
+                    by_day.get(day - dt.timedelta(days=o), set())
+                    for o in range(7)
+                )
+            )
+        )
+        assert abs(est - exact) <= max(1, 0.05 * exact), (day, est, exact)
+
+
+def test_hll_rollup_day_coverage_and_warmup(spark):
+    """One output row per observed day — no phantom days past the
+    range — and n_days_merged ramps 1..7 then holds (contiguous
+    testdata days)."""
+    from big_data_analytics_final_project_spark.operators.sketches import (
+        hll_daily_sketches,
+        hll_rolling_distinct,
+    )
+    from big_data_analytics_final_project_spark.sources import load_table
+
+    from .conftest import SF_SMOKE
+
+    events = load_table(spark, SF_SMOKE, "events")
+    daily = hll_daily_sketches(events, "ts", "user_id")
+    obs = {r.day for r in daily.select("day").collect()}
+    rows = hll_rolling_distinct(daily, window_days=7).collect()
+    assert {r.day for r in rows} == obs
+    import datetime as dt
+
+    first = min(obs)
+    for r in rows:
+        want = min(7, (r.day - first).days + 1)
+        assert r.n_days_merged == want, (r.day, r.n_days_merged, want)
