@@ -177,7 +177,83 @@ def main() -> int:
         rc = 1
     else:
         print("OK: next round's schedule is satisfiable")
+
+    # Multi-round horizon (round-8): the one-round simulation above
+    # can still paint round N+2 into a corner (the COVERAGE.md
+    # capacity note). Replay the greedy policy — each round takes its
+    # forced set + `new` registrations, then backfills the remaining
+    # slots with the OLDEST-green entries — for several rounds, at
+    # each candidate new-registration rate, and report the largest
+    # rate that stays feasible across the horizon.
+    HORIZON = 6
+    for new_rate in range(NEW_BUDGET, -1, -1):
+        ok, detail = horizon_feasible(
+            latest, set(current), window, prep_round, HORIZON, new_rate
+        )
+        if ok:
+            print(
+                f"horizon: registering {new_rate} new queries per round "
+                f"stays feasible through r{prep_round + HORIZON - 1} "
+                f"(per-round forced: {detail})"
+            )
+            break
+        if new_rate == NEW_BUDGET:
+            print(
+                f"horizon: {new_rate}/round INFEASIBLE within "
+                f"{HORIZON} rounds ({detail}) — largest sustainable "
+                f"rate reported below"
+            )
+    else:
+        print(
+            "FAIL: even 0 new queries per round breaks the cadence "
+            f"within {HORIZON} rounds ({detail}) — the registry has "
+            "outgrown the 3-round rotation; split or retire queries"
+        )
+        rc = 1
     return rc
+
+
+def horizon_feasible(
+    latest: dict[str, int],
+    registry: set[str],
+    this_window: list[str],
+    prep_round: int,
+    horizon: int,
+    new_per_round: int,
+) -> tuple[bool, list[int]]:
+    """Replay `horizon` rounds of the greedy rotation at a fixed
+    new-registration rate. Round `prep_round` uses the ACTUAL frozen
+    window; later rounds take forced + new, then backfill oldest-green
+    first. Returns (feasible, per-round forced counts)."""
+    green = dict(latest)
+    reg = set(registry)
+    forced_counts: list[int] = []
+    synth = 0
+    for t in range(prep_round, prep_round + horizon):
+        if t == prep_round:
+            window = list(this_window)
+        else:
+            forced = sorted(q for q in reg if green.get(q, 0) < t - 2)
+            fresh = []
+            for _ in range(new_per_round):
+                synth += 1
+                q = f"_synth_{synth}"
+                reg.add(q)
+                fresh.append(q)
+            if len(forced) + len(fresh) > WINDOW:
+                forced_counts.append(len(forced))
+                return False, forced_counts
+            rest = sorted(
+                (q for q in reg if q not in forced and q not in fresh),
+                key=lambda q: (green.get(q, 0), q),
+            )
+            window = forced + fresh + rest[: WINDOW - len(forced) - len(fresh)]
+        forced_counts.append(
+            sum(1 for q in window if green.get(q, 0) < t - 2)
+        )
+        for q in window:
+            green[q] = t
+    return True, forced_counts
 
 
 if __name__ == "__main__":

@@ -1,0 +1,72 @@
+"""The grading-rotation horizon simulator (scripts/grading_manifest.py
+`horizon_feasible`): replayed-policy feasibility on synthetic states
+where the answer is computable by hand, plus the live-repo invariant
+that SOME rate is feasible (the gate's FAIL branch stays unreachable
+while the registry fits the cadence)."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+
+_SPEC = importlib.util.spec_from_file_location(
+    "grading_manifest",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts",
+        "grading_manifest.py",
+    ),
+)
+_MOD = importlib.util.module_from_spec(_SPEC)
+sys.modules.setdefault("grading_manifest", _MOD)
+_SPEC.loader.exec_module(_MOD)
+
+horizon_feasible = _MOD.horizon_feasible
+WINDOW = _MOD.WINDOW
+
+
+def _state(n_queries: int, green_round: int):
+    reg = {f"q{i}" for i in range(n_queries)}
+    return {q: green_round for q in reg}, reg
+
+
+def test_small_registry_any_rate_feasible():
+    """60 queries, all green last round: forced sets stay ~20/round,
+    so even the max 5/round rate survives a long horizon."""
+    latest, reg = _state(60, green_round=7)
+    window = sorted(reg)[:WINDOW]
+    ok, forced = horizon_feasible(latest, reg, window, 8, 8, 5)
+    assert ok, forced
+    assert all(f + 5 <= WINDOW for f in forced[1:])
+
+
+def test_oversized_registry_infeasible_at_zero():
+    """155 queries on a 3-round cadence need >51 slots/round on
+    average — even 0 new/round must eventually fail."""
+    latest, reg = _state(155, green_round=7)
+    window = sorted(reg)[:WINDOW]
+    ok, _ = horizon_feasible(latest, reg, window, 8, 9, 0)
+    assert not ok
+
+
+def test_forced_counts_replay_the_cadence():
+    """150 queries exactly saturate 3x50: the greedy replay must run
+    each round at exactly 50 forced-or-backfilled slots with zero
+    room, and report feasibility at rate 0 only."""
+    latest, reg = _state(150, green_round=7)
+    window = sorted(reg)[:WINDOW]
+    ok0, _ = horizon_feasible(latest, reg, window, 8, 9, 0)
+    ok1, _ = horizon_feasible(latest, reg, window, 8, 9, 1)
+    assert ok0 and not ok1
+
+
+def test_live_repo_has_a_feasible_rate():
+    """The real registry + real green history must admit SOME rate
+    (the main() FAIL branch means the cadence promise is already
+    broken — catch that here, in pytest, not at round end)."""
+    latest, prep = _MOD.latest_green_rounds()
+    current = set(_MOD.fingerprints())
+    window = list(_MOD.grading_order())[:WINDOW]
+    ok, forced = horizon_feasible(latest, current, window, prep, 6, 0)
+    assert ok, forced
