@@ -48,75 +48,108 @@ class QuerySpec:
 # slots, heaviest/flagship shapes first, which smooths the next
 # round's forced load.
 #
-# Round-8 instance: (1) the 5 new queries (GIF LZW round-trip decode,
-# type-2 SCD collapse, Misra-Gries heavy-hitter acceptance, and the
-# new drift family: hourly z-score anomalies + per-segment PSI); (2) the
-# 42 entries whose latest green is r5 (the full forced set — round
-# 7's window held none of them, so they all come due at once); (3) 3
-# r6-green backfill slots spent on the heaviest bench shapes (the
-# dedup pair that drifted in r7 gets re-graded on purpose).
+# Round-9 instance: (1) the 5 newly registered queries — the full r8
+# authored backlog (per-user OLS spend trend, join-key skew report,
+# Count-Min frequency, priority weighted sample, collapsed Jaccard
+# twin), all parity-tested at the registry bar since r8; (2) the 42
+# entries whose latest green is r6 (the full forced set); (3) 3
+# r7-green backfill slots on the heaviest bench shapes (media_wav_rms
+# is also a round-8 bench-drift watch item, re-graded on purpose).
 GRADING_PRIORITY: tuple[str, ...] = (
-    # -- new this round: real GIF decode behind the from-scratch LZW
-    #    compressor round-trip; SCD2 validity intervals; MG sketch
-    #    acceptance
-    "media_gif_pixels",
-    "customer_status_scd2",
-    "frequent_items_mg",
-    # -- new this round: observability/drift family (trailing z-score
-    #    volume anomalies; per-segment PSI distribution drift) — takes
-    #    two of the backfill slots (schedule stays satisfiable: r9
-    #    forced 42 + 5 budget = 47)
-    "events_hourly_anomaly",
-    "segment_value_psi",
-    # -- staleness gate: latest green row is r5 (42 entries)
-    "conversion_funnel",
-    "corpus_bigram_topk",
-    "corpus_bigram_topk_udtf",
-    "corpus_vocab_topk",
-    "customer_cohort_setops",
-    "customer_order_distribution",
-    "doc_chunk_windows",
-    "doc_length_histogram",
-    "doc_ngram_contamination",
-    "doc_token_stats",
-    "doc_top_keywords",
-    "doc_winnowing_fingerprint",
-    "dormant_high_value_customers",
-    "embedding_random_projection",
-    "embedding_scalar_quantize",
-    "events_jsonl_source_scan",
-    "events_props_variant",
-    "large_volume_customers",
-    "late_shipments_by_priority",
-    "media_wav_meta",
-    "nation_trade_volume",
-    "order_item_stats",
-    "order_priority_returns",
-    "orders_grouping_sets",
-    "product_popularity",
-    "promo_disjunctive_revenue",
-    "promo_revenue_share",
-    "regional_supplier_volume",
-    "returned_item_customers",
-    "revenue_rollup",
-    "segment_purchasing_power",
-    "shipping_priority",
-    "small_order_revenue",
-    "supplier_count_by_part",
-    "top_customers_top5",
-    "top_event_type_per_user",
-    "top_order_per_customer_agg",
-    "top_orders_lateral",
-    "top_supplier_by_revenue",
-    "user_engagement",
-    "user_spend",
-    "weekly_retention",
-    # -- r6-green backfill (smooths round 9's forced load), heaviest
-    #    bench shapes first — includes the r7 dedup drift pair
-    "dedup_jaccard_pairs",
-    "dedup_minhash_lsh",
-    "also_bought_pairs",
+    # -- newly registered this round (r8 authored backlog, cleared in
+    #    full now that ROTATION_EXEMPT restored the slot headroom)
+    "user_spend_trend",
+    "join_key_skew_report",
+    "user_freq_cms",
+    "doc_weighted_sample",
+    "dedup_jaccard_collapsed",
+    # -- staleness gate: latest green row is r6 (42 entries)
+    "ann_hyperplane_lsh",
+    "ann_ivf",
+    "binary_meta",
+    "clicks_before_purchase",
+    "corpus_mix_plan",
+    "corpus_split_assign",
+    "customer_order_history",
+    "customers_without_orders",
+    "dedup_clusters",
+    "dedup_fuzzy_pairs",
+    "dedup_simhash",
+    "discount_revenue_delta",
+    "doc_dedup_survivors",
+    "doc_quality_score",
+    "doc_repetition_stats",
+    "doc_unigram_entropy",
+    "dominant_part_suppliers",
+    "events_hypertable_rollup",
+    "events_json_roundtrip",
+    "events_rowkey_export",
+    "events_sessionized",
+    "gen_also_bought_pairs",
+    "gen_engagement_vs_spend",
+    "gen_product_popularity",
+    "gen_top_spenders",
+    "gen_transactions_flat",
+    "important_part_share",
+    "json_ingest_roundtrip",
+    "json_ingest_with_errors",
+    "knn_bruteforce",
+    "media_feature_knn",
+    "media_frame_sample",
+    "media_png_dims",
+    "min_cost_supplier",
+    "nation_market_share",
+    "pricing_summary",
+    "product_profit_by_nation",
+    "purchase_last_click",
+    "report_csv_roundtrip",
+    "revenue_by_brand",
+    "session_stats_per_user",
+    "waiting_supplier",
+    # -- r7-green backfill (smooths round 10's forced load), heaviest
+    #    bench shapes first; media_wav_rms doubles as the r8 bench
+    #    watch-item re-grade
+    "media_wav_rms",
+    "media_avi_frames",
+    "embedding_kmeans",
     # ---- driver's 50-entry window ends here ----
+)
+
+# CAPACITY POLICY (decided round 9, per the round-8 verdict's "decide,
+# don't defer"): pure DIFFERENTIAL TWINS are exempt from the 3-round
+# staleness rotation. A twin qualifies only if (a) it shares another
+# registered query's DuckDB oracle verbatim (same SQL string object or
+# an identical-alias equivalent), and (b) a pytest differential parity
+# test holds it row-identical to its graded twin every round. Under
+# those two facts a driver row for the twin adds no evidence beyond
+# its partner's row + the pytest proof, so forcing one every 3 rounds
+# spends grading slots without buying verification. Exempt queries:
+#   - STAY registered (the judge still sees them in queries()/oracle_sql,
+#     and the driver still grades them whenever they sit in the window);
+#   - STILL trip the fingerprint gate — any source/oracle change puts
+#     them back in the next window (scripts/grading_manifest.py);
+#   - are simply never FORCED by staleness.
+# This keeps the rotating set at 140 of 147 registered -> an average
+# forced load of 140/3 = ~46.7 of the 50 slots, with measured headroom
+# for ~1 new registration/round (scripts/grading_manifest.py horizon
+# report), instead of saturating the 150 ceiling in r10.
+ROTATION_EXEMPT: frozenset[str] = frozenset(
+    {
+        # twin of revenue_by_brand (salting differential; same oracle)
+        "revenue_by_brand_salted",
+        # twin of user_spend (salting differential; same oracle)
+        "user_spend_salted",
+        # twin of pricing_summary via spark.sql door (same oracle)
+        "pricing_summary_sparksql",
+        # twin of revenue_by_brand via spark.sql door (same oracle)
+        "revenue_by_brand_sparksql",
+        # twin of also_bought_pairs via array HOFs (same oracle)
+        "pairs_via_hof",
+        # twin of corpus_bigram_topk via UDTF (same oracle)
+        "corpus_bigram_topk_udtf",
+        # twin of dedup_jaccard_pairs, collapse-first plan (same oracle)
+        "dedup_jaccard_collapsed",
+    }
 )
 
 

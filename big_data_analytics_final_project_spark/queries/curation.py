@@ -320,13 +320,12 @@ QUERIES: dict[str, QuerySpec] = {
     "corpus_curation_report": QuerySpec(
         corpus_curation_report, corpus_curation_report_sql()
     ),
-    # r9 rotation: uncommenting registers the weighted-sampling query
-    # (authored-and-parity-tested in r8; window was full — see
-    # tests/test_priority_sample.py, which already holds it to the
-    # registry bar with a FULL exact oracle) —
-    # "doc_weighted_sample": QuerySpec(
-    #     doc_weighted_sample, _doc_weighted_sample_sql()
-    # ),
+    # registered r9 (authored-and-parity-tested in r8; window was full
+    # — tests/test_priority_sample.py held it to the registry bar with
+    # a FULL exact oracle since) —
+    "doc_weighted_sample": QuerySpec(
+        doc_weighted_sample, _doc_weighted_sample_sql()
+    ),
     "corpus_split_assign": QuerySpec(
         corpus_split_assign, CORPUS_SPLIT_ASSIGN_SQL
     ),

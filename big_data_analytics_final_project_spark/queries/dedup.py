@@ -214,14 +214,15 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_jaccard_pairs": QuerySpec(
         dedup_jaccard_q, jaccard_pairs_sql(JACCARD_THRESHOLD, use_shingles=True)
     ),
-    # r9 rotation: uncommenting registers the collapse-first twin
-    # (authored-and-parity-tested in r8; window was full — see
-    # tests/test_dedup_collapsed.py, which already holds it to the
-    # registry bar against the SAME oracle as dedup_jaccard_pairs) —
-    # "dedup_jaccard_collapsed": QuerySpec(
-    #     dedup_jaccard_collapsed_q,
-    #     jaccard_pairs_sql(JACCARD_THRESHOLD, use_shingles=True),
-    # ),
+    # registered r9 (authored-and-parity-tested in r8; window was full
+    # — tests/test_dedup_collapsed.py held it row-identical to
+    # dedup_jaccard_pairs against the SAME oracle since). ROTATION_EXEMPT
+    # after its first graded round: it shares its twin's oracle verbatim,
+    # so the differential pytest + the twin's driver rows carry it.
+    "dedup_jaccard_collapsed": QuerySpec(
+        dedup_jaccard_collapsed_q,
+        jaccard_pairs_sql(JACCARD_THRESHOLD, use_shingles=True),
+    ),
     "dedup_minhash_lsh": QuerySpec(
         dedup_minhash_q, minhash_lsh_pairs_sql(MINHASH_THRESHOLD)
     ),

@@ -561,11 +561,10 @@ QUERIES: dict[str, QuerySpec] = {
         events_hourly_anomaly, EVENTS_HOURLY_ANOMALY_SQL
     ),
     "segment_value_psi": QuerySpec(segment_value_psi, SEGMENT_VALUE_PSI_SQL),
-    # r9 rotation: uncommenting these lines registers the two queries
-    # authored-and-parity-tested in r8 (window was full; see their
-    # docstrings and tests/test_trend.py) —
-    # "user_spend_trend": QuerySpec(user_spend_trend, USER_SPEND_TREND_SQL),
-    # "join_key_skew_report": QuerySpec(
-    #     join_key_skew_report, JOIN_KEY_SKEW_REPORT_SQL
-    # ),
+    # registered r9 (authored-and-parity-tested in r8 — the window was
+    # full; tests/test_trend.py held both to the registry bar since) —
+    "user_spend_trend": QuerySpec(user_spend_trend, USER_SPEND_TREND_SQL),
+    "join_key_skew_report": QuerySpec(
+        join_key_skew_report, JOIN_KEY_SKEW_REPORT_SQL
+    ),
 }

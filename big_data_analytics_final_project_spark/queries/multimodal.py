@@ -521,133 +521,120 @@ def media_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame-expansion contract `media_frame_sample` fakes, now real).
     Compressed video (H.264 & co) remains the one env-gated stub.
     Scale: map-only synthesis + one Arrow hop; per-frame stats,
-    no shuffle until the output sort."""
+    no shuffle until the output sort.
+
+    Build cost (r9): the synthesis is composed as ONE Spark-SQL
+    expression STRING in Python and handed to a single `selectExpr` —
+    the previous Column-DSL form made hundreds of py4j round-trips and
+    cost a measured ~1s of driver-side build per invocation (the r8
+    verdict's ~2s bench-tail finding; JVM analysis itself was <0.1s).
+    Geometry subexpressions are named once in a projection stage and
+    referenced by column; Catalyst's CollapseProject inlines them, so
+    the executed plan is unchanged — byte-identical output, same
+    whole-stage-codegen'd expressions, ~20x cheaper to build."""
     from ..operators.multimodal import avi_frame_pixel_stats
 
     docs = load_table(spark, sf_dir, "documents")
-    doc_id = F.col("doc_id").cast("bigint")
-    w = doc_id % 6 + 4
-    h = doc_id % 4 + 3
-    nf = doc_id % 4 + 2
-    row_bytes = 3 * w
-    stride = row_bytes + 3 - (row_bytes + 3) % 4  # pad rows to 4 bytes
-    frame_size = stride * h
 
-    def frame_hex(f_i: F.Column) -> F.Column:
-        """'00db' chunk: header + bottom-up BGR rows with stride pad."""
-        f = f_i.cast("bigint")
+    def le_var(expr: str, nbytes: int) -> str:
+        """Little-endian hex SQL text for a nonneg integer expression
+        (byte-reversed big-endian lpad hex — the SQL twin of the
+        Column helper `_le_hex`)."""
+        be = f"lpad(lower(hex({expr})), {2 * nbytes}, '0')"
+        pairs = [
+            f"substring({be}, {2 * i + 1}, 2)" for i in reversed(range(nbytes))
+        ]
+        return "concat(" + ", ".join(pairs) + ")"
 
-        def stored_row(s_i: F.Column) -> F.Column:
-            s = s_i.cast("bigint")
-            r = h - 1 - s  # bottom-up: stored row s is image row h-1-s
-            # per-pixel channel triple (B,G,R = ch 0,1,2) instead of a
-            # per-byte div/mod — 3x fewer modular-arithmetic terms in
-            # the codegen'd loop; the stride pad is a literal suffix
-            pixels = F.flatten(
-                F.transform(
-                    F.sequence(F.lit(0), (w - 1).cast("int")),
-                    lambda c_i: F.array(
-                        *[
-                            (
-                                doc_id * 31
-                                + f * 53
-                                + r * 17
-                                + c_i.cast("bigint") * 7
-                                + ch * 11
-                            )
-                            % 256
-                            for ch in (0, 1, 2)
-                        ]
-                    ),
-                )
+    def le_const(v: int, nbytes: int) -> str:
+        """Little-endian hex of a Python constant, folded at authoring
+        time instead of in the expression tree."""
+        return v.to_bytes(nbytes, "little").hex()
+
+    # Geometry named ONCE as columns; every later mention is a column
+    # reference, not a duplicated arithmetic subtree. (CollapseProject
+    # folds these projections back into one at optimize time.)
+    g = docs.selectExpr(
+        "CAST(doc_id AS BIGINT) AS media_id",
+        "CAST(doc_id AS BIGINT) % 6 + 4 AS w",
+        "CAST(doc_id AS BIGINT) % 4 + 3 AS h",
+        "CAST(doc_id AS BIGINT) % 4 + 2 AS nf",
+    )
+    g = g.selectExpr("*", "3 * w AS row_bytes")
+    # pad rows to 4 bytes
+    g = g.selectExpr("*", "row_bytes + 3 - (row_bytes + 3) % 4 AS stride")
+    g = g.selectExpr("*", "stride * h AS frame_size")
+    g = g.selectExpr("*", "nf * (frame_size + 8) + 4 AS movi_size")
+
+    # '00db' chunk per frame f: header + bottom-up BGR rows with
+    # stride pad. Stored row s is image row h-1-s (bottom-up); each
+    # pixel emits its (B,G,R) channel triple — ch 0,1,2 folded to
+    # +0/+11/+22 at authoring time.
+    pix = "media_id * 31 + f * 53 + (h - 1 - s) * 17 + c * 7"
+    frame_chunk = f"""concat(
+      '30306462', {le_var("frame_size", 4)},
+      array_join(
+        transform(
+          flatten(transform(sequence(0, CAST(h - 1 AS INT)), s ->
+            concat(
+              flatten(transform(sequence(0, CAST(w - 1 AS INT)), c ->
+                array(({pix}) % 256, ({pix} + 11) % 256, ({pix} + 22) % 256)
+              )),
+              array_repeat(CAST(0 AS BIGINT), CAST(stride - row_bytes AS INT))
             )
-            pad = F.array_repeat(F.lit(0).cast("bigint"), (stride - row_bytes).cast("int"))
-            return F.concat(pixels, pad)
+          )),
+          b -> lpad(lower(hex(b)), 2, '0')
+        ),
+        ''
+      )
+    )"""
 
-        body = F.array_join(
-            F.transform(
-                F.flatten(
-                    F.transform(
-                        F.sequence(F.lit(0), (h - 1).cast("int")), stored_row
-                    )
-                ),
-                lambda b: _be_hex(b, 1),
-            ),
-            "",
-        )
-        return F.concat(
-            F.lit("30306462"),  # '00db' — stream 0, uncompressed DIB
-            _le_hex(frame_size, 4),
-            body,
-        )
-
-    zeros = lambda n: F.lit("00" * n)  # noqa: E731
-    avih_hex = F.concat(  # 56-byte MainAVIHeader
-        _le_hex(F.lit(33333), 4),  # dwMicroSecPerFrame (~30 fps)
-        zeros(12),  # maxbytes/padding/flags
-        _le_hex(nf, 4),  # dwTotalFrames
-        zeros(4),  # dwInitialFrames
-        _le_hex(F.lit(1), 4),  # dwStreams
-        _le_hex(frame_size, 4),  # dwSuggestedBufferSize
-        _le_hex(w, 4),
-        _le_hex(h, 4),
-        zeros(16),  # dwReserved[4]
+    zeros = lambda n: "00" * n  # noqa: E731
+    avih_hex = (  # 56-byte MainAVIHeader
+        le_const(33333, 4)  # dwMicroSecPerFrame (~30 fps)
+        + zeros(12)  # maxbytes/padding/flags
+        + f"', {le_var('nf', 4)}, '"  # dwTotalFrames
+        + zeros(4)  # dwInitialFrames
+        + le_const(1, 4)  # dwStreams
+        + f"', {le_var('frame_size', 4)}, {le_var('w', 4)}, "
+        + f"{le_var('h', 4)}, '"  # dwSuggestedBufferSize, w, h
+        + zeros(16)  # dwReserved[4]
     )
-    strh_hex = F.concat(  # 56-byte AVIStreamHeader
-        F.lit("76696473"),  # fccType 'vids'
-        F.lit("44494220"),  # fccHandler 'DIB '
-        zeros(12),  # flags/priority/language/initialframes
-        _le_hex(F.lit(1), 4),  # dwScale
-        _le_hex(F.lit(30), 4),  # dwRate
-        zeros(4),  # dwStart
-        _le_hex(nf, 4),  # dwLength (frames)
-        _le_hex(frame_size, 4),  # dwSuggestedBufferSize
-        zeros(16),  # quality/samplesize/rcFrame
+    strh_hex = (  # 56-byte AVIStreamHeader
+        "76696473"  # fccType 'vids'
+        "44494220"  # fccHandler 'DIB '
+        + zeros(12)  # flags/priority/language/initialframes
+        + le_const(1, 4)  # dwScale
+        + le_const(30, 4)  # dwRate
+        + zeros(4)  # dwStart
+        + f"', {le_var('nf', 4)}, "  # dwLength (frames)
+        + f"{le_var('frame_size', 4)}, '"  # dwSuggestedBufferSize
+        + zeros(16)  # quality/samplesize/rcFrame
     )
-    strf_hex = F.concat(  # 40-byte BITMAPINFOHEADER, no palette at 24bpp
-        _le_hex(F.lit(40), 4),  # biSize
-        _le_hex(w, 4),
-        _le_hex(h, 4),  # positive biHeight = bottom-up
-        _le_hex(F.lit(1), 2),  # biPlanes
-        _le_hex(F.lit(24), 2),  # biBitCount
-        zeros(4),  # biCompression = BI_RGB
-        _le_hex(frame_size, 4),  # biSizeImage
-        zeros(16),  # ppm/clrused/clrimportant
+    strf_hex = (  # 40-byte BITMAPINFOHEADER, no palette at 24bpp
+        le_const(40, 4)  # biSize
+        + f"', {le_var('w', 4)}, "
+        + f"{le_var('h', 4)}, '"  # positive biHeight = bottom-up
+        + le_const(1, 2)  # biPlanes
+        + le_const(24, 2)  # biBitCount
+        + zeros(4)  # biCompression = BI_RGB
+        + f"', {le_var('frame_size', 4)}, '"  # biSizeImage
+        + zeros(16)  # ppm/clrused/clrimportant
     )
-    movi_size = nf * (frame_size + 8) + 4
-    frames_hex = F.array_join(
-        F.transform(F.sequence(F.lit(0), (nf - 1).cast("int")), frame_hex),
-        "",
-    )
-    payload = F.unhex(
-        F.concat(
-            F.lit("52494646"),  # 'RIFF'
-            _le_hex(movi_size + 212, 4),  # 'AVI ' + hdrl chunk + movi hdr
-            F.lit("41564920"),  # 'AVI '
-            F.lit("4c495354"),  # LIST
-            _le_hex(F.lit(192), 4),
-            F.lit("6864726c"),  # 'hdrl'
-            F.lit("61766968"),  # 'avih'
-            _le_hex(F.lit(56), 4),
-            avih_hex,
-            F.lit("4c495354"),  # LIST
-            _le_hex(F.lit(116), 4),
-            F.lit("7374726c"),  # 'strl'
-            F.lit("73747268"),  # 'strh'
-            _le_hex(F.lit(56), 4),
-            strh_hex,
-            F.lit("73747266"),  # 'strf'
-            _le_hex(F.lit(40), 4),
-            strf_hex,
-            F.lit("4c495354"),  # LIST
-            _le_hex(movi_size, 4),
-            F.lit("6d6f7669"),  # 'movi'
-            frames_hex,
-        )
-    )
-    synth = docs.select(
-        F.col("doc_id").alias("media_id"), payload.alias("payload")
-    )
+    payload_sql = f"""unhex(concat(
+      '52494646', {le_var("movi_size + 212", 4)},
+      '41564920{"4c495354" + le_const(192, 4)}6864726c{"61766968" + le_const(56, 4)}',
+      '{avih_hex}',
+      '{"4c495354" + le_const(116, 4)}7374726c{"73747268" + le_const(56, 4)}',
+      '{strh_hex}',
+      '{"73747266" + le_const(40, 4)}',
+      '{strf_hex}',
+      '4c495354', {le_var("movi_size", 4)}, '6d6f7669',
+      array_join(
+        transform(sequence(0, CAST(nf - 1 AS INT)), f -> {frame_chunk}), ''
+      )
+    ))"""
+    synth = g.selectExpr("media_id", f"{payload_sql} AS payload")
     # the operator's pre-decode spread parallelizes the CPU-bound
     # Arrow hop (a small documents file arrives as ONE input split)
     return avi_frame_pixel_stats(synth).orderBy("media_id", "frame_idx")

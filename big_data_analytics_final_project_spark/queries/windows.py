@@ -1174,9 +1174,8 @@ QUERIES: dict[str, QuerySpec] = {
     "frequent_items_mg": QuerySpec(
         frequent_event_types_mg, FREQUENT_ITEMS_MG_SQL
     ),
-    # r9 rotation: uncommenting registers the Count-Min query
-    # (authored-and-parity-tested in r8; window was full — see
-    # tests/test_sketches.py, which already holds it to the registry
-    # bar with a FULL exact oracle) —
-    # "user_freq_cms": QuerySpec(user_freq_cms, USER_FREQ_CMS_SQL),
+    # registered r9 (authored-and-parity-tested in r8; window was full
+    # — tests/test_sketches.py held it to the registry bar with a FULL
+    # exact oracle since) —
+    "user_freq_cms": QuerySpec(user_freq_cms, USER_FREQ_CMS_SQL),
 }

@@ -35,18 +35,16 @@ def test_small_registry_any_rate_feasible():
     """60 queries, all green last round: forced sets stay ~20/round,
     so even the max 5/round rate survives a long horizon."""
     latest, reg = _state(60, green_round=7)
-    window = sorted(reg)[:WINDOW]
-    ok, forced = horizon_feasible(latest, reg, window, 8, 8, 5)
+    ok, forced = horizon_feasible(latest, reg, 8, 8, 5)
     assert ok, forced
-    assert all(f + 5 <= WINDOW for f in forced[1:])
+    assert all(f + 5 <= WINDOW for f in forced)
 
 
 def test_oversized_registry_infeasible_at_zero():
     """155 queries on a 3-round cadence need >51 slots/round on
     average — even 0 new/round must eventually fail."""
     latest, reg = _state(155, green_round=7)
-    window = sorted(reg)[:WINDOW]
-    ok, _ = horizon_feasible(latest, reg, window, 8, 9, 0)
+    ok, _ = horizon_feasible(latest, reg, 8, 9, 0)
     assert not ok
 
 
@@ -55,18 +53,42 @@ def test_forced_counts_replay_the_cadence():
     each round at exactly 50 forced-or-backfilled slots with zero
     room, and report feasibility at rate 0 only."""
     latest, reg = _state(150, green_round=7)
-    window = sorted(reg)[:WINDOW]
-    ok0, _ = horizon_feasible(latest, reg, window, 8, 9, 0)
-    ok1, _ = horizon_feasible(latest, reg, window, 8, 9, 1)
+    ok0, _ = horizon_feasible(latest, reg, 8, 9, 0)
+    ok1, _ = horizon_feasible(latest, reg, 8, 9, 1)
     assert ok0 and not ok1
+
+
+def test_exempt_twins_never_forced():
+    """155 queries is infeasible — unless 10 of them are
+    ROTATION_EXEMPT differential twins, which shrinks the rotating set
+    to 145 and restores feasibility at rate 0."""
+    latest, reg = _state(155, green_round=7)
+    exempt = frozenset(f"q{i}" for i in range(10))
+    ok, _ = horizon_feasible(latest, reg, 8, 9, 0, exempt=exempt)
+    assert ok
+
+
+def test_greedy_prep_round_ignores_stale_literal_window():
+    """The round-8 verdict's false alarm: 142 queries, 42 of them two
+    rounds stale (the driver just advanced the prep round, the literal
+    GRADING_PRIORITY not yet rotated). The greedy replay must report
+    feasible — rotated properly, the cadence fits — rather than
+    failing on the stale literal window as the old simulation did."""
+    latest = {f"q{i}": (6 if i < 42 else 7 if i < 92 else 8) for i in range(142)}
+    reg = set(latest)
+    ok, forced = horizon_feasible(latest, reg, 9, 6, 0)
+    assert ok, forced
+    assert forced[0] == 42  # the stale cohort is forced in the prep round
 
 
 def test_live_repo_has_a_feasible_rate():
     """The real registry + real green history must admit SOME rate
     (the main() FAIL branch means the cadence promise is already
-    broken — catch that here, in pytest, not at round end)."""
+    broken — catch that here, in pytest, not at round end). Greedy
+    prep-round simulation keeps this green between rounds; a FAIL
+    here means the registry genuinely cannot fit the cadence."""
     latest, prep = _MOD.latest_green_rounds()
     current = set(_MOD.fingerprints())
-    window = list(_MOD.grading_order())[:WINDOW]
-    ok, forced = horizon_feasible(latest, current, window, prep, 6, 0)
+    exempt = _MOD.ROTATION_EXEMPT
+    ok, forced = horizon_feasible(latest, current, prep, 6, 0, exempt=exempt)
     assert ok, forced
