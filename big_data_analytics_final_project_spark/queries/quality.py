@@ -280,6 +280,79 @@ ORDER BY recon_class
 """
 
 
+_PROFILE_COLS: dict[str, str] = {
+    # lineitem columns -> profile kind (operators/profile.py _kind)
+    "l_orderkey": "num",
+    "l_partkey": "num",
+    "l_suppkey": "num",
+    "l_linenumber": "num",
+    "l_quantity": "num",
+    "l_extendedprice": "num",
+    "l_discount": "num",
+    "l_tax": "num",
+    "l_returnflag": "str",
+    "l_linestatus": "str",
+    "l_shipdate": "time",
+}
+
+
+def lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass profile of the widest fact table — row count, null
+    count, exact distinct count, and typed min/max for all 11 lineitem
+    columns as a relation (operators/profile.py `table_profile`; the
+    capability the reference's print-`head()` validation
+    (spark_analysis.py) never had). The drift family's missing
+    baseline: `join_key_skew_report` reads key skew, this reads
+    everything else an ingest contract asserts.
+
+    Scale: one scan, one global aggregate; the 11-way exact
+    COUNT(DISTINCT) is Catalyst's Expand rewrite (the textbook ANALYZE
+    plan) — at 100 TB the operator's `exact_distinct=False` flag swaps
+    in mergeable HLL++ sketches with no Expand (plan-pinned in
+    tests/test_profile.py); the exact form is the oracle-gradeable
+    one."""
+    from ..operators.profile import table_profile
+
+    return table_profile(
+        load_table(spark, sf_dir, "lineitem"), list(_PROFILE_COLS)
+    )
+
+
+def _profile_col_sql(c: str, kind: str) -> str:
+    null_of = {
+        "num": "CAST(NULL AS DOUBLE)",
+        "us": "CAST(NULL AS BIGINT)",
+        "str": "CAST(NULL AS VARCHAR)",
+    }
+    mins = {
+        "num": (f"CAST(min({c}) AS DOUBLE)", f"CAST(max({c}) AS DOUBLE)"),
+        "time": (f"epoch_us(min({c}))", f"epoch_us(max({c}))"),
+        "str": (f"min({c})", f"max({c})"),
+    }[kind]
+    slots = {
+        "num": (mins[0], mins[1], null_of["us"], null_of["us"], null_of["str"], null_of["str"]),
+        "time": (null_of["num"], null_of["num"], mins[0], mins[1], null_of["str"], null_of["str"]),
+        "str": (null_of["num"], null_of["num"], null_of["us"], null_of["us"], mins[0], mins[1]),
+    }[kind]
+    return (
+        f"SELECT '{c}' AS column_name, count(*) AS n_rows,\n"
+        f"       count(*) - count({c}) AS n_nulls,\n"
+        f"       count(DISTINCT {c}) AS n_distinct,\n"
+        f"       {slots[0]} AS min_num, {slots[1]} AS max_num,\n"
+        f"       {slots[2]} AS min_us, {slots[3]} AS max_us,\n"
+        f"       {slots[4]} AS min_str, {slots[5]} AS max_str\n"
+        f"FROM lineitem"
+    )
+
+
+LINEITEM_PROFILE_SQL = (
+    "\nUNION ALL\n".join(
+        _profile_col_sql(c, k) for c, k in _PROFILE_COLS.items()
+    )
+    + "\nORDER BY column_name\n"
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "referential_integrity_audit": QuerySpec(
         referential_integrity_audit, REFERENTIAL_INTEGRITY_AUDIT_SQL
@@ -287,4 +360,9 @@ QUERIES: dict[str, QuerySpec] = {
     "order_totals_reconciliation": QuerySpec(
         order_totals_reconciliation, ORDER_TOTALS_RECONCILIATION_SQL
     ),
+    # r10 rotation: uncommenting registers the table profiler
+    # (authored+parity-tested r9 at both scales, tests/test_profile.py;
+    # r9's window was full — 5 backlog registrations + 42 forced + 3
+    # backfill — and the horizon budget is 1 new query/round) —
+    # "lineitem_profile": QuerySpec(lineitem_profile, LINEITEM_PROFILE_SQL),
 }

@@ -1,0 +1,109 @@
+"""The table profiler (operators/profile.py): hand-computable stats on
+a synthetic frame with NULLs (the testdata has none), the
+exact-vs-approx plan contract, and the r10-slated graded query's
+oracle parity at both scales (the registry bar, held here until its
+registration clears the rotation budget)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_analytics_final_project_spark.operators.profile import (
+    table_profile,
+)
+from big_data_analytics_final_project_spark.queries.quality import (
+    LINEITEM_PROFILE_SQL,
+    lineitem_profile,
+)
+
+from .conftest import SF_CORRECT, SF_SMOKE
+from .parity import compare
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    return spark.createDataFrame(
+        [
+            (1, 2.5, "b", "2024-01-02T00:00:00"),
+            (2, None, "a", "2024-01-01T00:00:00"),
+            (3, 7.5, None, None),
+            (4, 2.5, "c", "2024-01-03T12:00:00"),
+            (None, -1.0, "a", "2024-01-01T00:00:00"),
+        ],
+        "k: bigint, v: double, s: string, t: string",
+    ).withColumn("t", F.col("t").cast("timestamp"))
+
+
+def test_stats_by_hand(frame):
+    rows = {r["column_name"]: r for r in table_profile(frame).collect()}
+    assert set(rows) == {"k", "v", "s", "t"}
+    assert all(r["n_rows"] == 5 for r in rows.values())
+    k, v, s, t = rows["k"], rows["v"], rows["s"], rows["t"]
+    # nulls counted per column; distinct EXCLUDES nulls and dedups
+    assert (k["n_nulls"], k["n_distinct"]) == (1, 4)
+    assert (v["n_nulls"], v["n_distinct"]) == (1, 3)  # 2.5 twice
+    assert (s["n_nulls"], s["n_distinct"]) == (1, 3)  # 'a' twice
+    assert (t["n_nulls"], t["n_distinct"]) == (1, 3)
+    # typed min/max land in their kind's slot, others NULL
+    assert (k["min_num"], k["max_num"]) == (1.0, 4.0)
+    assert (v["min_num"], v["max_num"]) == (-1.0, 7.5)
+    assert (s["min_str"], s["max_str"]) == ("a", "c")
+    assert k["min_str"] is None and v["min_us"] is None
+    assert t["min_num"] is None and t["min_str"] is None
+    assert t["max_us"] - t["min_us"] == 216_000_000_000  # 2.5 days in us
+
+
+def test_unprofilable_and_unknown_columns_refused(frame):
+    with pytest.raises(ValueError, match="unknown"):
+        table_profile(frame, ["nope"])
+    arr = frame.withColumn("a", F.array(F.lit(1)))
+    with pytest.raises(ValueError, match="unprofilable"):
+        table_profile(arr, ["a"])
+    # default column selection just skips unprofilable types
+    assert {r["column_name"] for r in table_profile(arr).collect()} == {
+        "k",
+        "v",
+        "s",
+        "t",
+    }
+
+
+def test_exact_plan_expands_approx_plan_does_not(frame):
+    """The scale contract: multi-column exact COUNT(DISTINCT) is the
+    Expand rewrite (acceptable to ~TBs); exact_distinct=False must
+    plan as plain HLL partials with NO Expand — the 100 TB setting."""
+    exact = (
+        table_profile(frame)._jdf.queryExecution().executedPlan().toString()
+    )
+    approx = (
+        table_profile(frame, exact_distinct=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Expand" in exact
+    assert "Expand" not in approx
+
+
+def test_approx_matches_exact_counts_at_test_cardinality(frame):
+    """HLL++ at default rsd is exact-in-practice at tiny cardinality;
+    this pins the approx path's wiring (same schema, same non-distinct
+    stats) rather than the sketch's error bound."""
+    e = table_profile(frame).collect()
+    a = table_profile(frame, exact_distinct=False).collect()
+    assert [r.asDict() for r in e] == [r.asDict() for r in a]
+
+
+def test_lineitem_profile_matches_oracle(spark):
+    """Same bar as the registry gate: bit-exact at both scales. Own
+    DuckDB connection — the session `duck` fixture's views must not
+    be repointed."""
+    for sf in (SF_SMOKE, SF_CORRECT):
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'"
+        )
+        compare(lineitem_profile(spark, sf), con.sql(LINEITEM_PROFILE_SQL))
+        con.close()
