@@ -184,6 +184,18 @@ HEADLINE = [
     "customer_status_scd2",
     "events_hourly_anomaly",
     "segment_value_psi",
+    # added r9 (totals not comparable to BENCH_r8 on these lines): the
+    # five newly registered queries — per-user OLS trend and the skew
+    # report time the drift family's heaviest aggregates, the CMS row
+    # times the sketch partial-merge shuffle, the sampling row times
+    # the TakeOrdered top-(k+1) path, and the collapsed-Jaccard row
+    # times the dedup composition that replaces the pair-listing
+    # bottleneck on duplicate-heavy corpora
+    "user_spend_trend",
+    "join_key_skew_report",
+    "user_freq_cms",
+    "doc_weighted_sample",
+    "dedup_jaccard_collapsed",
 ]
 
 
