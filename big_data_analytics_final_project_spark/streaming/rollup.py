@@ -111,3 +111,67 @@ def read_hourly_rollup(spark, zone: str) -> DataFrame:
         )
         .orderBy("hour")
     )
+
+
+def score_hourly_anomalies(hourly: DataFrame) -> DataFrame:
+    """Trailing-window z-score anomaly scoring over an (hour, n_events)
+    frame — the STREAMING-SIDE twin of the graded
+    `queries.drift.events_hourly_anomaly`: score the continuously
+    maintained rollup zone instead of re-aggregating the event log, so
+    the monitor's per-trigger cost is the HOURLY frame (one row per
+    hour), not the event volume. Compose:
+
+        maintain_hourly_rollup(stream, zone, ckpt)   # standing fold
+        score_hourly_anomalies(                       # monitor read
+            read_hourly_rollup(spark, zone).select("hour", "n_events"))
+
+    The scoring expressions REPLICATE the graded query's (trailing
+    24-bucket BIGINT sums, self-excluded frame, integer variance
+    numerator n·Σx² − (Σx)², 12-bucket warm-up, flat-window
+    infinite-sigma flag) rather than importing them: the graded
+    function's source is fingerprint-frozen between grading windows
+    (scripts/grading_manifest.py), so it cannot be refactored
+    mid-cycle — tests/test_streaming_anomaly.py instead holds the two
+    row-identical on the same input AND end-to-end (streamed zone →
+    score == batch query), which is the same anti-drift guarantee the
+    refactor would give. The bounded ORDER BY-only window is the
+    allowlisted hourly-frame pattern (plans/lint.py)."""
+    from pyspark.sql import Window
+
+    warmup, z_thresh = 12, 3.0
+    w = Window.orderBy("hour").rowsBetween(-24, -1)
+    n = F.col("n_events")
+    t = hourly.select(
+        "hour",
+        "n_events",
+        F.count("n_events").over(w).alias("n_trail"),
+        F.sum("n_events").over(w).alias("s"),
+        F.sum(n * n).over(w).alias("sq"),
+    )
+    var_num = F.col("n_trail") * F.col("sq") - F.col("s") * F.col("s")
+    mean = F.when(
+        F.col("n_trail") > 0, F.col("s").cast("double") / F.col("n_trail")
+    )
+    z = F.when(
+        (F.col("n_trail") >= warmup) & (var_num > 0),
+        (n.cast("double") - F.col("s").cast("double") / F.col("n_trail"))
+        / F.sqrt(
+            var_num.cast("double")
+            / (F.col("n_trail") * F.col("n_trail")).cast("double")
+        ),
+    )
+    flat_dev = (
+        (F.col("n_trail") >= warmup)
+        & (var_num == 0)
+        & (n * F.col("n_trail") != F.col("s"))
+    )
+    return t.select(
+        "hour",
+        "n_events",
+        "n_trail",
+        mean.alias("trail_mean"),
+        z.alias("z"),
+        (F.coalesce(F.abs(z) > z_thresh, F.lit(False)) | flat_dev).alias(
+            "is_anomaly"
+        ),
+    ).orderBy("hour")
