@@ -27,19 +27,20 @@ class QuerySpec:
 # registry (`__spark_entry__.queries()`) per round, so that iteration
 # order is the grading surface.
 #
-# ROTATION SCHEDULE (3-round cadence — round-6 verdict #2): with 137
+# ROTATION SCHEDULE (3-round cadence — round-6 verdict #2): with 147
 # registered queries and a 50-row window, 2-round full coverage is
-# arithmetically impossible (it would need 69 slots/round); the policy
-# is therefore: every query gets a green driver row at least every
-# THREE rounds. scripts/grading_manifest.py enforces both halves
-# mechanically: (a) anything whose latest green row would fall 3+
-# rounds old MUST be in this round's window, and (b) a schedule
-# simulation (`--simulate`) proves the NEXT round's forced set also
-# fits in 50, so the cadence stays satisfiable rather than silently
-# drifting. Steady-state arithmetic: 137/3 = ~46 forced slots/round,
-# leaving ~4-5 slots of headroom — which caps NEW/CHANGED queries at
-# about five per round (adding more would make some future window
-# infeasible; the simulation catches it at authoring time).
+# arithmetically impossible; the policy is therefore: every NON-EXEMPT
+# query gets a green driver row at least every THREE rounds (the
+# ROTATION_EXEMPT differential twins below are carried by their
+# partner's row + pytest instead). scripts/grading_manifest.py
+# enforces it mechanically: (a) anything whose latest green row would
+# fall 3+ rounds old MUST be in this round's window, (b) a one-round
+# simulation proves the NEXT round's forced set also fits in 50, and
+# (c) a greedy multi-round horizon replay reports the sustainable
+# new-registration rate. Steady-state arithmetic: 140 rotating / 3 =
+# ~46.7 forced slots/round — the measured budget is ~1 NEW query per
+# round (author in round N with a commented QUERIES line + parity
+# tests, register in N+1).
 #
 # Window composition each round, in order: (1) every query whose
 # implementation or oracle is new or changed this round (fingerprint

@@ -335,10 +335,8 @@ def user_spend_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     member: an exact ordinary-least-squares slope of daily spend over
     the day index, flagging users whose spend is declining (the churn
     signal a retention monitor computes per account per week).
-
-    NOT YET REGISTERED: round 8's 50-slot grading window is full; the
-    r9 rotation registers this with the one-line QUERIES entry below
-    (it is fully oracle-parity-tested already in tests/test_trend.py).
+    Authored r8 (held to the registry bar by tests/test_trend.py while
+    the window was full), registered r9.
 
     Exactness: with x = epoch-day (int) and y = daily spend in
     micro-units (Σ of floor(v·1e6+0.5) — exact), the closed form
@@ -455,11 +453,9 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs, whether a key needs salting, AQE skew splitting, or a
     broadcast instead: per (table, key), row/key counts, the heaviest
     key's absolute count and parts-per-million share, and how many
-    keys run hotter than 2x / 10x the mean key load.
-
-    NOT YET REGISTERED: r8's grading window is full; r9 registers it
-    via the commented QUERIES line below (oracle-parity-tested now in
-    tests/test_trend.py alongside `user_spend_trend`).
+    keys run hotter than 2x / 10x the mean key load. Authored r8
+    (held to the registry bar by tests/test_trend.py while the window
+    was full), registered r9.
 
     Exactness: every statistic is integer arithmetic — the mean-load
     comparisons CROSS-MULTIPLY (c·n_keys > factor·n_rows) instead of
