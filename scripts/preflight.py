@@ -9,6 +9,8 @@ Sequence (each in its own subprocess so Spark sessions never overlap):
   2. scripts/grading_manifest.py         — every query new/changed since
      the last end-of-round freeze must be inside the driver's 50-entry
      grading window (the rule that bit rounds 3 AND 4)
+  2b. scripts/plan_lint.py               — registry-wide scale
+     anti-pattern sweep (cartesians, row UDFs, single-task windows)
   3. scripts/check_parity.py at sf0.01   — the driver's correctness gate
   4. scripts/driver_posture_smoke.py     — plain-session execution of
      every queries() entry + output-hashability guard
@@ -57,6 +59,7 @@ def main() -> int:
         steps.append(("pytest", [py, "-m", "pytest", "tests/", "-q"]))
     steps += [
         ("grading-window", [py, "scripts/grading_manifest.py"]),
+        ("plan-lint", [py, "scripts/plan_lint.py"]),
         ("parity@sf0.01", [py, "scripts/check_parity.py", "/root/testdata/sf0.01"]),
         ("posture", [py, "scripts/driver_posture_smoke.py", "/root/testdata/sf0.001"]),
         ("bench", [py, "bench.py"]),
