@@ -70,10 +70,13 @@ def test_unprofilable_and_unknown_columns_refused(frame):
     }
 
 
-def test_exact_plan_expands_approx_plan_does_not(frame):
-    """The scale contract: multi-column exact COUNT(DISTINCT) is the
-    Expand rewrite (acceptable to ~TBs); exact_distinct=False must
-    plan as plain HLL partials with NO Expand — the 100 TB setting."""
+def test_no_expand_in_either_mode(frame):
+    """The scale contract: NEITHER mode may take Catalyst's
+    multi-distinct Expand rewrite (n_cols-wide null-slotted partial-agg
+    keys — measured 22s on 600k lineitem rows before the per-column
+    union redesign). Exact mode plans one pruned-scan single-distinct
+    aggregate per column instead; approx mode is a single scan of HLL
+    partials."""
     exact = (
         table_profile(frame)._jdf.queryExecution().executedPlan().toString()
     )
@@ -83,8 +86,10 @@ def test_exact_plan_expands_approx_plan_does_not(frame):
         .executedPlan()
         .toString()
     )
-    assert "Expand" in exact
+    assert "Expand" not in exact
     assert "Expand" not in approx
+    # one distinct-agg branch per profiled column in exact mode
+    assert exact.count("count(distinct") >= 4
 
 
 def test_approx_matches_exact_counts_at_test_cardinality(frame):
