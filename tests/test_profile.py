@@ -112,3 +112,60 @@ def test_lineitem_profile_matches_oracle(spark):
         )
         compare(lineitem_profile(spark, sf), con.sql(LINEITEM_PROFILE_SQL))
         con.close()
+
+
+def test_profile_diff_flags_each_drift_kind(spark):
+    """Hand-built reference vs current zones, one drift per column:
+    `gone`/`added` trip schema_drift, `v` trips null_drift (0 -> 40%),
+    `k` trips distinct_drift (5 distinct -> 1 at equal rows), `s`
+    trips range_drift ('d' > reference max 'c'), and nothing else
+    flags."""
+    from big_data_analytics_final_project_spark.operators.profile import (
+        profile_diff,
+    )
+
+    ref_df = spark.createDataFrame(
+        [(i, float(i), "abc"[i % 3], i) for i in range(5)],
+        "k: bigint, v: double, s: string, gone: bigint",
+    )
+    cur_df = spark.createDataFrame(
+        [
+            (0, 1.0, "a", 7),
+            (0, None, "b", 7),
+            (0, 2.0, "c", 7),
+            (0, None, "d", 7),
+            (0, 3.0, "a", 7),
+        ],
+        "k: bigint, v: double, s: string, added: bigint",
+    )
+    d = {
+        r["column_name"]: r
+        for r in profile_diff(
+            table_profile(ref_df), table_profile(cur_df)
+        ).collect()
+    }
+    assert set(d) == {"k", "v", "s", "gone", "added"}
+    assert d["gone"]["schema_drift"] and not d["gone"]["in_cur"]
+    assert d["added"]["schema_drift"] and not d["added"]["in_ref"]
+    assert d["v"]["null_drift"]  # 0 ppm -> 400000 ppm
+    assert d["v"]["null_ppm_ref"] == 0 and d["v"]["null_ppm_cur"] == 400000
+    assert d["k"]["distinct_drift"]  # 5 -> 1 distinct at equal rows
+    assert d["s"]["range_drift"]  # 'd' escapes ['a','c']
+    # no false positives on the clean dimensions
+    assert not d["k"]["null_drift"] and not d["k"]["range_drift"]
+    assert not d["s"]["schema_drift"] and not d["s"]["distinct_drift"]
+
+
+def test_profile_diff_identical_profiles_all_quiet(spark, frame):
+    from big_data_analytics_final_project_spark.operators.profile import (
+        profile_diff,
+    )
+
+    p = table_profile(frame)
+    for r in profile_diff(p, p).collect():
+        assert not (
+            r["schema_drift"]
+            or r["null_drift"]
+            or r["distinct_drift"]
+            or r["range_drift"]
+        ), r
