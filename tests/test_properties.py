@@ -343,3 +343,47 @@ def test_png_resize_mapping_is_nearest_neighbor(img, scale):
     px = np.array(vals, dtype=np.int64).reshape(h, w)
     out = px[np.ix_(rows, cols)]
     assert out.shape == (th, tw)
+
+
+# --- table profiler -----------------------------------------------------
+
+_profile_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(min_value=-5, max_value=5)),
+        st.one_of(
+            st.none(),
+            st.sampled_from([-2.5, -1.0, 0.0, 0.5, 1.0, 2.5, 7.25]),
+        ),
+        st.one_of(st.none(), st.sampled_from(["", "a", "ab", "b", "zz"])),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=_profile_rows)
+@settings(**_SETTINGS)
+def test_table_profile_matches_pure_python(spark, rows):
+    from big_data_analytics_final_project_spark.operators.profile import (
+        table_profile,
+    )
+
+    df = spark.createDataFrame(rows, "k: bigint, v: double, s: string")
+    got = {r["column_name"]: r for r in table_profile(df).collect()}
+    cols = list(zip(*rows))
+    for name, vals in zip(("k", "v", "s"), cols):
+        present = [x for x in vals if x is not None]
+        r = got[name]
+        assert r["n_rows"] == len(rows)
+        assert r["n_nulls"] == len(vals) - len(present)
+        assert r["n_distinct"] == len(set(present))
+        lo = min(present) if present else None
+        hi = max(present) if present else None
+        if name == "s":
+            assert (r["min_str"], r["max_str"]) == (lo, hi)
+            assert r["min_num"] is None and r["min_us"] is None
+        else:
+            want_lo = float(lo) if lo is not None else None
+            want_hi = float(hi) if hi is not None else None
+            assert (r["min_num"], r["max_num"]) == (want_lo, want_hi)
+            assert r["min_str"] is None and r["min_us"] is None
