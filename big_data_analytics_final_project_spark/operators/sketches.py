@@ -198,6 +198,51 @@ def cms_estimate(
     )
 
 
+def cms_join_size_estimate(
+    sketch_a: DataFrame, sketch_b: DataFrame, depth: int = 3
+) -> DataFrame:
+    """Equi-join cardinality estimate from two `count_min_sketch`es of
+    the join columns (SAME depth/width): the CMS inner-product
+    estimator — per hash row r, Σ_b a[r][b]·b[r][b]; the estimate is
+    the MIN over rows. This is the pre-join planning primitive that
+    pairs with `join_key_skew_report`: skew says HOW a key misbehaves,
+    this says how big ``|A ⨝ B|`` will be — from two sketch-sized
+    summaries, without touching either table again.
+
+    Guarantees (classic CMS algebra, test-pinned):
+    - `est >= true`: each row's inner product is Σ_keys a(k)·b(k)
+      plus nonnegative collision cross-terms, and the true join size
+      IS Σ_keys cnt_A(k)·cnt_B(k);
+    - equality when no pair of distinct keys collides in some row;
+    - built from merged sketches == built from unioned data (the
+      counters merge by addition).
+
+    Scale: both inputs are <= depth*width rows — the join, the
+    per-row products, and the min are all driver-trivial, executed as
+    a broadcast join over sketch-sized frames. Output: one row,
+    ``join_size_est`` BIGINT — exact-integer arithmetic throughout
+    (deterministic md5 counters), so the estimate itself is
+    oracle-gradeable."""
+    a = sketch_a.select("r", "bucket", F.col("cnt").alias("a"))
+    b = sketch_b.select("r", "bucket", F.col("cnt").alias("b"))
+    per_row = (
+        a.join(b, ["r", "bucket"])
+        .groupBy("r")
+        .agg(F.sum(F.col("a") * F.col("b")).alias("ip"))
+    )
+    # a hash row where NO bucket is occupied on both sides has inner
+    # product 0 — but the inner join drops it entirely, so min() over
+    # the PRESENT rows would lose that exact 0. Fewer than `depth`
+    # surviving rows means some row proved the join empty.
+    return per_row.agg(
+        F.when(F.count(F.lit(1)) < depth, F.lit(0))
+        .otherwise(F.min("ip"))
+        .cast("bigint")
+        .alias("join_size_est"),
+        F.lit(depth).alias("depth"),
+    )
+
+
 def hll_daily_sketches(
     df: DataFrame, ts_col: str, key_col: str, lgk: int = 12
 ) -> DataFrame:

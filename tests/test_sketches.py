@@ -308,3 +308,85 @@ def test_hll_rollup_day_coverage_and_warmup(spark):
     for r in rows:
         want = min(7, (r.day - first).days + 1)
         assert r.n_days_merged == want, (r.day, r.n_days_merged, want)
+
+
+def test_cms_join_size_upper_bound_and_exact_when_sparse(spark):
+    """The inner-product estimator: est >= |A join B| always; with
+    width >> keys (collision-free scatter) est == true exactly. True
+    join size is sum over keys of cnt_A(k)*cnt_B(k)."""
+    from big_data_analytics_final_project_spark.operators.sketches import (
+        cms_join_size_estimate,
+        count_min_sketch,
+    )
+
+    a_vals = ["a"] * 50 + ["b"] * 30 + ["c"] * 7 + ["x"]
+    b_vals = ["a"] * 4 + ["b"] * 10 + ["c"] * 2 + ["y"] * 5
+    ca, cb = Counter(a_vals), Counter(b_vals)
+    true_size = sum(ca[k] * cb[k] for k in ca.keys() & cb.keys())
+    dfa = spark.createDataFrame([(v,) for v in a_vals], "k: string")
+    dfb = spark.createDataFrame([(v,) for v in b_vals], "k: string")
+    for width in (8, 4096):
+        sa = count_min_sketch(dfa, "k", depth=3, width=width)
+        sb = count_min_sketch(dfb, "k", depth=3, width=width)
+        est = cms_join_size_estimate(sa, sb).collect()[0]["join_size_est"]
+        assert est >= true_size, (width, est, true_size)
+        if width == 4096:
+            assert est == true_size
+    # sanity: the real join agrees with the hand count
+    assert dfa.join(dfb, "k").count() == true_size
+
+
+def test_cms_join_size_zero_when_disjoint(spark):
+    """Disjoint key sets: some hash row proves the join empty (no
+    co-occupied bucket), and the estimator must return EXACTLY 0 even
+    though the inner join drops that row from the per-row frame."""
+    from big_data_analytics_final_project_spark.operators.sketches import (
+        cms_join_size_estimate,
+        count_min_sketch,
+    )
+
+    dfa = spark.createDataFrame([("a",), ("b",)], "k: string")
+    dfb = spark.createDataFrame([("x",), ("y",)], "k: string")
+    sa = count_min_sketch(dfa, "k", depth=3, width=4096)
+    sb = count_min_sketch(dfb, "k", depth=3, width=4096)
+    est = cms_join_size_estimate(sa, sb).collect()[0]["join_size_est"]
+    assert est == 0
+
+
+def test_cms_join_size_from_merged_sketches(spark):
+    """Sketch algebra end to end: sketches built per-part and summed
+    on (r, bucket) estimate the join of the UNIONED data — the
+    1000-executor build path."""
+    from big_data_analytics_final_project_spark.operators.sketches import (
+        cms_join_size_estimate,
+        count_min_sketch,
+    )
+
+    part1 = ["a"] * 5 + ["b"] * 3
+    part2 = ["a"] * 2 + ["c"] * 4
+    b_vals = ["a"] * 3 + ["c"] * 2
+    dfu = spark.createDataFrame([(v,) for v in part1 + part2], "k: string")
+    merged = (
+        count_min_sketch(
+            spark.createDataFrame([(v,) for v in part1], "k: string"), "k"
+        )
+        .unionByName(
+            count_min_sketch(
+                spark.createDataFrame([(v,) for v in part2], "k: string"),
+                "k",
+            )
+        )
+        .groupBy("r", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = count_min_sketch(dfu, "k")
+    sb = count_min_sketch(
+        spark.createDataFrame([(v,) for v in b_vals], "k: string"), "k"
+    )
+    est_merged = cms_join_size_estimate(merged, sb).collect()[0][
+        "join_size_est"
+    ]
+    est_whole = cms_join_size_estimate(whole, sb).collect()[0][
+        "join_size_est"
+    ]
+    assert est_merged == est_whole
