@@ -169,6 +169,49 @@ def table_profile(
     return base.select(*order).orderBy("column_name")
 
 
+def k_anonymity_report(
+    df: DataFrame, qi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination — the
+    structured-privacy counterpart of the text-side `doc_pii_scrub`:
+    before a table with user attributes ships into a training corpus,
+    count how many rows sit in QI-groups smaller than `k` (each such
+    row is re-identifiable by joining the QI columns against an
+    external dataset — the Sweeney linkage attack k-anonymity
+    guards against).
+
+    One row out: total rows, QI-group count, groups below k, rows at
+    risk (in sub-k groups), the smallest group size, and the boolean
+    verdict. NULL QI values are grouped as their own value (SQL
+    groupBy semantics): "unknown ZIP" is itself a linkable attribute
+    value, so rows sharing it legitimately anonymize each other.
+
+    Scale: ONE hash aggregate on the QI columns (map-side combinable)
+    + a group-count-sized summary aggregate — the same footprint as
+    any distinct-count; no window, no self-join. At 100 TB the group
+    frame is |distinct QI combos| rows, partition-parallel."""
+    if not qi_cols:
+        raise ValueError("qi_cols must name at least one column")
+    missing = [c for c in qi_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"unknown columns: {missing}")
+    groups = df.groupBy(*[F.col(c) for c in qi_cols]).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    risky = F.col("_n") < k
+    return groups.agg(
+        F.sum("_n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(risky.cast("bigint")).alias("n_groups_below_k"),
+        F.sum(F.when(risky, F.col("_n")).otherwise(0)).alias(
+            "n_rows_at_risk"
+        ),
+        F.min("_n").alias("min_group_size"),
+        (F.min("_n") >= k).alias("is_k_anonymous"),
+        F.lit(k).alias("k"),
+    )
+
+
 def profile_diff(
     ref: DataFrame,
     cur: DataFrame,

@@ -169,3 +169,43 @@ def test_profile_diff_identical_profiles_all_quiet(spark, frame):
             or r["distinct_drift"]
             or r["range_drift"]
         ), r
+
+
+def test_k_anonymity_report_by_hand(spark):
+    """Hand-computable QI groups: ages x zips where one (34, '99999')
+    row is unique and a NULL-zip pair anonymizes itself at k=2."""
+    from big_data_analytics_final_project_spark.operators.profile import (
+        k_anonymity_report,
+    )
+
+    rows = (
+        [(30, "11111", i) for i in range(4)]
+        + [(30, "22222", i) for i in range(2)]
+        + [(34, "99999", 0)]
+        + [(40, None, 1), (40, None, 2)]
+    )
+    df = spark.createDataFrame(rows, "age: int, zip: string, uid: int")
+    r = k_anonymity_report(df, ["age", "zip"], k=2).collect()[0]
+    assert r["n_rows"] == 9
+    assert r["n_groups"] == 4
+    assert r["n_groups_below_k"] == 1  # only the unique (34, 99999)
+    assert r["n_rows_at_risk"] == 1
+    assert r["min_group_size"] == 1
+    assert not r["is_k_anonymous"] and r["k"] == 2
+    # at k=3 the NULL-zip pair and the (30, 22222) pair fall below too
+    r3 = k_anonymity_report(df, ["age", "zip"], k=3).collect()[0]
+    assert r3["n_groups_below_k"] == 3 and r3["n_rows_at_risk"] == 5
+
+
+def test_k_anonymity_validates_columns(spark):
+    from big_data_analytics_final_project_spark.operators.profile import (
+        k_anonymity_report,
+    )
+
+    df = spark.createDataFrame([(1,)], "a: int")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one"):
+        k_anonymity_report(df, [])
+    with _pytest.raises(ValueError, match="unknown"):
+        k_anonymity_report(df, ["nope"])
