@@ -1,7 +1,11 @@
-"""Table profiler — the ANALYZE/summary-statistics primitive a corpus
-pipeline runs before it trusts (or trains on) a zone: per column, row
-count, null count, distinct count, and typed min/max, computed in ONE
-scan and returned as a relation (one row per column).
+"""Dataset QA primitives: the table profiler (ANALYZE as a relation),
+the profile-diff drift report, and the k-anonymity privacy audit — the
+checks a corpus pipeline runs before it trusts (or trains on, or
+releases) a zone.
+
+`table_profile`: per column, row count, null count, distinct count,
+and typed min/max, computed in ONE scan and returned as a relation
+(one row per column).
 
 The reference has no profiling surface at all — its validation is
 `df.head()` printed to stdout (spark_analysis.py output sections);
