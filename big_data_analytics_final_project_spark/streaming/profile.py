@@ -27,7 +27,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.profile import _kind
-from ..sinks import upsert_zone
 
 PROFILE_LGK = 12
 
@@ -124,48 +123,17 @@ def fold_profile_batch(
     zone: str,
     cols: list[str] | None = None,
 ) -> None:
-    """Merge one micro-batch's column partials into the profile zone
-    (streaming/rollup.py's retry-guard discipline, keyed per column:
-    a column row already recording this batch id skips re-folding)."""
-    spark = batch_df.sparkSession
-    partial = batch_column_stats(batch_df, cols).withColumn(
-        "last_batch_id", F.lit(batch_id).cast("bigint")
-    )
-    if not partial.take(1):
-        return
-    jvm = spark._jvm
-    zone_path = jvm.org.apache.hadoop.fs.Path(zone)
-    fs = zone_path.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(zone_path):
-        upsert_zone(
-            spark,
-            partial,
-            zone,
-            key_cols=["column_name"],
-            partition_by=["column_name"],
-        )
-        return
-    existing = spark.read.parquet(zone)
-    covered = existing.filter(F.col("last_batch_id") >= batch_id).select(
-        "column_name"
-    )
-    todo = partial.join(F.broadcast(covered), "column_name", "left_anti")
-    if not todo.take(1):
-        return
-    touched = existing.join(
-        F.broadcast(todo.select("column_name")), "column_name", "left_semi"
-    )
-    merged = (
-        touched.unionByName(todo)
-        .groupBy("column_name")
-        .agg(*_merge_aggs(), F.max("last_batch_id").alias("last_batch_id"))
-    )
-    upsert_zone(
-        spark,
-        merged,
+    """Merge one micro-batch's column partials into the profile zone —
+    the retry-guarded fold (streaming/fold.py), keyed per column."""
+    from .fold import retry_guarded_fold
+
+    retry_guarded_fold(
+        batch_column_stats(batch_df, cols),
+        batch_id,
         zone,
         key_cols=["column_name"],
         partition_by=["column_name"],
+        merge_aggs=_merge_aggs,
     )
 
 

@@ -28,7 +28,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..queries.text import _QLOG_LUT, _QLOG_SCALE, _qlog2_nano_col
-from ..sinks import upsert_zone
 
 N_BINS = 10
 PSI_DRIFT_BITS = 0.25
@@ -85,56 +84,17 @@ def fold_bins_batch(
     batch_df: DataFrame, batch_id: int, bounds: DataFrame, zone: str
 ) -> None:
     """Additive fold of one micro-batch's (event_type, bin) partials
-    into the current-histogram zone — the retry-guard discipline of
-    streaming/rollup.py `fold_hourly_batch`, keyed per (type, bin):
-    only rows whose zone entry already records this batch id (or
-    later) are skipped on re-delivery."""
-    spark = batch_df.sparkSession
-    partial = bin_histogram(batch_df, bounds).withColumn(
-        "last_batch_id", F.lit(batch_id).cast("bigint")
-    )
-    if not partial.take(1):
-        return
-    jvm = spark._jvm
-    zone_path = jvm.org.apache.hadoop.fs.Path(zone)
-    fs = zone_path.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(zone_path):
-        upsert_zone(
-            spark,
-            partial,
-            zone,
-            key_cols=["event_type", "bin"],
-            partition_by=["event_type"],
-        )
-        return
-    existing = spark.read.parquet(zone)
-    covered = existing.filter(F.col("last_batch_id") >= batch_id).select(
-        "event_type", "bin"
-    )
-    todo = partial.join(
-        F.broadcast(covered), ["event_type", "bin"], "left_anti"
-    )
-    if not todo.take(1):
-        return
-    touched = existing.join(
-        F.broadcast(todo.select("event_type", "bin")),
-        ["event_type", "bin"],
-        "left_semi",
-    )
-    merged = (
-        touched.unionByName(todo)
-        .groupBy("event_type", "bin")
-        .agg(
-            F.sum("n").alias("n"),
-            F.max("last_batch_id").alias("last_batch_id"),
-        )
-    )
-    upsert_zone(
-        spark,
-        merged,
+    into the current-histogram zone — the retry-guarded fold
+    (streaming/fold.py), keyed per (type, bin)."""
+    from .fold import retry_guarded_fold
+
+    retry_guarded_fold(
+        bin_histogram(batch_df, bounds),
+        batch_id,
         zone,
         key_cols=["event_type", "bin"],
         partition_by=["event_type"],
+        merge_aggs=lambda: [F.sum("n").alias("n")],
     )
 
 

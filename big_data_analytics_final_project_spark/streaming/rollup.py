@@ -33,12 +33,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.numeric import DEC
-from ..sinks import upsert_zone
 
 
 def fold_hourly_batch(batch_df: DataFrame, batch_id: int, zone: str) -> None:
-    """Merge one micro-batch's hourly partials into the rollup zone."""
-    spark = batch_df.sparkSession
+    """Merge one micro-batch's hourly partials into the rollup zone —
+    the retry-guarded additive fold (streaming/fold.py; the per-hour
+    guard semantics documented there were first derived for this
+    zone)."""
+    from .fold import retry_guarded_fold
+
     partial = (
         batch_df.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
         .agg(
@@ -46,42 +49,19 @@ def fold_hourly_batch(batch_df: DataFrame, batch_id: int, zone: str) -> None:
             F.sum(F.col("value").cast(DEC)).alias("sum_value_dec"),
         )
         .withColumn("day", F.to_date("hour"))
-        .withColumn("last_batch_id", F.lit(batch_id).cast("bigint"))
     )
-    if not partial.take(1):
-        return
-    # Existence probe, not exception-catching: a zone that exists but
-    # fails to READ must abort, never degrade to a fresh first write.
-    jvm = spark._jvm
-    zone_path = jvm.org.apache.hadoop.fs.Path(zone)
-    fs = zone_path.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(zone_path):
-        upsert_zone(
-            spark, partial, zone, key_cols=["hour"], partition_by=["day"]
-        )
-        return
-    existing = spark.read.parquet(zone)
-    # Per-hour retry guard: an hour whose zone row already records this
-    # batch id (or later) has this batch's contribution folded in; every
-    # other hour of the batch — new hours, or hours a partially-applied
-    # earlier attempt missed — still needs folding.
-    covered = existing.filter(F.col("last_batch_id") >= batch_id).select("hour")
-    todo = partial.join(F.broadcast(covered), "hour", "left_anti")
-    if not todo.take(1):
-        return
-    touched = existing.join(
-        F.broadcast(todo.select("hour")), "hour", "left_semi"
-    )
-    merged = (
-        touched.unionByName(todo)
-        .groupBy("hour", "day")
-        .agg(
+    retry_guarded_fold(
+        partial,
+        batch_id,
+        zone,
+        key_cols=["hour"],
+        partition_by=["day"],
+        merge_aggs=lambda: [
             F.sum("n_events").alias("n_events"),
             F.sum("sum_value_dec").cast(DEC).alias("sum_value_dec"),
-            F.max("last_batch_id").alias("last_batch_id"),
-        )
+            F.first("day").alias("day"),
+        ],
     )
-    upsert_zone(spark, merged, zone, key_cols=["hour"], partition_by=["day"])
 
 
 def maintain_hourly_rollup(events: DataFrame, zone: str, checkpoint: str):
