@@ -90,8 +90,56 @@ def latest_green_rounds() -> tuple[dict[str, int], int]:
     return latest, max_round + 1
 
 
+def suggest_window(
+    current: dict[str, str],
+    latest: dict[str, int],
+    prep_round: int,
+    new_budget: int,
+) -> tuple[list[str], list[str], int]:
+    """The greedy rotation's concrete window for `prep_round`:
+    (forced, backfill, slots_left_for_new). Forced = non-exempt
+    queries whose latest green predates prep_round-2 OR that are
+    new/changed vs the frozen manifest (they MUST be graded);
+    backfill = oldest-green non-exempt queries filling what the
+    forced set and the reserved new-registration budget leave."""
+    frozen = {}
+    if os.path.exists(MANIFEST):
+        with open(MANIFEST) as f:
+            frozen = json.load(f)
+    rotating = [n for n in current if n not in ROTATION_EXEMPT]
+    forced = sorted(
+        n
+        for n in current
+        if (n not in ROTATION_EXEMPT and latest.get(n, 0) < prep_round - 2)
+        or frozen.get(n) != current[n]
+    )
+    room = max(0, WINDOW - len(forced) - new_budget)
+    backfill = sorted(
+        (n for n in rotating if n not in forced),
+        key=lambda n: (latest.get(n, 0), n),
+    )[:room]
+    return forced, backfill, WINDOW - len(forced) - len(backfill)
+
+
 def main() -> int:
     current = fingerprints()
+    if "--suggest" in sys.argv:
+        latest, prep_round = latest_green_rounds()
+        forced, backfill, free = suggest_window(
+            current, latest, prep_round, new_budget=1
+        )
+        print(
+            f"# suggested GRADING_PRIORITY for round {prep_round} "
+            f"({len(forced)} forced + {len(backfill)} backfill, "
+            f"{free} slot(s) left for new registrations):"
+        )
+        print("# -- forced (stale or new/changed) --")
+        for n in forced:
+            print(f'    "{n}",')
+        print("# -- oldest-green backfill --")
+        for n in backfill:
+            print(f'    "{n}",')
+        return 0
     if "--freeze" in sys.argv:
         with open(MANIFEST, "w") as f:
             json.dump(current, f, indent=1, sort_keys=True)

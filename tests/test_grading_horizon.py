@@ -92,3 +92,29 @@ def test_live_repo_has_a_feasible_rate():
     exempt = _MOD.ROTATION_EXEMPT
     ok, forced = horizon_feasible(latest, current, prep, 6, 0, exempt=exempt)
     assert ok, forced
+
+
+def test_suggest_window_invariants():
+    """--suggest's window must contain every forced entry, never
+    exceed the 50 slots, never name an exempt query in backfill, and
+    leave the declared room for new registrations."""
+    latest, prep = _MOD.latest_green_rounds()
+    current = _MOD.fingerprints()
+    forced, backfill, free = _MOD.suggest_window(
+        current, latest, prep, new_budget=1
+    )
+    assert len(forced) + len(backfill) + free == WINDOW
+    # the reserved new-registration slot survives whenever the forced
+    # set leaves any room at all (a 50-forced round is a horizon-test
+    # problem, not a suggest problem)
+    if len(forced) < WINDOW:
+        assert free >= 1
+    assert not (set(forced) & set(backfill))
+    exempt = _MOD.ROTATION_EXEMPT
+    stale = {
+        n
+        for n in current
+        if n not in exempt and latest.get(n, 0) < prep - 2
+    }
+    assert stale <= set(forced)
+    assert not (set(backfill) & exempt)
