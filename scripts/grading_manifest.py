@@ -12,6 +12,8 @@ query (sha256 of the query function's source + its oracle SQL), frozen
 at the END of each round — i.e. the state the driver last graded.
 
     python scripts/grading_manifest.py            # check (preflight step)
+    python scripts/grading_manifest.py --suggest  # print the next round's
+                                                  # greedy window, paste-ready
     python scripts/grading_manifest.py --freeze   # refresh at end of round,
                                                   # AFTER the window rotation,
                                                   # as part of the final commit
