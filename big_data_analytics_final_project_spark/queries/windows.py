@@ -1025,6 +1025,9 @@ def frequent_event_types_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CMS_DEPTH = 3
 _CMS_WIDTH = 64
+# join-size estimation needs width ~ key-cardinality/error, not the
+# point-query width (join_size_cms docstring)
+_CMS_JOIN_WIDTH = 131072
 
 
 def user_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1109,6 +1112,112 @@ FROM est ORDER BY user_id
 """
 
 
+def join_size_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join cardinality estimate from Count-Min sketch algebra
+    (`operators.sketches.cms_join_size_estimate`): |orders ⨝ lineitem
+    ON orderkey| read off the two key columns' sketches via the CMS
+    inner-product estimator — per hash row Σ_b a[r][b]·b[r][b], min
+    over rows. With `join_key_skew_report` this is what a planner
+    consults BEFORE a 100 TB join runs: skew says how a key
+    misbehaves, this says how big the output will be — from two
+    depth×width summaries, without touching either table again.
+
+    Sizing is where the theory bites: the inner-product estimate
+    carries additive error ≤ e·‖a‖₁·‖b‖₁/width per row (min over
+    depth rows tightens it), so for a near-PK join — whose true size
+    is only ~‖b‖₁ — width must scale like the smaller side's KEY
+    CARDINALITY over the tolerated relative error, not the point-query
+    width 64 (which overestimated this join 235x when first measured).
+    At width 2^17 the measured estimate is 1.01x the true 6,000-row
+    join at sf0.001 and 1.11x the true 60,000 at sf0.01; the sketch
+    is still ≤ depth×width counters — KB-to-MB-scale state per side
+    regardless of table size.
+
+    Like `user_freq_cms`, every counter is an exact groupBy count
+    under deterministic md5 hashes, so the ESTIMATE itself is
+    partition-independent and gets a FULL exact oracle, and
+    `est_ge_true` pins the one-sided guarantee. The exact join here
+    exists only to judge the estimator — at 100 TB you would run ONLY
+    the sketches.
+
+    Scale: two one-scan sketch builds (shuffle ≤ depth×width partials
+    per task), a sketch-sized join for the inner products; the judging
+    exact join is the one expensive plan in the query and is exactly
+    what the estimator replaces in production."""
+    from ..operators.sketches import cms_join_size_estimate, count_min_sketch
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    sa = count_min_sketch(
+        orders.select("o_orderkey"), "o_orderkey",
+        depth=_CMS_DEPTH, width=_CMS_JOIN_WIDTH,
+    )
+    sb = count_min_sketch(
+        lineitem.select("l_orderkey"), "l_orderkey",
+        depth=_CMS_DEPTH, width=_CMS_JOIN_WIDTH,
+    )
+    est = cms_join_size_estimate(sa, sb, depth=_CMS_DEPTH).select(
+        "join_size_est"
+    )
+    true_size = (
+        orders.join(
+            lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
+        )
+        .agg(F.count(F.lit(1)).alias("true_size"))
+    )
+    return est.crossJoin(true_size).select(
+        "join_size_est",
+        "true_size",
+        (F.col("join_size_est") - F.col("true_size")).alias("overestimate"),
+        (F.col("join_size_est") >= F.col("true_size")).alias("est_ge_true"),
+    )
+
+
+JOIN_SIZE_CMS_SQL = f"""
+WITH d(r) AS (VALUES (0), (1), (2)),
+ka AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS _k FROM orders
+  WHERE o_orderkey IS NOT NULL
+),
+kb AS (
+  SELECT CAST(l_orderkey AS VARCHAR) AS _k FROM lineitem
+  WHERE l_orderkey IS NOT NULL
+),
+sa AS (
+  SELECT d.r,
+         ('0x' || substr(md5(CAST(d.r AS VARCHAR) || ':' || ka._k), 1, 8))
+           ::BIGINT % {_CMS_JOIN_WIDTH} AS bucket,
+         count(*) AS cnt
+  FROM ka CROSS JOIN d GROUP BY 1, 2
+),
+sb AS (
+  SELECT d.r,
+         ('0x' || substr(md5(CAST(d.r AS VARCHAR) || ':' || kb._k), 1, 8))
+           ::BIGINT % {_CMS_JOIN_WIDTH} AS bucket,
+         count(*) AS cnt
+  FROM kb CROSS JOIN d GROUP BY 1, 2
+),
+ip AS (
+  SELECT sa.r, CAST(SUM(sa.cnt * sb.cnt) AS BIGINT) AS ip
+  FROM sa JOIN sb USING (r, bucket) GROUP BY sa.r
+),
+est AS (
+  SELECT CAST(CASE WHEN count(*) < {_CMS_DEPTH} THEN 0 ELSE min(ip) END
+              AS BIGINT) AS join_size_est
+  FROM ip
+),
+tr AS (
+  SELECT count(*) AS true_size
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+)
+SELECT est.join_size_est,
+       CAST(tr.true_size AS BIGINT) AS true_size,
+       CAST(est.join_size_est - tr.true_size AS BIGINT) AS overestimate,
+       est.join_size_est >= tr.true_size AS est_ge_true
+FROM est CROSS JOIN tr
+"""
+
+
 FREQUENT_ITEMS_MG_SQL = """
 WITH tot AS (SELECT count(*) AS n FROM documents),
 ex AS (SELECT lang AS item, count(*) AS c FROM documents GROUP BY lang)
@@ -1178,4 +1287,9 @@ QUERIES: dict[str, QuerySpec] = {
     # — tests/test_sketches.py held it to the registry bar with a FULL
     # exact oracle since) —
     "user_freq_cms": QuerySpec(user_freq_cms, USER_FREQ_CMS_SQL),
+    # r10 rotation: uncommenting registers the CMS join-cardinality
+    # estimator (authored+parity-tested r9, tests/test_sketches.py;
+    # r9's window was full and the measured budget is 2 new/round —
+    # this plus lineitem_profile is exactly that budget) —
+    # "join_size_cms": QuerySpec(join_size_cms, JOIN_SIZE_CMS_SQL),
 }

@@ -390,3 +390,26 @@ def test_cms_join_size_from_merged_sketches(spark):
         "join_size_est"
     ]
     assert est_merged == est_whole
+
+
+def test_join_size_cms_query_matches_oracle(spark):
+    """The r10-slated graded twin at the registry bar: bit-exact at
+    both scales (own DuckDB connection per scale)."""
+    import duckdb
+
+    from big_data_analytics_final_project_spark.queries.windows import (
+        JOIN_SIZE_CMS_SQL,
+        join_size_cms,
+    )
+
+    from .conftest import SF_CORRECT, SF_SMOKE
+    from .parity import compare
+
+    for sf in (SF_SMOKE, SF_CORRECT):
+        con = duckdb.connect()
+        for t in ("orders", "lineitem"):
+            con.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'"
+            )
+        compare(join_size_cms(spark, sf), con.sql(JOIN_SIZE_CMS_SQL))
+        con.close()
