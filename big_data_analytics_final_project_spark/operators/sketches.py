@@ -27,7 +27,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -303,4 +303,152 @@ def hll_rolling_distinct(
         F.col("target_day").alias("day"),
         "n_days_merged",
         F.hll_sketch_estimate("merged").alias("approx_distinct"),
+    )
+
+
+def histogram_daily_sketches(
+    df: DataFrame,
+    ts_col: str,
+    val_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 128,
+) -> DataFrame:
+    """Per-day fixed-edge equi-width histogram of `val_col`:
+    ``(day, bin, cnt)`` — the quantile member of the sketch-rollup
+    family (HLL distinct at `hll_daily_sketches`, CMS frequency at
+    `count_min_sketch`).
+
+    Why not `percentile_approx` per window: its GK state is not a
+    storable, mergeable relation — a rolling 7-day percentile either
+    rescans 7 days of raw values per output day or shuffles the full
+    (day x value) space. A fixed-edge histogram IS mergeable (counts
+    add), carries <= n_bins rows per day, and bounds the quantile
+    error by ONE BIN WIDTH — an explicit, tunable contract, vs GK's
+    rank-error epsilon on a state you cannot persist relationally.
+
+    Edges are FIXED PARAMETERS (not data-derived): data-dependent
+    edges would make day A's bins incompatible with day B's and break
+    the merge. Values outside [lo, hi) clamp into the edge bins, so
+    edge-bin estimates are lower/upper bounds there; pick [lo, hi)
+    from domain knowledge or a one-time profile (operators/profile.py
+    gives min/max in the same scan it profiles everything else).
+    NULLs are excluded. Deterministic integer counts + closed-form bin
+    arithmetic: an exact SQL oracle can reproduce every output bit.
+    """
+    width = (hi - lo) / n_bins
+    b = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col(val_col) - F.lit(lo)) / F.lit(width)).cast("int"),
+        ),
+    )
+    return (
+        df.filter(F.col(val_col).isNotNull())
+        .groupBy(F.to_date(F.col(ts_col)).alias("day"), b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_rolling_quantiles(
+    daily: DataFrame,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int = 128,
+    window_days: int = 7,
+) -> DataFrame:
+    """Rolling `window_days`-day quantile estimates from per-day
+    histograms: ``(day, n_days_merged, q, estimate)``.
+
+    Merging is exact (bin counts add), so pre-aggregation costs NO
+    accuracy vs histogramming each window from raw rows (test-pinned,
+    the same losslessness contract as `hll_rolling_distinct`). The
+    estimate is the type-1 (ceil-rank) quantile of the binned
+    distribution with linear interpolation inside the hit bin, hence
+    within one bin width of the true windowed quantile for in-range
+    values.
+
+    Everything downstream of the daily scan is day x bin sized: the
+    forward fan-out is `window_days` row copies of a <= n_bins-row
+    frame, the cumulative walk is a window over <= n_bins rows per
+    day (bounded frame — the repo's allowlisted window discipline),
+    and the q fan-out joins a len(qs)-literal array. Doubles appear
+    only in the final +,*,/ interpolation — IEEE-exact operations, so
+    the output is bit-identical across engines.
+    """
+    w = window_days
+    width = (hi - lo) / n_bins
+    fanned = daily.select(
+        F.explode(F.sequence(F.lit(0), F.lit(w - 1))).alias("_off"),
+        F.col("day"),
+        F.col("bin"),
+        F.col("cnt"),
+    ).select(
+        F.date_add(F.col("day"), F.col("_off")).alias("target_day"),
+        "day",
+        "bin",
+        "cnt",
+    )
+    merged = fanned.groupBy("target_day", "bin").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    days_per_target = fanned.groupBy("target_day").agg(
+        F.count_distinct("day").alias("n_days_merged")
+    )
+    by_day = Window.partitionBy("target_day").orderBy("bin")
+    cum = merged.select(
+        "target_day",
+        "bin",
+        "cnt",
+        F.sum("cnt").over(by_day).alias("_cum"),
+        F.sum("cnt")
+        .over(Window.partitionBy("target_day"))
+        .alias("_total"),
+    ).withColumn("_cum_prev", F.col("_cum") - F.col("cnt"))
+    hit = (
+        cum.select(
+            "*",
+            F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+        )
+        .withColumn(
+            "_rank",
+            F.greatest(
+                F.lit(1).cast("bigint"),
+                F.least(
+                    F.col("_total"),
+                    F.ceil(F.col("q") * F.col("_total")),
+                ),
+            ),
+        )
+        .filter(
+            (F.col("_cum_prev") < F.col("_rank"))
+            & (F.col("_rank") <= F.col("_cum"))
+        )
+    )
+    est = hit.select(
+        "target_day",
+        "q",
+        (
+            F.lit(float(lo))
+            + F.lit(float(width))
+            * (
+                F.col("bin")
+                + (F.col("_rank") - F.col("_cum_prev")) / F.col("cnt")
+            )
+        ).alias("estimate"),
+    )
+    observed = daily.select("day").distinct().select(
+        F.col("day").alias("target_day")
+    )
+    return (
+        est.join(F.broadcast(observed), "target_day")
+        .join(F.broadcast(days_per_target), "target_day")
+        .select(
+            F.col("target_day").alias("day"),
+            "n_days_merged",
+            "q",
+            "estimate",
+        )
     )

@@ -1,0 +1,134 @@
+"""Bloom semi-join: exactness against the plain left_semi join on
+random key universes (hypothesis), the no-false-negative guarantee of
+the prune stage alone, a measured false-positive rate against the
+(1 - e^(-kn/m))^k theory, and NULL-key semi-join semantics."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from big_data_analytics_final_project_spark.operators.bloomjoin import (
+    bloom_build,
+    bloom_prune,
+    bloom_semi_join,
+)
+
+
+def _frames(spark, fact_keys, build_keys):
+    fact = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(fact_keys)], "k: string, payload: int"
+    ).repartition(8)
+    build = spark.createDataFrame(
+        [(k,) for k in build_keys], "k: string"
+    ).repartition(4)
+    return fact, build
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    fact_keys=st.lists(
+        st.integers(min_value=0, max_value=200).map(str),
+        min_size=0,
+        max_size=120,
+    ),
+    build_keys=st.lists(
+        st.integers(min_value=0, max_value=200).map(str),
+        min_size=0,
+        max_size=60,
+    ),
+    n_bits=st.sampled_from([64, 256, 4096]),
+    n_hashes=st.sampled_from([1, 3, 5]),
+)
+def test_exactly_equals_plain_semi_join(
+    spark, fact_keys, build_keys, n_bits, n_hashes
+):
+    """Row-identical to the un-accelerated semi-join at ANY geometry,
+    including absurdly undersized filters (64 bits) where nearly every
+    probe is a false positive — the residual join must absorb them."""
+    fact, build = _frames(spark, fact_keys, build_keys)
+    got = sorted(
+        bloom_semi_join(
+            fact, "k", build, n_bits=n_bits, n_hashes=n_hashes
+        ).collect()
+    )
+    want = sorted(fact.join(build, "k", "left_semi").collect())
+    assert got == want
+
+
+def test_prune_has_no_false_negatives(spark):
+    """Every fact row whose key IS in the build side survives the
+    bloom stage (before the residual join)."""
+    fact_keys = [f"k{i}" for i in range(500)] * 2
+    build_keys = [f"k{i}" for i in range(0, 500, 7)]
+    fact, build = _frames(spark, fact_keys, build_keys)
+    bloom = bloom_build(build, "k", n_bits=1 << 12, n_hashes=5)
+    survived = {
+        r.k for r in bloom_prune(fact, "k", bloom, 1 << 12, 5).collect()
+    }
+    assert set(build_keys) <= survived
+
+
+def test_false_positive_rate_near_theory(spark):
+    """Probe with keys DISJOINT from the build side: the survivor
+    fraction is the FPR; it must stay within ~3x of the textbook
+    (1 - e^(-kn/m))^k (md5-derived positions are uniform enough)."""
+    n, m, k = 1000, 1 << 14, 5
+    build_keys = [f"b{i}" for i in range(n)]
+    probe_keys = [f"p{i}" for i in range(4000)]
+    fact, build = _frames(spark, probe_keys, build_keys)
+    bloom = bloom_build(build, "k", n_bits=m, n_hashes=k)
+    fp = bloom_prune(fact, "k", bloom, m, k).count()
+    theory = (1.0 - math.exp(-k * n / m)) ** k
+    measured = fp / 4000.0
+    assert measured <= max(3.0 * theory, 0.005), (measured, theory)
+    # and the filter is genuinely selective at this geometry
+    assert measured < 0.05
+
+
+def test_null_keys_follow_semi_join_semantics(spark):
+    """NULL never equi-joins: NULL fact keys are dropped, NULL build
+    keys set no bits, and the result still matches the plain semi-join
+    (which drops them identically)."""
+    fact = spark.createDataFrame(
+        [("a", 1), (None, 2), ("b", 3), (None, 4)], "k: string, payload: int"
+    )
+    build = spark.createDataFrame([("a",), (None,)], "k: string")
+    got = sorted(bloom_semi_join(fact, "k", build, n_bits=256).collect())
+    want = sorted(fact.join(build, "k", "left_semi").collect())
+    assert got == want
+    assert [r.k for r in got] == ["a"]
+
+
+def test_numeric_build_keys_cast_align(spark):
+    """Build side typed bigint, fact side string: the operator hashes
+    both through the same string cast, so '17' matches 17."""
+    fact = spark.createDataFrame(
+        [("17", 1), ("18", 2), ("19", 3)], "k: string, payload: int"
+    )
+    build = spark.createDataFrame([(17,), (19,)], "id: bigint")
+    got = sorted(
+        r.k
+        for r in bloom_semi_join(
+            fact, "k", build, build_key_col="id", n_bits=256
+        ).collect()
+    )
+    assert got == ["17", "19"]
+
+
+def test_plan_is_jvm_only_with_broadcast_words(spark):
+    """No Python eval anywhere; the word map reaches the probe side as
+    a broadcast (the scalar-frame pattern), not a shuffled join."""
+    fact_keys = [f"k{i}" for i in range(200)]
+    build_keys = [f"k{i}" for i in range(0, 200, 5)]
+    fact, build = _frames(spark, fact_keys, build_keys)
+    plan = bloom_semi_join(fact, "k", build)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

@@ -1,0 +1,181 @@
+"""Histogram quantile rollup: lossless merge (rolling from daily
+sketches == histogramming the raw window), one-bin-width accuracy
+against the true windowed quantile, exact equality with a pure-Python
+reference of the binned estimator on hypothesis-generated streams, and
+partitioning independence."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from big_data_analytics_final_project_spark.operators.sketches import (
+    histogram_daily_sketches,
+    histogram_rolling_quantiles,
+)
+
+LO, HI, BINS = 0.0, 100.0, 50
+WIDTH = (HI - LO) / BINS
+BASE = dt.datetime(2024, 3, 1, 12, 0, 0)
+
+
+def _df(spark, day_values, n_partitions=8):
+    """day_values: {day_offset: [floats]} -> (ts, v) frame."""
+    rows = [
+        (BASE + dt.timedelta(days=off), float(v))
+        for off, vals in day_values.items()
+        for v in vals
+    ]
+    return spark.createDataFrame(
+        rows, "ts: timestamp, v: double"
+    ).repartition(n_partitions)
+
+
+def _rolling(spark, day_values, qs, w):
+    daily = histogram_daily_sketches(
+        _df(spark, day_values), "ts", "v", LO, HI, BINS
+    )
+    out = histogram_rolling_quantiles(daily, qs, LO, HI, BINS, w).collect()
+    return {
+        (r.day.isoformat(), r.q): (r.n_days_merged, r.estimate) for r in out
+    }
+
+
+def _ref_estimate(values, q):
+    """Pure-Python reference of the SAME binned type-1 + interpolation
+    estimator (clamped bins, ceil rank)."""
+    bins = [0] * BINS
+    for v in values:
+        b = min(BINS - 1, max(0, math.floor((v - LO) / WIDTH)))
+        bins[b] += 1
+    total = sum(bins)
+    rank = max(1, min(total, math.ceil(q * total)))
+    cum = 0
+    for b, c in enumerate(bins):
+        if cum < rank <= cum + c:
+            return LO + WIDTH * (b + (rank - cum) / c)
+        cum += c
+    raise AssertionError("rank not reached")
+
+
+def _true_quantile(values, q):
+    s = sorted(values)
+    rank = max(1, min(len(s), math.ceil(q * len(s))))
+    return s[rank - 1]
+
+
+def test_rolling_merge_is_lossless(spark):
+    """A 3-day window's estimate equals the estimate from
+    histogramming the raw union of those 3 days directly — the
+    pre-aggregation costs nothing."""
+    day_values = {
+        0: [5.0, 7.0, 93.0],
+        1: [15.0] * 10 + [55.0],
+        2: [33.0, 34.0, 35.0, 90.0],
+        3: [1.0, 99.0],
+    }
+    got = _rolling(spark, day_values, [0.5, 0.9], w=3)
+    for target_off in range(4):
+        window_vals = [
+            v
+            for off, vals in day_values.items()
+            for v in vals
+            if target_off - 2 <= off <= target_off
+        ]
+        day = (BASE + dt.timedelta(days=target_off)).date().isoformat()
+        for q in (0.5, 0.9):
+            n_days, est = got[(day, q)]
+            assert n_days == len(
+                [o for o in day_values if target_off - 2 <= o <= target_off]
+            )
+            assert est == _ref_estimate(window_vals, q), (day, q)
+
+
+def test_estimate_within_one_bin_width(spark):
+    """For in-range data the estimate sits within one bin width of the
+    true (type-1) windowed quantile."""
+    day_values = {
+        0: [float(i % 97) for i in range(500)],
+        1: [float((i * 7) % 89) + 0.5 for i in range(400)],
+    }
+    got = _rolling(spark, day_values, [0.1, 0.5, 0.95], w=2)
+    day1 = (BASE + dt.timedelta(days=1)).date().isoformat()
+    window_vals = day_values[0] + day_values[1]
+    for q in (0.1, 0.5, 0.95):
+        _, est = got[(day1, q)]
+        assert abs(est - _true_quantile(window_vals, q)) <= WIDTH, q
+
+
+def test_out_of_range_values_clamp_to_edge_bins(spark):
+    """Values below lo / above hi land in the edge bins: estimates
+    stay inside [lo, hi] and become bounds at the edges."""
+    day_values = {0: [-50.0, -20.0, 50.0, 500.0, 600.0]}
+    got = _rolling(spark, day_values, [0.01, 0.5, 0.99], w=1)
+    day0 = BASE.date().isoformat()
+    for q in (0.01, 0.5, 0.99):
+        _, est = got[(day0, q)]
+        assert LO <= est <= HI
+    assert got[(day0, 0.5)][1] == _ref_estimate(day_values[0], 0.5)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    vals0=st.lists(
+        st.floats(min_value=0.0, max_value=99.9, allow_nan=False),
+        min_size=1,
+        max_size=60,
+    ),
+    vals1=st.lists(
+        st.floats(min_value=0.0, max_value=99.9, allow_nan=False),
+        min_size=1,
+        max_size=60,
+    ),
+    q=st.sampled_from([0.0, 0.25, 0.5, 0.75, 0.9, 1.0]),
+)
+def test_matches_pure_python_reference_exactly(spark, vals0, vals1, q):
+    """Bit-exact agreement with the reference estimator on arbitrary
+    streams — the determinism a DuckDB oracle would grade."""
+    day_values = {0: vals0, 1: vals1}
+    got = _rolling(spark, day_values, [q], w=2)
+    day1 = (BASE + dt.timedelta(days=1)).date().isoformat()
+    _, est = got[(day1, q)]
+    assert est == _ref_estimate(vals0 + vals1, q)
+
+
+def test_partitioning_independent(spark):
+    """Same estimates at 1 and 16 input partitions (exact integer
+    counts; no accumulation-order sensitivity)."""
+    day_values = {0: [float((i * 13) % 83) for i in range(300)]}
+    daily_1 = histogram_daily_sketches(
+        _df(spark, day_values, n_partitions=1), "ts", "v", LO, HI, BINS
+    )
+    daily_16 = histogram_daily_sketches(
+        _df(spark, day_values, n_partitions=16), "ts", "v", LO, HI, BINS
+    )
+    r1 = sorted(
+        histogram_rolling_quantiles(daily_1, [0.5], LO, HI, BINS, 1).collect()
+    )
+    r16 = sorted(
+        histogram_rolling_quantiles(
+            daily_16, [0.5], LO, HI, BINS, 1
+        ).collect()
+    )
+    assert r1 == r16
+
+
+def test_plan_is_jvm_only(spark):
+    day_values = {0: [1.0, 2.0], 1: [3.0]}
+    daily = histogram_daily_sketches(
+        _df(spark, day_values), "ts", "v", LO, HI, BINS
+    )
+    out = histogram_rolling_quantiles(daily, [0.5], LO, HI, BINS, 7)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
