@@ -1,0 +1,130 @@
+"""KMV bottom-k sketch: bit-exact agreement with a pure-Python md5
+reference (sketch rows, estimates — the future oracle), exactness
+below k, lossless merge, accuracy bounds on cardinality and Jaccard,
+partitioning independence, and NULL exclusion."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from big_data_analytics_final_project_spark.operators.kmv import (
+    HASH_DOMAIN,
+    kmv_distinct_estimate,
+    kmv_merge,
+    kmv_overlap,
+    kmv_sketch,
+)
+
+
+def _h(key) -> int:
+    return int(hashlib.md5(str(key).encode()).hexdigest()[:15], 16)
+
+
+def _ref_sketch(keys, k):
+    return sorted({_h(x) for x in keys if x is not None})[:k]
+
+
+def _ref_estimate(sketch, k):
+    n = len(sketch)
+    if n < k:
+        return float(n)
+    return (n - 1) / (sketch[-1] / HASH_DOMAIN)
+
+
+def _df(spark, keys, n_partitions=8):
+    return spark.createDataFrame(
+        [(x,) for x in keys], "key: string"
+    ).repartition(n_partitions)
+
+
+def test_exact_below_k(spark):
+    keys = [f"k{i}" for i in range(100)] * 3
+    sk = kmv_sketch(_df(spark, keys), "key", k=256)
+    got = [r.h for r in sk.collect()]
+    assert got == _ref_sketch(keys, 256)
+    est = kmv_distinct_estimate(sk, 256).collect()[0]
+    assert est.n_sketch == 100 and est.distinct_est == 100.0
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    keys=st.lists(
+        st.integers(min_value=0, max_value=5000).map(lambda i: f"u{i}"),
+        min_size=1,
+        max_size=300,
+    ),
+    k=st.sampled_from([4, 16, 64]),
+)
+def test_matches_pure_python_reference_exactly(spark, keys, k):
+    """Sketch rows AND the estimate are bit-identical to the reference
+    — the determinism a DuckDB oracle would grade."""
+    sk = kmv_sketch(_df(spark, keys), "key", k=k)
+    rows = [r.h for r in sk.orderBy("h").collect()]
+    ref = _ref_sketch(keys, k)
+    assert rows == ref
+    est = kmv_distinct_estimate(sk, k).collect()[0].distinct_est
+    assert est == _ref_estimate(ref, k)
+
+
+def test_merge_is_lossless(spark):
+    """bottom-k(KMV(A) ∪ KMV(B)) row-identical to KMV(A ∪ B)."""
+    a_keys = [f"a{i}" for i in range(800)]
+    b_keys = [f"a{i}" for i in range(400, 1200)]  # 50% overlap
+    k = 128
+    sk_a = kmv_sketch(_df(spark, a_keys), "key", k=k)
+    sk_b = kmv_sketch(_df(spark, b_keys), "key", k=k)
+    merged = sorted(r.h for r in kmv_merge(sk_a, sk_b, k).collect())
+    direct = sorted(
+        r.h for r in kmv_sketch(_df(spark, a_keys + b_keys), "key", k=k).collect()
+    )
+    assert merged == direct
+
+
+def test_cardinality_accuracy(spark):
+    """20k distinct keys, k=512: relative error within 4/sqrt(k)."""
+    n, k = 20000, 512
+    keys = [f"key_{i}" for i in range(n)]
+    sk = kmv_sketch(_df(spark, keys, n_partitions=16), "key", k=k)
+    est = kmv_distinct_estimate(sk, k).collect()[0].distinct_est
+    assert abs(est - n) / n <= 4 / math.sqrt(k), est
+
+
+def test_overlap_estimates(spark):
+    """|A|=|B|=6000 with 3000 shared: J=1/3, union=9000,
+    intersection=3000 — each within the ~1/sqrt(k) band."""
+    k = 512
+    a_keys = [f"x{i}" for i in range(6000)]
+    b_keys = [f"x{i}" for i in range(3000, 9000)]
+    sk_a = kmv_sketch(_df(spark, a_keys), "key", k=k)
+    sk_b = kmv_sketch(_df(spark, b_keys), "key", k=k)
+    r = kmv_overlap(sk_a, sk_b, k).collect()[0]
+    assert abs(r.jaccard_est - 1 / 3) <= 4 / math.sqrt(k)
+    assert abs(r.union_est - 9000) / 9000 <= 4 / math.sqrt(k)
+    assert abs(r.intersection_est - 3000) / 3000 <= 0.25
+    # disjoint sets: Jaccard exactly 0, intersection exactly 0
+    sk_c = kmv_sketch(_df(spark, [f"z{i}" for i in range(500)]), "key", k=k)
+    d = kmv_overlap(sk_a, sk_c, k).collect()[0]
+    assert d.jaccard_est == 0.0 and d.intersection_est == 0.0
+
+
+def test_partitioning_independent(spark):
+    keys = [f"p{i % 700}" for i in range(5000)]
+    one = [r.h for r in kmv_sketch(_df(spark, keys, 1), "key", k=64).collect()]
+    many = [
+        r.h for r in kmv_sketch(_df(spark, keys, 16), "key", k=64).collect()
+    ]
+    assert sorted(one) == sorted(many)
+
+
+def test_nulls_excluded(spark):
+    keys = ["a", None, "b", None]
+    sk = kmv_sketch(_df(spark, keys), "key", k=8)
+    assert sorted(r.h for r in sk.collect()) == _ref_sketch(["a", "b"], 8)
