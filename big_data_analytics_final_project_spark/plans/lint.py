@@ -152,6 +152,12 @@ COLLECT_ALLOW: dict[tuple[str, str], str] = {
         " data-sized); the corpus is persisted and scanned distributed"
         " — the MLlib iteration pattern"
     ),
+    ("operators/pca.py", "pca_fit"): (
+        "ONE moments relation of 1 + d + d^2 aggregate values (d=64:"
+        " 4,161 rows) collected for the driver-side d x d"
+        " eigendecomposition — model-sized, never data-sized; the"
+        " k-means k*d centroid precedent"
+    ),
     ("sources/__init__.py", "read_json_zone_with_skips"): (
         "ONE aggregate row (total + skipped counts) collected to"
         " surface the loader's ingest/skip counters, the reference's"
