@@ -42,7 +42,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -149,4 +149,135 @@ def kmv_overlap(sk_a: DataFrame, sk_b: DataFrame, k: int) -> DataFrame:
         (F.col("jaccard_est") * F.col("union_est")).alias(
             "intersection_est"
         ),
+    )
+
+
+def _kmv_group_fold(k: int, group_col: str):
+    def fold(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best: dict[str, set[int]] = {}
+        for pdf in it:
+            sub = pdf.dropna(subset=[group_col, "h"])
+            for g, hs in sub.groupby(group_col)["h"]:
+                cur = best.setdefault(str(g), set())
+                cur.update(int(v) for v in hs.unique())
+                if len(cur) > 8 * k:
+                    best[str(g)] = set(sorted(cur)[:k])
+        groups, hashes = [], []
+        for g, cur in best.items():
+            kept = sorted(cur)[:k]
+            groups.extend([g] * len(kept))
+            hashes.extend(kept)
+        yield pd.DataFrame(
+            {
+                group_col: pd.Series(groups, dtype="object"),
+                "h": pd.Series(hashes, dtype="int64"),
+            }
+        )
+
+    return fold
+
+
+def kmv_sketch_by(
+    df: DataFrame, group_col: str, key_col: str, k: int = 1024
+) -> DataFrame:
+    """Per-group KMV sketches in one pass: ``(group, h)`` with ≤ k rows
+    per group. The fold keeps a bounded per-group candidate set per
+    partition (the Misra-Gries dict discipline), so the shuffle
+    carries ≤ k rows per (partition, group) — never the distinct key
+    space — and the global bottom-k per group is a k-bounded window
+    over those candidates. NULL groups and NULL keys are excluded."""
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    local = (
+        df.filter(F.col(key_col).isNotNull() & F.col(group_col).isNotNull())
+        .select(F.col(group_col).cast("string").alias(group_col), h.alias("h"))
+        .mapInPandas(
+            _kmv_group_fold(k, group_col),
+            schema=T.StructType(
+                [
+                    T.StructField(group_col, T.StringType()),
+                    T.StructField("h", T.LongType()),
+                ]
+            ),
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy("h")
+    return (
+        local.distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def kmv_overlap_matrix(sketches: DataFrame, group_col: str, k: int) -> DataFrame:
+    """Pairwise overlap between every group pair from per-group
+    sketches alone: ``(group_a, group_b, jaccard_est, union_est,
+    intersection_est)`` for group_a < group_b.
+
+    The provenance dedup planner: "which sources duplicate each
+    other" across n sources costs n·k sketch rows total — the n²
+    pairwise answers never rescan a corpus. Per pair it is the same
+    bottom-K-of-union estimator as `kmv_overlap`, computed set-wise:
+    a self-join on h restricted to the union's bottom-K via a
+    per-pair rank window over ≤ 2k rows."""
+    # the distinct group list (n rows, broadcastable) crossed into
+    # ordered (ga < gb) pairs; each pair's hash union is then flagged
+    # per side and cut to its bottom-K
+    groups = sketches.select(
+        F.col(group_col).alias("ga")
+    ).distinct()
+    gpairs = (
+        groups.join(
+            groups.select(F.col("ga").alias("gb")),
+            F.col("ga") < F.col("gb"),
+        )
+    )
+    sk = sketches.select(group_col, "h")
+    left = gpairs.join(
+        sk.select(F.col(group_col).alias("ga"), F.col("h").alias("h")),
+        "ga",
+    ).select("ga", "gb", "h", F.lit(True).alias("_in_a"))
+    right = gpairs.join(
+        sk.select(F.col(group_col).alias("gb"), F.col("h").alias("h")),
+        "gb",
+    ).select("ga", "gb", "h", F.lit(True).alias("_in_b"))
+    union = (
+        left.join(right, ["ga", "gb", "h"], "full_outer")
+        .select(
+            "ga",
+            "gb",
+            "h",
+            F.coalesce("_in_a", F.lit(False)).alias("_in_a"),
+            F.coalesce("_in_b", F.lit(False)).alias("_in_b"),
+        )
+    )
+    w = Window.partitionBy("ga", "gb").orderBy("h")
+    bottom = union.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    est = bottom.groupBy("ga", "gb").agg(
+        F.count(F.lit(1)).alias("n_union_sketch"),
+        F.max("h").alias("_hk"),
+        F.sum((F.col("_in_a") & F.col("_in_b")).cast("long")).alias("_both"),
+    )
+    return est.select(
+        F.col("ga").alias("group_a"),
+        F.col("gb").alias("group_b"),
+        (F.col("_both") / F.col("n_union_sketch")).alias("jaccard_est"),
+        F.when(
+            F.col("n_union_sketch") < k,
+            F.col("n_union_sketch").cast("double"),
+        )
+        .otherwise(
+            (F.col("n_union_sketch") - 1) / (F.col("_hk") / F.lit(HASH_DOMAIN))
+        )
+        .alias("union_est"),
+    ).select(
+        "group_a",
+        "group_b",
+        "jaccard_est",
+        "union_est",
+        (F.col("jaccard_est") * F.col("union_est")).alias("intersection_est"),
     )

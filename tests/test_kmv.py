@@ -11,12 +11,16 @@ import math
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from pyspark.sql import functions as F
+
 from big_data_analytics_final_project_spark.operators.kmv import (
     HASH_DOMAIN,
     kmv_distinct_estimate,
     kmv_merge,
     kmv_overlap,
+    kmv_overlap_matrix,
     kmv_sketch,
+    kmv_sketch_by,
 )
 
 
@@ -128,3 +132,57 @@ def test_nulls_excluded(spark):
     keys = ["a", None, "b", None]
     sk = kmv_sketch(_df(spark, keys), "key", k=8)
     assert sorted(r.h for r in sk.collect()) == _ref_sketch(["a", "b"], 8)
+
+
+def test_groupwise_sketch_matches_per_group_reference(spark):
+    data = [("web", f"d{i}") for i in range(600)] + [
+        ("books", f"d{i}") for i in range(300, 700)
+    ] + [("code", f"c{i}") for i in range(200)]
+    df = spark.createDataFrame(
+        data, "source: string, doc: string"
+    ).repartition(8)
+    k = 64
+    sk = kmv_sketch_by(df, "source", "doc", k=k)
+    got = {}
+    for r in sk.collect():
+        got.setdefault(r.source, []).append(r.h)
+    for src in ("web", "books", "code"):
+        keys = [d for s, d in data if s == src]
+        assert sorted(got[src]) == _ref_sketch(keys, k), src
+
+
+def test_overlap_matrix_consistent_and_accurate(spark):
+    """The matrix row for (a, b) equals the standalone kmv_overlap of
+    those two groups' sketches bit-for-bit, and known ground-truth
+    overlaps land inside the acceptance band."""
+    k = 256
+    data = (
+        [("web", f"d{i}") for i in range(4000)]
+        + [("books", f"d{i}") for i in range(2000, 6000)]  # J=1/3 w/ web
+        + [("code", f"c{i}") for i in range(1000)]  # disjoint
+    )
+    df = spark.createDataFrame(
+        data, "source: string, doc: string"
+    ).repartition(8)
+    sk = kmv_sketch_by(df, "source", "doc", k=k).cache()
+    mat = {
+        (r.group_a, r.group_b): r
+        for r in kmv_overlap_matrix(sk, "source", k).collect()
+    }
+    assert set(mat) == {("books", "web"), ("books", "code"), ("code", "web")}
+    import math
+
+    wb = mat[("books", "web")]
+    assert abs(wb.jaccard_est - 1 / 3) <= 4 / math.sqrt(k)
+    assert abs(wb.union_est - 6000) / 6000 <= 4 / math.sqrt(k)
+    for pair in (("books", "code"), ("code", "web")):
+        assert mat[pair].jaccard_est == 0.0
+        assert mat[pair].intersection_est == 0.0
+    # bit-exact consistency with the two-sketch estimator
+    a = sk.filter(F.col("source") == "web").select("h")
+    b = sk.filter(F.col("source") == "books").select("h")
+    solo = kmv_overlap(b, a, k).collect()[0]
+    assert solo.jaccard_est == wb.jaccard_est
+    assert solo.union_est == wb.union_est
+    assert solo.intersection_est == wb.intersection_est
+    sk.unpersist()
