@@ -1,0 +1,202 @@
+"""Bigram language-model document scoring — the CCNet-style
+perplexity filter, the third leg of the curation stack next to the
+rule-based quality score (queries/text.py doc_quality_score) and the
+n-gram lang-id (doc_lang_id): rank every document by how UNLIKE the
+corpus it reads, then drop/bucket the tail (Wenzek et al., "CCNet:
+Extracting High Quality Monolingual Datasets from Web Crawl Data",
+LREC 2020 — there a KenLM 5-gram; here a smoothed bigram model whose
+training AND scoring are both single Spark passes, which is the part
+that matters at 100 TB).
+
+Model: top-V vocabulary by frequency (everything else → ``<unk>``),
+add-one-smoothed bigram probabilities over the MAPPED token stream:
+
+    P(w2 | w1) = (c(w1, w2) + 1) / (c(w1) + V')     V' = |vocab|+1
+
+Score: mean negative log2-likelihood per bigram (bits/token — lower =
+more corpus-like; 2^score is perplexity).
+
+Determinism: every log2 comes from the shared quantized LUT
+(queries/text.py `_qlog2_nano_col`) applied to INTEGER counts, so the
+per-doc sum is an exact BIGINT and the only double is the final
+division — bit-identical across engines and partitionings, the same
+contract `doc_unigram_entropy` grades under.
+
+Scale shape: two corpus scans train the model (vocab top-V =
+hash agg + TakeOrdered; bigram counts = one hash agg over the
+exploded-bigram stream with map-side combine); scoring is one more
+scan whose joins are all model-sized — vocab (V+1 rows) and unigram
+counts broadcast outright, bigram counts (≤ distinct observed pairs,
+≤ V'^2 but sparse in practice) joined on (w1, w2); then one per-doc
+hash agg. No UDFs anywhere — tokenization is the codegen'd
+`functions/text.py tokens` expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+from ..queries.text import _QLOG_LUT, _qlog2_nano_col
+
+UNK = "<unk>"
+
+
+def _doc_bigrams(
+    docs: DataFrame, doc_id_col: str, text_col: str
+) -> DataFrame:
+    """(doc_id, w1, w2) — one row per bigram position. Stages the token
+    array as a projection alias first (Catalyst does no CSE across
+    lambda boundaries — the round-4 cubic-blowup lesson)."""
+    staged = docs.select(
+        F.col(doc_id_col).alias("doc_id"),
+        tokens(F.col(text_col)).alias("_toks"),
+    )
+    n_t = F.size(F.col("_toks"))
+    pairs = F.when(
+        n_t >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n_t - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("_toks"), i).alias("w1"),
+                F.element_at(F.col("_toks"), i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    return staged.select(
+        "doc_id", F.explode(pairs).alias("_bg")
+    ).select("doc_id", F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+
+
+def lm_train(
+    docs: DataFrame, doc_id_col: str, text_col: str, vocab_k: int = 2048
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Fit the smoothed bigram model on a corpus.
+
+    Returns ``(vocab, unigrams, bigrams)``:
+    - vocab:    (token)            — the top-`vocab_k` tokens by corpus
+                                     frequency (ties broken by token,
+                                     deterministic); ``<unk>`` is NOT a
+                                     row (it is the mapping default)
+    - unigrams: (w1, c1)           — counts of the MAPPED stream's
+                                     bigram LEFT contexts
+    - bigrams:  (w1, w2, c12)      — mapped bigram counts
+
+    Unigram counts are derived from the bigram relation (Σ_w2 c12), so
+    Σ P(w2|w1) over the smoothed event space is exactly 1 per context.
+    """
+    bg = _doc_bigrams(docs, doc_id_col, text_col)
+    vocab = (
+        bg.select(F.explode(F.array("w1", "w2")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .orderBy(F.col("_c").desc(), "token")
+        .limit(vocab_k)
+        .select("token")
+    )
+    v1 = vocab.select(F.col("token").alias("w1"), F.lit(True).alias("_kv1"))
+    v2 = vocab.select(F.col("token").alias("w2"), F.lit(True).alias("_kv2"))
+    mapped = (
+        bg.join(F.broadcast(v1), "w1", "left")
+        .join(F.broadcast(v2), "w2", "left")
+        .select(
+            F.when(F.col("_kv1").isNotNull(), F.col("w1"))
+            .otherwise(F.lit(UNK))
+            .alias("w1"),
+            F.when(F.col("_kv2").isNotNull(), F.col("w2"))
+            .otherwise(F.lit(UNK))
+            .alias("w2"),
+        )
+    )
+    bigrams = mapped.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c12")
+    )
+    unigrams = bigrams.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    return vocab, unigrams, bigrams
+
+
+def lm_score(
+    docs: DataFrame,
+    doc_id_col: str,
+    text_col: str,
+    vocab: DataFrame,
+    unigrams: DataFrame,
+    bigrams: DataFrame,
+    vocab_k: int = 2048,
+) -> DataFrame:
+    """Score each document against the fitted model: returns
+    ``(doc_id, n_bigrams, nll_nanobits_total, avg_nll_bits)`` where
+    avg_nll_bits = mean -log2 P(w2|w1) per bigram (bits/token; 2^x is
+    perplexity). Docs with < 2 tokens get n_bigrams = 0 and NULL
+    score. nll_nanobits_total is the exact BIGINT the double derives
+    from — the cross-engine-gradable column.
+
+    Unseen smoothing exactly as trained: unseen (w1,w2) → c12 = 0;
+    unseen w1 context → c1 = 0 (probability 1/V').
+    """
+    spark = docs.sparkSession
+    lut_df = spark.createDataFrame([(_QLOG_LUT,)], "_lut: array<bigint>")
+    v_prime = vocab_k + 1  # +1 for <unk>; constant by construction
+    bg = _doc_bigrams(docs, doc_id_col, text_col)
+    v1 = vocab.select(F.col("token").alias("w1"), F.lit(True).alias("_kv1"))
+    v2 = vocab.select(F.col("token").alias("w2"), F.lit(True).alias("_kv2"))
+    mapped = (
+        bg.join(F.broadcast(v1), "w1", "left")
+        .join(F.broadcast(v2), "w2", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_kv1").isNotNull(), F.col("w1"))
+            .otherwise(F.lit(UNK))
+            .alias("w1"),
+            F.when(F.col("_kv2").isNotNull(), F.col("w2"))
+            .otherwise(F.lit(UNK))
+            .alias("w2"),
+        )
+    )
+    joined = (
+        mapped.join(bigrams, ["w1", "w2"], "left")
+        .join(F.broadcast(unigrams), "w1", "left")
+        .crossJoin(F.broadcast(lut_df))
+        .select(
+            "doc_id",
+            (
+                _qlog2_nano_col(
+                    F.coalesce(F.col("c1"), F.lit(0)) + F.lit(v_prime)
+                )
+                - _qlog2_nano_col(
+                    F.coalesce(F.col("c12"), F.lit(0)) + F.lit(1)
+                )
+            ).alias("_nll_nano"),
+        )
+    )
+    scored = joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("_nll_nano").alias("nll_nanobits_total"),
+    )
+    # re-attach zero-bigram docs (< 2 tokens) with NULL score
+    all_docs = docs.select(F.col(doc_id_col).alias("doc_id")).distinct()
+    return all_docs.join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        "nll_nanobits_total",
+        (
+            F.col("nll_nanobits_total")
+            / F.col("n_bigrams")
+            / F.lit(1e9)
+        ).alias("avg_nll_bits"),
+    )
+
+
+def lm_train_score(
+    docs: DataFrame,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_k: int = 2048,
+) -> DataFrame:
+    """Train on the corpus and score every document against it — the
+    self-perplexity ranking CCNet uses for quality bucketing."""
+    vocab, unigrams, bigrams = lm_train(docs, doc_id_col, text_col, vocab_k)
+    return lm_score(
+        docs, doc_id_col, text_col, vocab, unigrams, bigrams, vocab_k
+    )
