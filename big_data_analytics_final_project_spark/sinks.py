@@ -29,8 +29,9 @@ def write_zone(
     partition_by: list[str] | None = None,
     sort_within_partitions: list[str] | None = None,
     dynamic_overwrite: bool = False,
+    format: str = "parquet",
 ) -> None:
-    """Partitioned (optionally sorted) parquet zone — the layout that
+    """Partitioned (optionally sorted) columnar zone — the layout that
     gives prefix-scan parity with the reference's HBase rowkey design
     (SURVEY.md OPT-3): partition on the cluster key, sort within files
     on the range key so min/max stats prune.
@@ -38,7 +39,12 @@ def write_zone(
     ``dynamic_overwrite=True`` replaces ONLY the partitions present in
     ``df`` (incremental loads: a daily backfill rewrites that day, the
     other 10 years of a 100 TB zone stay untouched); the default static
-    overwrite truncates the whole zone first."""
+    overwrite truncates the whole zone first.
+
+    ``format``: ``parquet`` (default) or ``orc`` — both builtin
+    columnar formats carry the same partition/sort/min-max-stat
+    machinery, so an ORC-standardized lake swaps one argument
+    (roundtrip equality test-pinned in tests/test_sinks_sources.py)."""
     if sort_within_partitions:
         df = df.sortWithinPartitions(*sort_within_partitions)
     if dynamic_overwrite and not partition_by:
@@ -51,7 +57,9 @@ def write_zone(
         writer = writer.option("partitionOverwriteMode", "dynamic")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(path)
+    if format not in ("parquet", "orc"):
+        raise ValueError(f"unsupported zone format: {format}")
+    writer.format(format).save(path)
 
 
 def write_bucketed_table(

@@ -463,3 +463,30 @@ def test_summary_txt(tmp_root):
         content = f.read()
     assert "corr_spend_sessions: 0.42" in content
     assert "n_users: 150" in content
+
+
+def test_orc_zone_roundtrip_matches_parquet(spark, tmp_root):
+    """write_zone(format='orc'): same partition/sort machinery, same
+    rows back — an ORC-standardized lake swaps one argument."""
+    df = spark.createDataFrame(
+        [(d % 3, i, float(i) / 7) for d in range(3) for i in range(50)],
+        "day: int, k: int, v: double",
+    )
+    pq, orc = f"{tmp_root}/zone_pq", f"{tmp_root}/zone_orc"
+    write_zone(df, pq, partition_by=["day"], sort_within_partitions=["k"])
+    write_zone(
+        df,
+        orc,
+        partition_by=["day"],
+        sort_within_partitions=["k"],
+        format="orc",
+    )
+    got_pq = sorted(
+        (r.day, r.k, r.v) for r in spark.read.parquet(pq).collect()
+    )
+    got_orc = sorted(
+        (r.day, r.k, r.v) for r in spark.read.orc(orc).collect()
+    )
+    assert got_orc == got_pq and len(got_orc) == 150
+    with pytest.raises(ValueError):
+        write_zone(df, f"{tmp_root}/zone_bad", format="avro")
