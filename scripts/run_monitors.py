@@ -18,6 +18,12 @@ per drop, each backed by a graded query or a tested operator:
 - `k_anonymity.txt`        QI privacy verdict over (user_id-bucket,
                            event_type) — a deliberately coarse QI so
                            the report exercises both outcomes
+- `rolling_quantiles/`     7-day rolling p50/p95/p99 of events.value
+                           from mergeable daily histograms
+                           (operators/sketches, streaming twin in
+                           streaming/quantiles.py)
+- `join_advisor/`          physical-strategy pre-flight per FK edge
+                           (operators/advisor.join_advisor)
 - `monitor_summary.txt`    one-line verdicts
 
 Usage:
@@ -36,10 +42,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from big_data_analytics_final_project_spark import get_session
+from big_data_analytics_final_project_spark.operators.advisor import (
+    join_advisor,
+)
 from big_data_analytics_final_project_spark.operators.profile import (
     k_anonymity_report,
     profile_diff,
     table_profile,
+)
+from big_data_analytics_final_project_spark.operators.sketches import (
+    histogram_daily_sketches,
+    histogram_rolling_quantiles,
 )
 from big_data_analytics_final_project_spark.queries import all_queries
 from big_data_analytics_final_project_spark.sinks import (
@@ -129,6 +142,41 @@ def main() -> int:
         {"k_anonymity": summary["k_anonymity"]},
         os.path.join(args.out_dir, "k_anonymity.txt"),
     )
+    # rolling quantiles: the daily-histogram zone's batch read path
+    # (frozen config 0..500 x 64 bins — the monitor's contract)
+    daily = histogram_daily_sketches(ev, "ts", "value", 0.0, 500.0, 64)
+    rq = histogram_rolling_quantiles(
+        daily, [0.5, 0.95, 0.99], 0.0, 500.0, 64, 7
+    )
+    write_report_csv(
+        rq.orderBy("day", "q"),
+        os.path.join(args.out_dir, "rolling_quantiles"),
+    )
+    p95 = rq.filter(F.col("q") == 0.95)
+    summary["p95_value_range"] = (
+        f"{p95.agg(F.min('estimate')).collect()[0][0]:.1f}"
+        f"..{p95.agg(F.max('estimate')).collect()[0][0]:.1f}"
+    )
+    print(f"wrote {args.out_dir}/rolling_quantiles")
+
+    # join advisor: the physical-strategy pre-flight per FK edge
+    li = load_table(spark, args.sf_dir, "lineitem")
+    orders = load_table(spark, args.sf_dir, "orders")
+    customer = load_table(spark, args.sf_dir, "customer")
+    adv = join_advisor(
+        li, orders, "l_orderkey", "o_orderkey", label="lineitem->orders"
+    ).unionByName(
+        join_advisor(
+            orders, customer, "o_custkey", "c_custkey",
+            label="orders->customer",
+        )
+    )
+    write_report_csv(adv, os.path.join(args.out_dir, "join_advisor"))
+    summary["join_recommendations"] = {
+        r["edge"]: r["recommendation"] for r in adv.collect()
+    }
+    print(f"wrote {args.out_dir}/join_advisor")
+
     write_summary_txt(
         summary, os.path.join(args.out_dir, "monitor_summary.txt")
     )

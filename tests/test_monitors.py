@@ -39,6 +39,8 @@ def test_run_monitors_produces_all_artifacts():
         "hourly_anomalies",
         "segment_psi",
         "join_key_skew",
+        "rolling_quantiles",
+        "join_advisor",
     ):
         files = os.listdir(os.path.join(out_dir, csv_report))
         assert any(f.endswith(".csv") for f in files), (csv_report, files)
@@ -49,6 +51,8 @@ def test_run_monitors_produces_all_artifacts():
         "anomalous_hours",
         "drifted_segments",
         "k_anonymity",
+        "p95_value_range",
+        "join_recommendations",
     ):
         assert key in summary, (key, summary)
     with open(os.path.join(out_dir, "k_anonymity.txt")) as f:
