@@ -190,3 +190,25 @@ def pca_project(
             ).alias(f"{out_prefix}{j}")
         )
     return out.select(*df.columns, *projs).drop("_pca_c")
+
+
+def pca_project_array(
+    df: DataFrame,
+    vec_col: str,
+    model: PcaModel,
+    whiten: bool = False,
+    out_col: str = "proj",
+) -> DataFrame:
+    """`pca_project` with the p scalar outputs packed into ONE
+    array<double> column — the shape the downstream ANN operators
+    (operators/similarity.py ann_ivf / ann_hyperplane_lsh /
+    knn_bruteforce) take, so PCA/whitening composes as a drop-in
+    preprocessing stage: fit once, project map-only, hand the reduced
+    corpus to the index. Same shuffle-free literal-weight folds."""
+    projected = pca_project(
+        df, vec_col, model, whiten=whiten, out_prefix="_pcatmp"
+    )
+    p = len(model.components)
+    return projected.withColumn(
+        out_col, F.array(*[F.col(f"_pcatmp{j}") for j in range(p)])
+    ).drop(*[f"_pcatmp{j}" for j in range(p)])

@@ -121,3 +121,50 @@ def test_real_embeddings_whiten_smoke(spark):
     plan = proj._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # map-only projection
     assert "BatchEvalPython" not in plan
+
+
+def test_whitened_projection_composes_with_ivf(spark):
+    """The pipeline a 100 TB ANN deployment actually runs: fit PCA on
+    the corpus, whiten-project to p=8 map-only, index the REDUCED
+    vectors with IVF. Recall is measured against brute-force kNN in
+    the same projected space (the index's own metric): floors mirror
+    tests/test_ann_recall.py and the n_probe knob must still buy
+    recall after the projection."""
+    from big_data_analytics_final_project_spark.operators.pca import (
+        pca_project_array,
+    )
+    from big_data_analytics_final_project_spark.operators.similarity import (
+        ann_ivf,
+        knn_bruteforce,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    model = pca_fit(emb, "embedding", 64, p=8)
+    proj = pca_project_array(
+        emb, "embedding", model, whiten=True, out_col="proj"
+    ).select("vec_id", "proj")
+    n_queries, k = 20, 3
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_bruteforce(
+            proj, lambda c: c < n_queries, k=k, vec_col="proj"
+        ).collect()
+    }
+
+    def recall(n_probe):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ann_ivf(
+                proj,
+                lambda c: c < n_queries,
+                k=k,
+                n_probe=n_probe,
+                vec_col="proj",
+            ).collect()
+        }
+        return len(truth & got) / len(truth)
+
+    r2, r8 = recall(2), recall(8)
+    assert r2 >= 0.25, f"IVF-on-whitened n_probe=2 recall collapsed: {r2:.2f}"
+    assert r8 >= r2, f"recall not monotonic in n_probe: {r2:.2f} -> {r8:.2f}"
+    assert r8 >= 0.6, f"IVF-on-whitened n_probe=8 recall too low: {r8:.2f}"
