@@ -94,3 +94,34 @@ def test_real_edge_smoke(spark):
     plan_df = join_advisor(li, orders, "l_orderkey", "o_orderkey")
     plan = plan_df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def test_bloom_recommendation_closes_the_loop(spark):
+    """When the advisor says bloom_shuffle, actually running
+    bloom_semi_join must (a) return the exact semi-join and (b) prune
+    the probe side to ≲ the advisor's matched-fraction estimate plus
+    the filter's FP allowance — the estimate is actionable, not
+    decorative."""
+    from big_data_analytics_final_project_spark.operators.bloomjoin import (
+        bloom_build,
+        bloom_prune,
+    )
+
+    probe_keys = [f"m{i}" for i in range(200)] * 2 + [
+        f"x{i}" for i in range(3600)
+    ]
+    build_keys = [f"m{i}" for i in range(200)] + [
+        f"b{i}" for i in range(1800)
+    ]
+    probe, build = _kv(spark, probe_keys), _kv(spark, build_keys)
+    r = join_advisor(
+        probe, build, "k", "k", broadcast_rows=10, bloom_tau=0.5
+    ).collect()[0]
+    assert r.recommendation == "bloom_shuffle"
+    bloom = bloom_build(build, "k", n_bits=1 << 15)
+    survivors = bloom_prune(probe, "k", bloom, n_bits=1 << 15).count()
+    # survivors/probe_rows ≤ est_matched_frac (CMS ≥ true) + FP slack
+    assert survivors / r.probe_rows <= r.est_matched_frac + 0.02, (
+        survivors,
+        r.est_matched_frac,
+    )
