@@ -452,3 +452,98 @@ def histogram_rolling_quantiles(
             "estimate",
         )
     )
+
+
+_GROUP_SUMMARY_SCHEMA = T.StructType(
+    [
+        T.StructField("grp", T.StringType()),
+        T.StructField("item", T.StringType()),  # NULL on a group's D row
+        T.StructField("cnt", T.LongType()),
+        T.StructField("dec", T.LongType()),
+    ]
+)
+
+
+def _mg_group_fold(capacity: int, group_col: str, col: str):
+    def fold(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, dict[str, int]] = {}
+        decremented: dict[str, int] = {}
+        for pdf in it:
+            sub = pdf.dropna(subset=[group_col, col])
+            for g, vals in sub.groupby(group_col)[col]:
+                cur = counters.setdefault(str(g), {})
+                for item, c in vals.astype(str).value_counts().items():
+                    cur[item] = cur.get(item, 0) + int(c)
+                if len(cur) > capacity:
+                    cut = sorted(cur.values(), reverse=True)[capacity]
+                    decremented[str(g)] = (
+                        decremented.get(str(g), 0) + cut
+                    )
+                    counters[str(g)] = {
+                        k: v - cut for k, v in cur.items() if v > cut
+                    }
+        grps, items, cnts, decs = [], [], [], []
+        for g, cur in counters.items():
+            for item, c in cur.items():
+                grps.append(g)
+                items.append(item)
+                cnts.append(c)
+                decs.append(0)
+            grps.append(g)
+            items.append(None)
+            cnts.append(0)
+            decs.append(decremented.get(g, 0))
+        yield pd.DataFrame(
+            {
+                "grp": pd.Series(grps, dtype="object"),
+                "item": pd.Series(items, dtype="object"),
+                "cnt": pd.Series(cnts, dtype="int64"),
+                "dec": pd.Series(decs, dtype="int64"),
+            }
+        )
+
+    return fold
+
+
+def frequent_items_mg_by(
+    df: DataFrame, group_col: str, col: str, capacity: int = 64
+) -> DataFrame:
+    """Per-group Misra-Gries heavy hitters: ``(group, item,
+    count_lower, count_upper)`` with the SAME two-sided contract as
+    `frequent_items_mg`, held PER GROUP — lower ≤ true ≤ upper with
+    one global error mass D_g per group, and every item whose
+    within-group count exceeds D_g is present.
+
+    The question the global sketch can't answer ("top tokens per
+    language", "top user agents per tenant"): an exact per-group top-k
+    shuffles every distinct (group, key) pair; this folds each
+    partition to ≤ capacity counters PER GROUP seen there (the
+    `kmv_sketch_by` dict discipline over the `_mg_fold` batched
+    decrement), so the shuffle carries group-count × capacity rows per
+    partition. NULL groups and NULL items are excluded."""
+    summaries = (
+        df.select(
+            F.col(group_col).cast("string").alias(group_col),
+            F.col(col).cast("string").alias(col),
+        )
+        .mapInPandas(
+            _mg_group_fold(capacity, group_col, col),
+            schema=_GROUP_SUMMARY_SCHEMA,
+        )
+    )
+    d_total = (
+        summaries.filter(F.col("item").isNull())
+        .groupBy("grp")
+        .agg(F.coalesce(F.sum("dec"), F.lit(0)).alias("_d"))
+    )
+    merged = (
+        summaries.filter(F.col("item").isNotNull())
+        .groupBy("grp", "item")
+        .agg(F.sum("cnt").alias("count_lower"))
+    )
+    return merged.join(F.broadcast(d_total), "grp").select(
+        F.col("grp").alias("group"),
+        "item",
+        "count_lower",
+        (F.col("count_lower") + F.col("_d")).alias("count_upper"),
+    )

@@ -413,3 +413,67 @@ def test_join_size_cms_query_matches_oracle(spark):
             )
         compare(join_size_cms(spark, sf), con.sql(JOIN_SIZE_CMS_SQL))
         con.close()
+
+
+def test_groupwise_mg_contract_per_group(spark):
+    """Per-group Misra-Gries: the two-sided contract held WITHIN each
+    group — bounds contain the true within-group counts with one error
+    mass per group, every group's guaranteed-heavy items are present,
+    and a low-cardinality group degenerates to exact counts even while
+    a high-cardinality sibling decrements."""
+    from collections import Counter
+
+    from big_data_analytics_final_project_spark.operators.sketches import (
+        frequent_items_mg_by,
+    )
+
+    data = (
+        [("en", "hot")] * 3000
+        + [("en", f"cold_{i}") for i in range(1500)] * 2
+        + [("de", str(i % 3)) for i in range(900)]  # 3 distinct: exact
+        + [("fr", "dominant")] * 500
+        + [("fr", f"tail_{i}") for i in range(800)]
+    )
+    df = spark.createDataFrame(
+        data, "lang: string, tok: string"
+    ).repartition(8)
+    rows = frequent_items_mg_by(df, "lang", "tok", capacity=16).collect()
+    got: dict[str, dict[str, tuple[int, int]]] = {}
+    for r in rows:
+        got.setdefault(r.group, {})[r.item] = (r.count_lower, r.count_upper)
+    exact: dict[str, Counter] = {}
+    for g, tok in data:
+        exact.setdefault(g, Counter())[tok] += 1
+    assert set(got) == {"en", "de", "fr"}
+    for g, items in got.items():
+        d = None
+        for item, (lo, hi) in items.items():
+            assert lo <= exact[g][item] <= hi, (g, item)
+            if d is None:
+                d = hi - lo
+            assert hi - lo == d  # one error mass per group
+        n_g = sum(exact[g].values())
+        assert d <= n_g // (16 + 1) + 1, (g, d)
+        for item, c in exact[g].items():
+            if c > d:
+                assert item in items, (g, item, c, d)
+    # the 3-distinct group never decremented: exact counts
+    for item, (lo, hi) in got["de"].items():
+        assert lo == hi == exact["de"][item]
+    assert "hot" in got["en"] and "dominant" in got["fr"]
+
+
+def test_groupwise_mg_nulls_excluded(spark):
+    from big_data_analytics_final_project_spark.operators.sketches import (
+        frequent_items_mg_by,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", None), (None, "y"), ("b", "z")],
+        "g: string, tok: string",
+    )
+    rows = frequent_items_mg_by(df, "g", "tok", capacity=4).collect()
+    assert sorted((r.group, r.item) for r in rows) == [
+        ("a", "x"),
+        ("b", "z"),
+    ]
