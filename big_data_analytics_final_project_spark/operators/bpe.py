@@ -1,0 +1,244 @@
+"""BPE merge induction — corpus-scale tokenizer training (Sennrich,
+Haddow & Birch, "Neural Machine Translation of Rare Words with Subword
+Units", ACL 2016), the step the tokenizer-adjacent queries stop short
+of (queries/text.py `doc_bpe_token_stats` counts with a BPE-ish regex;
+`corpus_bigram_topk` ranks merge CANDIDATES; this learns the actual
+ordered merge list).
+
+The scale trick is the classic one and it is what makes this a Spark
+job instead of a driver loop: BPE statistics depend only on the
+DISTINCT-WORD frequency relation, so one corpus scan builds
+``(word, cnt)`` and every training round thereafter runs on that
+vocab-sized frame — at 100 TB the corpus has ~10^11 tokens but ~10^7
+distinct words; rounds never rescan the corpus. Each round is:
+
+1. adjacent-pair counts: explode zip_with(symbols[:-1], symbols[1:])
+   weighted by cnt — one hash agg on a vocab-sized frame;
+2. argmax pair with DETERMINISTIC tie-break (count desc, then (a, b)
+   lexicographic) — a 1-row TakeOrdered collect per round, the
+   k-means per-iteration pattern (COLLECT_ALLOW-reasoned);
+3. apply the merge: a left-to-right non-overlapping replace inside
+   each word's symbol array, expressed as ONE ``F.aggregate`` fold
+   (struct accumulator (out, prev)) — map-only on the vocab frame,
+   JVM expressions, no Python.
+
+Training is bit-deterministic (integer counts + total tie-break), so
+the learned merge sequence equals a pure-Python Sennrich reference
+exactly (test-pinned) and is partitioning-independent.
+
+Encoding applies the ranked merges per word. That loop is inherently
+sequential per word with data-dependent length — the genuinely-not-
+expressible case — so `bpe_encode` runs it inside Arrow
+``mapInPandas`` with a per-partition distinct-word cache (each
+distinct word is encoded once per partition, the same skew-robust
+shape as the dedup folds). A chained-expression encode would build an
+n_merges-deep tree per row — the driver-analysis failure mode the LUT
+migration measured (queries/text.py r9 notes).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.text import tokens
+
+
+def _chars(word: Column) -> Column:
+    return F.transform(
+        F.sequence(F.lit(1), F.length(word)),
+        lambda i: F.substring(word, i, 1),
+    )
+
+
+def word_counts(docs: DataFrame, text_col: str) -> DataFrame:
+    """One corpus scan → the distinct-word frequency relation
+    ``(word, cnt)`` BPE trains on. Empty-string tokens (blank docs
+    normalize to one empty token) are excluded."""
+    return (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _apply_merge(sym: Column, a: str, b: str) -> Column:
+    """Left-to-right non-overlapping replace of adjacent (a, b) with
+    a+b inside a symbol array, as a single fold."""
+    merged = F.lit(a + b)
+    acc0 = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("prev"),
+    )
+
+    def step(acc: Column, s: Column) -> Column:
+        hit = (
+            acc["prev"].isNotNull()
+            & (acc["prev"] == F.lit(a))
+            & (s == F.lit(b))
+        )
+        return F.when(
+            hit,
+            F.struct(
+                F.concat(acc["out"], F.array(merged)).alias("out"),
+                F.lit(None).cast("string").alias("prev"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.when(
+                    acc["prev"].isNotNull(),
+                    F.concat(acc["out"], F.array(acc["prev"])),
+                )
+                .otherwise(acc["out"])
+                .alias("out"),
+                s.alias("prev"),
+            )
+        )
+
+    def finish(acc: Column) -> Column:
+        return F.when(
+            acc["prev"].isNotNull(), F.concat(acc["out"], F.array(acc["prev"]))
+        ).otherwise(acc["out"])
+
+    return F.aggregate(sym, acc0, step, finish)
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str,
+    n_merges: int = 32,
+    min_freq: int = 2,
+) -> list[tuple[str, str]]:
+    """Learn the ordered BPE merge list from a corpus.
+
+    Stops early when the best remaining pair's weighted count drops
+    below ``min_freq``. Returns ``[(a, b), ...]`` in merge order —
+    a+b is the new symbol each round. Deterministic: ties broken by
+    (a, b) lexicographic, so the sequence is partitioning-independent
+    and equals the pure-Python reference exactly.
+    """
+    state = word_counts(docs, text_col).select(
+        _chars(F.col("word")).alias("sym"), F.col("cnt")
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        # localCheckpoint each round: the merge fold nests one level
+        # of F.aggregate per round, and a lineage carrying r nested
+        # folds OOMs the driver in analysis/codegen long before data
+        # does — the checkpoint materializes the vocab-sized frame and
+        # keeps the per-round plan depth CONSTANT (kmeans keeps depth
+        # constant by re-deriving from literal centroids; BPE's state
+        # is the array itself, so truncation is the only lever).
+        state = state.localCheckpoint(eager=True)
+        n = F.size("sym")
+        pairs = state.filter(n >= 2).select(
+            "cnt",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("sym"), 1, n - 1),
+                    F.slice(F.col("sym"), 2, n - 1),
+                    lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                )
+            ).alias("p"),
+        )
+        # 1-row argmax: count desc, then (a, b) — the per-round
+        # model-sized collect (kmeans precedent, COLLECT_ALLOW)
+        best = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("w"))
+            .orderBy(F.col("w").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["w"] < min_freq:
+            break
+        a, b = best[0]["a"], best[0]["b"]
+        merges.append((a, b))
+        state = state.select(
+            _apply_merge(F.col("sym"), a, b).alias("sym"), "cnt"
+        )
+    return merges
+
+
+def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    sym = list(word)
+    while len(sym) >= 2:
+        best_rank, best_i = None, None
+        for i in range(len(sym) - 1):
+            r = ranks.get((sym[i], sym[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        a, b = sym[best_i], sym[best_i + 1]
+        # apply THIS merge left-to-right non-overlapping (the same
+        # round semantics training used)
+        out, i = [], 0
+        while i < len(sym):
+            if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return sym
+
+
+def _encode_fold(merges: list[tuple[str, str]], doc_id_col: str):
+    ranks = {m: i for i, m in enumerate(merges)}
+
+    def fold(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, list[str]] = {}
+        for pdf in it:
+            toks_out = []
+            for words in pdf["_words"]:
+                doc_toks: list[str] = []
+                for w in words:
+                    got = cache.get(w)
+                    if got is None:
+                        got = _encode_word(w, ranks)
+                        cache[w] = got
+                    doc_toks.extend(got)
+                toks_out.append(doc_toks)
+            yield pd.DataFrame(
+                {
+                    doc_id_col: pdf[doc_id_col],
+                    "bpe_tokens": pd.Series(toks_out, dtype="object"),
+                }
+            )
+
+    return fold
+
+
+def bpe_encode(
+    docs: DataFrame,
+    doc_id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Tokenize each document with a learned merge list:
+    ``(doc_id, bpe_tokens array<string>)``. Arrow fold with a
+    per-partition distinct-word cache — each distinct word is encoded
+    once per partition regardless of how often it repeats."""
+    id_field = docs.schema[doc_id_col]
+    schema = T.StructType(
+        [
+            T.StructField(doc_id_col, id_field.dataType),
+            T.StructField("bpe_tokens", T.ArrayType(T.StringType())),
+        ]
+    )
+    staged = docs.select(
+        F.col(doc_id_col),
+        F.filter(
+            tokens(F.col(text_col)), lambda t: F.length(t) > 0
+        ).alias("_words"),
+    )
+    return staged.mapInPandas(
+        _encode_fold(merges, doc_id_col), schema=schema
+    )

@@ -152,6 +152,11 @@ COLLECT_ALLOW: dict[tuple[str, str], str] = {
         " data-sized); the corpus is persisted and scanned distributed"
         " — the MLlib iteration pattern"
     ),
+    ("operators/bpe.py", "bpe_train"): (
+        "ONE argmax row (best pair + weight) collected per merge"
+        " round, over the vocab-sized pair aggregate — model-sized,"
+        " never data-sized; the k-means per-iteration pattern"
+    ),
     ("operators/pca.py", "pca_fit"): (
         "ONE moments relation of 1 + d + d^2 aggregate values (d=64:"
         " 4,161 rows) collected for the driver-side d x d"
