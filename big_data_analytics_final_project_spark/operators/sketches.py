@@ -313,11 +313,14 @@ def histogram_daily_sketches(
     lo: float,
     hi: float,
     n_bins: int = 128,
+    by: list[str] | None = None,
 ) -> DataFrame:
     """Per-day fixed-edge equi-width histogram of `val_col`:
-    ``(day, bin, cnt)`` — the quantile member of the sketch-rollup
+    ``(day, *by, bin, cnt)`` — the quantile member of the sketch-rollup
     family (HLL distinct at `hll_daily_sketches`, CMS frequency at
-    `count_min_sketch`).
+    `count_min_sketch`). ``by`` adds segment keys ("p95 per
+    event_type per day"): state grows to ≤ n_bins rows per (day,
+    segment), still sketch-sized.
 
     Why not `percentile_approx` per window: its GK state is not a
     storable, mergeable relation — a rolling 7-day percentile either
@@ -346,7 +349,11 @@ def histogram_daily_sketches(
     )
     return (
         df.filter(F.col(val_col).isNotNull())
-        .groupBy(F.to_date(F.col(ts_col)).alias("day"), b.alias("bin"))
+        .groupBy(
+            F.to_date(F.col(ts_col)).alias("day"),
+            *[F.col(c) for c in (by or [])],
+            b.alias("bin"),
+        )
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
@@ -358,9 +365,12 @@ def histogram_rolling_quantiles(
     hi: float,
     n_bins: int = 128,
     window_days: int = 7,
+    by: list[str] | None = None,
 ) -> DataFrame:
     """Rolling `window_days`-day quantile estimates from per-day
-    histograms: ``(day, n_days_merged, q, estimate)``.
+    histograms: ``(day, *by, n_days_merged, q, estimate)`` — pass the
+    same ``by`` segment keys the daily sketches were built with and
+    every window/merge/estimate runs independently per segment.
 
     Merging is exact (bin counts add), so pre-aggregation costs NO
     accuracy vs histogramming each window from raw rows (test-pinned,
@@ -380,31 +390,35 @@ def histogram_rolling_quantiles(
     """
     w = window_days
     width = (hi - lo) / n_bins
+    g = list(by or [])
     fanned = daily.select(
         F.explode(F.sequence(F.lit(0), F.lit(w - 1))).alias("_off"),
         F.col("day"),
+        *[F.col(c) for c in g],
         F.col("bin"),
         F.col("cnt"),
     ).select(
         F.date_add(F.col("day"), F.col("_off")).alias("target_day"),
         "day",
+        *g,
         "bin",
         "cnt",
     )
-    merged = fanned.groupBy("target_day", "bin").agg(
+    merged = fanned.groupBy("target_day", *g, "bin").agg(
         F.sum("cnt").alias("cnt")
     )
-    days_per_target = fanned.groupBy("target_day").agg(
+    days_per_target = fanned.groupBy("target_day", *g).agg(
         F.count_distinct("day").alias("n_days_merged")
     )
-    by_day = Window.partitionBy("target_day").orderBy("bin")
+    by_day = Window.partitionBy("target_day", *g).orderBy("bin")
     cum = merged.select(
         "target_day",
+        *g,
         "bin",
         "cnt",
         F.sum("cnt").over(by_day).alias("_cum"),
         F.sum("cnt")
-        .over(Window.partitionBy("target_day"))
+        .over(Window.partitionBy("target_day", *g))
         .alias("_total"),
     ).withColumn("_cum_prev", F.col("_cum") - F.col("cnt"))
     hit = (
@@ -429,6 +443,7 @@ def histogram_rolling_quantiles(
     )
     est = hit.select(
         "target_day",
+        *g,
         "q",
         (
             F.lit(float(lo))
@@ -439,14 +454,15 @@ def histogram_rolling_quantiles(
             )
         ).alias("estimate"),
     )
-    observed = daily.select("day").distinct().select(
-        F.col("day").alias("target_day")
+    observed = daily.select("day", *g).distinct().select(
+        F.col("day").alias("target_day"), *g
     )
     return (
-        est.join(F.broadcast(observed), "target_day")
-        .join(F.broadcast(days_per_target), "target_day")
+        est.join(F.broadcast(observed), ["target_day", *g])
+        .join(F.broadcast(days_per_target), ["target_day", *g])
         .select(
             F.col("target_day").alias("day"),
+            *g,
             "n_days_merged",
             "q",
             "estimate",

@@ -179,3 +179,47 @@ def test_plan_is_jvm_only(spark):
     out = histogram_rolling_quantiles(daily, [0.5], LO, HI, BINS, 7)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def test_segmented_rollup_equals_per_segment_runs(spark):
+    """by=[segment]: each segment's rolling estimates are EXACTLY what
+    a standalone (filtered) run produces — segmentation is pure
+    partitioning, no cross-segment bleed."""
+    rows = [
+        (BASE + dt.timedelta(days=off), seg, float(v))
+        for off, seg, vals in (
+            (0, "a", [5.0, 7.0, 93.0]),
+            (0, "b", [50.0] * 5),
+            (1, "a", [15.0] * 7 + [55.0]),
+            (1, "b", [60.0, 61.0]),
+            (2, "a", [33.0, 90.0]),
+        )
+        for v in vals
+    ]
+    df = spark.createDataFrame(
+        rows, "ts: timestamp, seg: string, v: double"
+    ).repartition(8)
+    daily = histogram_daily_sketches(
+        df, "ts", "v", LO, HI, BINS, by=["seg"]
+    )
+    got = {
+        (r.seg, r.day.isoformat(), r.q): (r.n_days_merged, r.estimate)
+        for r in histogram_rolling_quantiles(
+            daily, [0.5, 0.9], LO, HI, BINS, 2, by=["seg"]
+        ).collect()
+    }
+    for seg in ("a", "b"):
+        solo_daily = histogram_daily_sketches(
+            df.filter(F.col("seg") == seg), "ts", "v", LO, HI, BINS
+        )
+        solo = {
+            (seg, r.day.isoformat(), r.q): (r.n_days_merged, r.estimate)
+            for r in histogram_rolling_quantiles(
+                solo_daily, [0.5, 0.9], LO, HI, BINS, 2
+            ).collect()
+        }
+        for k, v in solo.items():
+            assert got[k] == v, k
+    # segment b has no day-2 row: no phantom output for it
+    day2 = (BASE + dt.timedelta(days=2)).date().isoformat()
+    assert ("b", day2, 0.5) not in got
