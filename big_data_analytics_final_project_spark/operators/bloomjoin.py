@@ -100,6 +100,12 @@ def bloom_build(
     usually far fewer, so a sparse filter costs what it occupies.
     NULL keys set no bits (NULL never equi-joins, so the probe must
     drop it too — `bloom_prune` does).
+
+    Keys hash by their STRING RENDERING: a filter built here and the
+    `bloom_prune` probe must see the SAME key type on both sides, or
+    values that equi-join after an implicit cast (int 7 vs double 7.0)
+    render — and hash — differently, producing false negatives. Cast
+    one side to the other's type first; `bloom_semi_join` does.
     """
     key = F.col(key_col).cast("string")
     positions = (
@@ -198,11 +204,22 @@ def bloom_semi_join(
     instead of |fact|. Oracle: plain ANSI ``WHERE key IN (SELECT ...)``.
     """
     bkey = build_key_col or key_col
+    # Cast build keys to the FACT key's type BEFORE hashing: the bloom
+    # hashes each side's native string rendering, so differently-typed
+    # keys that equi-join (int 7 vs double 7.0, decimal padding) would
+    # render differently, hash to different bits, and the bloom would
+    # prune TRUE matches — a false negative, breaking the row-identity
+    # guarantee. Same cast the residual join already applies; doing it
+    # up front makes both sides hash identical renderings.
+    fact_key_type = fact.schema[key_col].dataType
     bloom = bloom_build(
-        build.select(F.col(bkey).alias(key_col)), key_col, n_bits, n_hashes
+        build.select(F.col(bkey).cast(fact_key_type).alias(key_col)),
+        key_col,
+        n_bits,
+        n_hashes,
     )
     pruned = bloom_prune(fact, key_col, bloom, n_bits, n_hashes)
     build_keys = build.select(
-        F.col(bkey).cast(fact.schema[key_col].dataType).alias(key_col)
+        F.col(bkey).cast(fact_key_type).alias(key_col)
     ).distinct()
     return pruned.join(build_keys, key_col, "left_semi")

@@ -123,7 +123,6 @@ def lm_score(
     vocab: DataFrame,
     unigrams: DataFrame,
     bigrams: DataFrame,
-    vocab_k: int = 2048,
 ) -> DataFrame:
     """Score each document against the fitted model: returns
     ``(doc_id, n_bigrams, nll_nanobits_total, avg_nll_bits)`` where
@@ -134,10 +133,18 @@ def lm_score(
 
     Unseen smoothing exactly as trained: unseen (w1,w2) → c12 = 0;
     unseen w1 context → c1 = 0 (probability 1/V').
+
+    V' is derived from the FITTED vocab (realized |vocab| + 1 for
+    <unk>), never from the vocab_k the caller asked for: on small or
+    low-diversity corpora `lm_train` returns fewer than vocab_k tokens,
+    and a V' larger than the realized event space would break
+    Σ_w2 P(w2|w1) = 1 — the normalization this module's docstring
+    promises. The count is model-sized (≤ vocab_k rows), same class as
+    the k×d kmeans collect.
     """
     spark = docs.sparkSession
     lut_df = spark.createDataFrame([(_QLOG_LUT,)], "_lut: array<bigint>")
-    v_prime = vocab_k + 1  # +1 for <unk>; constant by construction
+    v_prime = vocab.count() + 1  # realized |vocab| + 1 for <unk>
     bg = _doc_bigrams(docs, doc_id_col, text_col)
     v1 = vocab.select(F.col("token").alias("w1"), F.lit(True).alias("_kv1"))
     v2 = vocab.select(F.col("token").alias("w2"), F.lit(True).alias("_kv2"))
@@ -197,6 +204,4 @@ def lm_train_score(
     """Train on the corpus and score every document against it — the
     self-perplexity ranking CCNet uses for quality bucketing."""
     vocab, unigrams, bigrams = lm_train(docs, doc_id_col, text_col, vocab_k)
-    return lm_score(
-        docs, doc_id_col, text_col, vocab, unigrams, bigrams, vocab_k
-    )
+    return lm_score(docs, doc_id_col, text_col, vocab, unigrams, bigrams)

@@ -199,7 +199,37 @@ def all_queries() -> dict[str, QuerySpec]:
             if name in merged:
                 raise ValueError(f"duplicate query name: {name}")
             merged[name] = spec
+    _check_rotation_exempt(merged)
     return merged
+
+
+def _check_rotation_exempt(merged: dict[str, QuerySpec]) -> None:
+    """Mechanically enforce ROTATION_EXEMPT's qualifying condition (a):
+    an exempt query must share its DuckDB oracle VERBATIM with some
+    non-exempt registered query — otherwise its correctness evidence
+    rides on nothing when staleness never forces it into the grading
+    window. (Condition (b), the differential pytest holding both twins
+    to the shared oracle, is tests/test_oracle_parity.py's full-registry
+    sweep.) Without this check a query added to the set without a true
+    twin silently escapes the 3-round grading cadence."""
+    unknown = ROTATION_EXEMPT - merged.keys()
+    if unknown:
+        raise ValueError(f"ROTATION_EXEMPT names unknown queries: {sorted(unknown)}")
+    partner_oracles = {
+        spec.sql
+        for name, spec in merged.items()
+        if name not in ROTATION_EXEMPT and spec.sql is not None
+    }
+    orphans = [
+        name
+        for name in sorted(ROTATION_EXEMPT)
+        if merged[name].sql is None or merged[name].sql not in partner_oracles
+    ]
+    if orphans:
+        raise ValueError(
+            "ROTATION_EXEMPT queries whose oracle is not shared verbatim "
+            f"with a non-exempt registered partner: {orphans}"
+        )
 
 
 def grading_order() -> dict[str, QuerySpec]:

@@ -70,7 +70,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     SparkSessions, and both confs are runtime-settable, so the read
     must not depend on how the session was built.
     """
-    cacheable = os.path.realpath(sf_dir).startswith(_DATA_ROOT)
+    # Bound the cacheable root at a DIRECTORY boundary: a bare
+    # startswith would treat siblings like /root/testdata_tmp (where
+    # fixtures may write and rewrite) as the read-only root and serve
+    # stale cached frames after a rewrite.
+    real = os.path.realpath(sf_dir)
+    root = os.path.realpath(_DATA_ROOT)
+    cacheable = real == root or real.startswith(root + os.sep)
     if cacheable:
         per_session = _ZONE_CACHE.setdefault(spark, {})
         cached = per_session.get((sf_dir, name))

@@ -123,6 +123,49 @@ def test_numeric_build_keys_cast_align(spark):
     assert got == ["17", "19"]
 
 
+def test_mismatched_renderings_no_false_negatives(spark):
+    """Fact bigint vs build double: 7 and 7.0 equi-join after the
+    implicit cast but RENDER differently ('7' vs '7.0'). The bloom must
+    hash the build side through the fact key's type or it prunes true
+    matches — the exact false-negative class the row-identity guarantee
+    forbids. Pinned equal to the plain left_semi join."""
+    fact = spark.createDataFrame(
+        [(7, 1), (8, 2), (9, 3), (10, 4)], "k: bigint, payload: int"
+    )
+    build = spark.createDataFrame([(7.0,), (9.0,)], "id: double")
+    got = sorted(
+        r.k
+        for r in bloom_semi_join(
+            fact, "k", build, build_key_col="id", n_bits=256
+        ).collect()
+    )
+    want = sorted(
+        r.k
+        for r in fact.join(
+            build.select(F.col("id").cast("bigint").alias("k")), "k", "left_semi"
+        ).collect()
+    )
+    assert got == want == [7, 9]
+
+
+def test_decimal_padding_no_false_negatives(spark):
+    """Decimal(10,2) build keys render '7.00'; fact bigint renders '7'.
+    Same guarantee as the double case — row-identical to left_semi."""
+    fact = spark.createDataFrame(
+        [(7, 1), (8, 2), (9, 3)], "k: bigint, payload: int"
+    )
+    build = spark.createDataFrame([("7.00",), ("8.00",)], "id: string").select(
+        F.col("id").cast("decimal(10,2)").alias("id")
+    )
+    got = sorted(
+        r.k
+        for r in bloom_semi_join(
+            fact, "k", build, build_key_col="id", n_bits=256
+        ).collect()
+    )
+    assert got == [7, 8]
+
+
 def test_plan_is_jvm_only_with_broadcast_words(spark):
     """No Python eval anywhere; the word map reaches the probe side as
     a broadcast (the scalar-frame pattern), not a shuffled join."""

@@ -93,3 +93,41 @@ def test_redelivery_never_changes_the_zone(spark, data, redeliver):
         assert zone_state(noisy) == want
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_crashed_first_write_self_heals(spark):
+    """A crashed FIRST write leaves the zone dir holding only
+    _temporary/ attempt debris. The fold must treat that as 'no zone
+    yet' and degrade to a plain first write — a bare fs.exists probe
+    would route every retry into reading an empty parquet zone and
+    wedge the stream permanently (the upsert_zone self-heal case,
+    now shared via sinks._has_committed_files)."""
+    import os
+
+    root = tempfile.mkdtemp(prefix="fold_crash_")
+    try:
+        zone = f"{root}/zone"
+        debris = f"{zone}/_temporary/0/task_0"
+        os.makedirs(debris)
+        with open(f"{debris}/part-00000.parquet", "wb") as f:
+            f.write(b"not a parquet file")
+        partial = (
+            spark.createDataFrame([(1, 5), (2, 7)], "k: bigint, v: bigint")
+            .groupBy("k")
+            .agg(F.sum("v").alias("v"), F.count(F.lit(1)).alias("n"))
+        )
+        retry_guarded_fold(
+            partial,
+            0,
+            zone,
+            key_cols=["k"],
+            partition_by=["k"],
+            merge_aggs=lambda: [F.sum("v").alias("v"), F.sum("n").alias("n")],
+        )
+        got = {
+            r["k"]: (r["v"], r["n"])
+            for r in spark.read.parquet(zone).collect()
+        }
+        assert got == {1: (5, 1), 2: (7, 1)}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -56,7 +56,10 @@ def _ref_scores(docs: list[tuple[int, str]], vocab_k: int):
     c1 = Counter()
     for (w1, _), c in c12.items():
         c1[w1] += c
-    vp = vocab_k + 1
+    # V' from the REALIZED vocab, not the requested vocab_k: on a
+    # low-diversity corpus the fitted vocab is smaller, and smoothing
+    # over phantom tokens would break per-context normalization.
+    vp = len(vocab) + 1
     out = {}
     for d, pairs in bgs.items():
         if not pairs:
@@ -88,7 +91,10 @@ def _spark_scores(spark, docs, vocab_k):
 
 
 def test_matches_pure_python_reference_exactly(spark):
-    for vocab_k in (4, 8, 64):
+    # 64 and 4096 both exceed the corpus's ~15 distinct tokens, so they
+    # pin the V'-from-realized-vocab rule (a vocab_k-derived V' would
+    # smooth over phantom tokens and diverge from the reference here).
+    for vocab_k in (4, 8, 64, 4096):
         got = _spark_scores(spark, _CORPUS, vocab_k)
         want = _ref_scores(_CORPUS, vocab_k)
         assert got == want, vocab_k
@@ -112,7 +118,7 @@ def test_gibberish_scores_worse(spark):
     rows = {
         r.doc_id: r.avg_nll_bits
         for r in lm_score(
-            held_out, "doc_id", "text", vocab, unigrams, bigrams, vocab_k
+            held_out, "doc_id", "text", vocab, unigrams, bigrams
         ).collect()
     }
     assert rows[11] > rows[10], rows

@@ -39,6 +39,31 @@ def test_outside_data_root_never_cached(spark, tmp_path):
     assert load_table(spark, str(tmp_path), "orders").count() == 2
 
 
+def test_sibling_of_data_root_never_cached(spark, tmp_path, monkeypatch):
+    """A SIBLING of the data root (/root/testdata_tmp next to
+    /root/testdata) must not be treated as inside it: the eligibility
+    check is bounded at a directory boundary, not a raw prefix — a
+    prefix match would serve stale cached frames after a fixture
+    rewrite."""
+    import big_data_analytics_final_project_spark.sources as sources
+
+    root = tmp_path / "data"
+    sibling = tmp_path / "data_tmp"
+    sibling.mkdir()
+    monkeypatch.setattr(sources, "_DATA_ROOT", str(root))
+    src = load_table(spark, SF_SMOKE, "orders").limit(5)
+    src.write.parquet(str(sibling / "orders.parquet"))
+    a = load_table(spark, str(sibling), "orders")
+    b = load_table(spark, str(sibling), "orders")
+    assert a is not b  # prefix-sibling is NOT cacheable
+    # the root itself and children of it ARE cacheable
+    (root / "sf").mkdir(parents=True)
+    src.write.parquet(str(root / "sf" / "orders.parquet"))
+    c = load_table(spark, str(root / "sf"), "orders")
+    d = load_table(spark, str(root / "sf"), "orders")
+    assert c is d
+
+
 def test_cached_events_frame_keeps_ts_normalization(spark):
     df = load_table(spark, SF_SMOKE, "events")
     again = load_table(spark, SF_SMOKE, "events")
