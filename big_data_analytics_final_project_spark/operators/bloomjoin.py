@@ -202,24 +202,45 @@ def bloom_semi_join(
     removes its false positives — but the shuffle feeding that
     residual join sees |matches| + |false positives| probe rows
     instead of |fact|. Oracle: plain ANSI ``WHERE key IN (SELECT ...)``.
+    Mixed-type keys are compared in the WIDENED common type, exactly
+    as ANSI coerces the ``IN`` — so double build keys never truncate
+    onto integral fact keys.
     """
     bkey = build_key_col or key_col
-    # Cast build keys to the FACT key's type BEFORE hashing: the bloom
-    # hashes each side's native string rendering, so differently-typed
-    # keys that equi-join (int 7 vs double 7.0, decimal padding) would
-    # render differently, hash to different bits, and the bloom would
-    # prune TRUE matches — a false negative, breaking the row-identity
-    # guarantee. Same cast the residual join already applies; doing it
-    # up front makes both sides hash identical renderings.
+    # Compare (and hash) BOTH sides in the WIDENED common type, the
+    # same coercion ANSI applies to `key IN (...)`: differently-typed
+    # keys that equi-join (int 7 vs double 7.0, decimal padding) must
+    # render identically for the bloom or it prunes true matches (a
+    # false negative); and casting only the BUILD side to the fact
+    # type is lossy the other way — double 7.5 truncated to bigint 7
+    # would then residual-match fact key 7, a row ANSI's
+    # widest-type comparison rejects (the r10-advice false POSITIVE).
+    # Spark's UNION output type IS its widest-common-type lattice, so
+    # derive the coerced type from a zero-row union instead of
+    # hand-rolling the promotion rules.
     fact_key_type = fact.schema[key_col].dataType
+    build_key_type = build.schema[bkey].dataType
+    if build_key_type == fact_key_type:
+        common = fact_key_type
+    else:
+        try:
+            common = (
+                fact.select(F.col(key_col).alias("_k")).limit(0)
+                .union(build.select(F.col(bkey).alias("_k")).limit(0))
+                .schema["_k"]
+                .dataType
+            )
+        except Exception:  # no common type — keep the legacy behavior
+            common = fact_key_type
     bloom = bloom_build(
-        build.select(F.col(bkey).cast(fact_key_type).alias(key_col)),
+        build.select(F.col(bkey).cast(common).alias(key_col)),
         key_col,
         n_bits,
         n_hashes,
     )
-    pruned = bloom_prune(fact, key_col, bloom, n_bits, n_hashes)
+    staged = fact.withColumn("_bf_key", F.col(key_col).cast(common))
+    pruned = bloom_prune(staged, "_bf_key", bloom, n_bits, n_hashes)
     build_keys = build.select(
-        F.col(bkey).cast(fact_key_type).alias(key_col)
+        F.col(bkey).cast(common).alias("_bf_key")
     ).distinct()
-    return pruned.join(build_keys, key_col, "left_semi")
+    return pruned.join(build_keys, "_bf_key", "left_semi").drop("_bf_key")

@@ -87,13 +87,24 @@ def lm_train(
     Σ P(w2|w1) over the smoothed event space is exactly 1 per context.
     """
     bg = _doc_bigrams(docs, doc_id_col, text_col)
-    vocab = (
+    # Materialize the vocab ONCE: the top-V plan is a corpus-wide
+    # bigram explode + hash agg, and the fitted vocab is consumed 4+
+    # times downstream (two mapping broadcasts here, two more plus a
+    # count in lm_score) — left lazy, each consumer would re-run the
+    # full corpus scan. The collect is model-sized (≤ vocab_k rows of
+    # one string, the k×d kmeans-centroid class) and the rebuilt
+    # LOCAL relation makes every later broadcast/count free.
+    vocab_rows = (
         bg.select(F.explode(F.array("w1", "w2")).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("_c"))
         .orderBy(F.col("_c").desc(), "token")
         .limit(vocab_k)
         .select("token")
+        .collect()
+    )
+    vocab = docs.sparkSession.createDataFrame(
+        [(r["token"],) for r in vocab_rows], "token: string"
     )
     v1 = vocab.select(F.col("token").alias("w1"), F.lit(True).alias("_kv1"))
     v2 = vocab.select(F.col("token").alias("w2"), F.lit(True).alias("_kv2"))
@@ -139,8 +150,9 @@ def lm_score(
     low-diversity corpora `lm_train` returns fewer than vocab_k tokens,
     and a V' larger than the realized event space would break
     Σ_w2 P(w2|w1) = 1 — the normalization this module's docstring
-    promises. The count is model-sized (≤ vocab_k rows), same class as
-    the k×d kmeans collect.
+    promises. `lm_train` hands over a LOCAL vocab relation, so this
+    count (and the two mapping broadcasts below) never re-touch the
+    corpus.
     """
     spark = docs.sparkSession
     lut_df = spark.createDataFrame([(_QLOG_LUT,)], "_lut: array<bigint>")

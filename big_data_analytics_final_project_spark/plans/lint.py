@@ -168,6 +168,14 @@ COLLECT_ALLOW: dict[tuple[str, str], str] = {
         " surface the loader's ingest/skip counters, the reference's"
         " load-telemetry contract"
     ),
+    ("operators/lm.py", "lm_train"): (
+        "the fitted vocab (<= vocab_k rows of one string — model-"
+        "sized, never data-sized) is collected once and rebuilt as a"
+        " LOCAL relation so its 4+ downstream consumers (mapping"
+        " broadcasts in train + score, V' count) don't each re-run"
+        " the corpus-wide top-V aggregation; the kmeans k*d centroid"
+        " precedent"
+    ),
     ("queries/maintenance.py", "zone_roundtrip_daily"): (
         "ONE scalar (max(day)) picks the incremental-leg cutoff before"
         " the write/merge/read cycle"

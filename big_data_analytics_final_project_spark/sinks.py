@@ -180,11 +180,12 @@ def compact_zone(
     return num_files
 
 
-def _has_committed_files(fs, zone_path) -> bool:
+def has_committed_files(fs, zone_path) -> bool:
     """True iff the zone holds committed data: a _SUCCESS marker or any
     *.parquet file not under a _temporary/ attempt directory (failed
     writes leave task-attempt parquet files there — those are debris,
-    not data)."""
+    not data). Public: streaming/fold.py's crash self-heal path uses
+    the same probe before trusting a zone as fold state."""
     it = fs.listFiles(zone_path, True)
     while it.hasNext():
         p = it.next().getPath()
@@ -194,6 +195,10 @@ def _has_committed_files(fs, zone_path) -> bool:
         if name == "_SUCCESS" or name.endswith(".parquet"):
             return True
     return False
+
+
+# backwards-compatible alias (pre-r11 name)
+_has_committed_files = has_committed_files
 
 
 def upsert_zone(
@@ -230,7 +235,7 @@ def upsert_zone(
     jvm = spark._jvm
     zone_path = jvm.org.apache.hadoop.fs.Path(path)
     fs = zone_path.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(zone_path) or not _has_committed_files(fs, zone_path):
+    if not fs.exists(zone_path) or not has_committed_files(fs, zone_path):
         write_zone(df, path, partition_by=partition_by)
         return
     existing = spark.read.parquet(path)

@@ -78,8 +78,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     root = os.path.realpath(_DATA_ROOT)
     cacheable = real == root or real.startswith(root + os.sep)
     if cacheable:
+        # Key on the REALPATH (already computed for the boundary
+        # check), not the raw sf_dir string: trailing slashes,
+        # symlinks, and relative spellings of the same directory must
+        # share one cache entry, not trigger duplicate reads.
         per_session = _ZONE_CACHE.setdefault(spark, {})
-        cached = per_session.get((sf_dir, name))
+        cached = per_session.get((real, name))
         if cached is not None:
             return cached
     if name == "events":
@@ -93,7 +97,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         elif ts_type == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     if cacheable:
-        per_session[(sf_dir, name)] = df
+        per_session[(real, name)] = df
     return df
 
 

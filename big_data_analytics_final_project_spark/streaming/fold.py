@@ -25,7 +25,7 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..sinks import _has_committed_files, upsert_zone
+from ..sinks import has_committed_files, upsert_zone
 
 
 def retry_guarded_fold(
@@ -52,14 +52,14 @@ def retry_guarded_fold(
     # exception-catching: a crashed FIRST write leaves the zone dir
     # holding only _temporary/ debris, so exists=true would route every
     # retry into spark.read.parquet of an empty zone and wedge the
-    # stream permanently. _has_committed_files (the same probe
+    # stream permanently. has_committed_files (the same probe
     # upsert_zone uses to self-heal this case) degrades to a first
     # write when no committed files exist; a zone WITH committed files
     # that fails to read still aborts — never degrade real data.
     jvm = spark._jvm
     zone_path = jvm.org.apache.hadoop.fs.Path(zone)
     fs = zone_path.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(zone_path) or not _has_committed_files(fs, zone_path):
+    if not fs.exists(zone_path) or not has_committed_files(fs, zone_path):
         upsert_zone(
             spark, partial, zone, key_cols=key_cols, partition_by=partition_by
         )

@@ -148,6 +148,30 @@ def test_mismatched_renderings_no_false_negatives(spark):
     assert got == want == [7, 9]
 
 
+def test_fractional_build_keys_no_false_positives(spark):
+    """The r10-advice case: fact bigint vs build double where a build
+    key TRUNCATES onto a fact key (7.5 -> 7). ANSI compares both
+    sides as double, so 7 must NOT match 7.5 — casting only the build
+    side to bigint would admit it. 8.0 still matches 8 exactly."""
+    fact = spark.createDataFrame(
+        [(7, 1), (8, 2), (9, 3)], "k: bigint, payload: int"
+    )
+    build = spark.createDataFrame([(7.5,), (8.0,)], "id: double")
+    got = sorted(
+        r.k
+        for r in bloom_semi_join(
+            fact, "k", build, build_key_col="id", n_bits=256
+        ).collect()
+    )
+    want = sorted(
+        r.k
+        for r in fact.join(
+            build, fact["k"] == build["id"], "left_semi"
+        ).collect()
+    )
+    assert got == want == [8]
+
+
 def test_decimal_padding_no_false_negatives(spark):
     """Decimal(10,2) build keys render '7.00'; fact bigint renders '7'.
     Same guarantee as the double case — row-identical to left_semi."""

@@ -101,7 +101,7 @@ def test_crashed_first_write_self_heals(spark):
     yet' and degrade to a plain first write — a bare fs.exists probe
     would route every retry into reading an empty parquet zone and
     wedge the stream permanently (the upsert_zone self-heal case,
-    now shared via sinks._has_committed_files)."""
+    now shared via sinks.has_committed_files)."""
     import os
 
     root = tempfile.mkdtemp(prefix="fold_crash_")

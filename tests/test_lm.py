@@ -147,6 +147,18 @@ def test_train_invariants(spark):
     assert uni == dict(agg)
 
 
+def test_vocab_is_materialized_local(spark):
+    """lm_train hands back the fitted vocab as a LOCAL relation (the
+    r10-advice fix): its plan must not reach back to the corpus, so
+    lm_score's V' count and the 4 mapping broadcasts cost nothing.
+    A lazy vocab would show the bigram explode + aggregate here."""
+    df = spark.createDataFrame(_CORPUS, "doc_id: bigint, text: string")
+    vocab, _, _ = lm_train(df, "doc_id", "text", vocab_k=4)
+    plan = vocab._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan or "ExistingRDD" in plan, plan
+    assert "Generate" not in plan and "HashAggregate" not in plan, plan
+
+
 def test_real_documents_smoke(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     out = lm_train_score(docs, vocab_k=512)

@@ -25,6 +25,17 @@ def test_data_root_reads_are_cached(spark):
     assert c is not a
 
 
+def test_cache_key_is_spelling_insensitive(spark):
+    """Different spellings of the same cacheable directory (trailing
+    slash, /./ segments) must share ONE cache entry — the key is the
+    realpath already computed for the boundary check, not the raw
+    sf_dir string (r10 advice: duplicate entries = duplicate reads)."""
+    a = load_table(spark, SF_SMOKE, "orders")
+    b = load_table(spark, SF_SMOKE + "/", "orders")
+    c = load_table(spark, SF_SMOKE + "/./", "orders")
+    assert a is b is c
+
+
 def test_outside_data_root_never_cached(spark, tmp_path):
     src = load_table(spark, SF_SMOKE, "orders").limit(5)
     p = str(tmp_path / "orders.parquet")
