@@ -10,15 +10,19 @@ no driver-side materialization — the same shape a real write has).
 Usage: `python bench.py [query ...]` to bench a subset; `--all` for
 every registered query.
 
-PAIRED BOX-STATE CONTROL (round-5 verdict #5): by default every run
-also benches a PINNED SNAPSHOT commit (the round-2 bench baseline,
-`3a7624c`) back-to-back in a throwaway git worktree, on a small fixed
-query set shared unchanged since round 2, and attaches its timings as
-a `control` key in the same JSON line. Round-over-round readers can
-then divide out shared-VM drift (the r4→r5 "1.75× regression" was
-~1.2–1.35× box state) without a hand-run counter-measurement.
-`--paired <commit>` overrides the snapshot; `--no-paired` (or env
-SPARK_GRAFT_PAIRED=0) skips the control.
+PAIRED BOX-STATE CONTROL (round-5 verdict #5; INTERLEAVED since
+round 11 per the r10 verdict #5): by default every run also benches a
+PINNED SNAPSHOT commit (the round-2 bench baseline, `3a7624c`) in a
+throwaway git worktree, on a small fixed query set shared unchanged
+since round 2, and attaches its timings as a `control` key in the
+same JSON line. The control runs as a COPROCESS whose passes
+alternate with the head's (head-pass-1, ctl-pass-1, head-pass-2, ...)
+so a box-contention spike lands on BOTH sides of the pair and cancels
+in the min-of-3 — the r9 contiguous-block spike took two rounds to
+adjudicate. Round-over-round readers divide out shared-VM drift (the
+r4→r5 "1.75× regression" was ~1.2–1.35× box state) without a hand-run
+counter-measurement. `--paired <commit>` overrides the snapshot;
+`--no-paired` (or env SPARK_GRAFT_PAIRED=0) skips the control.
 """
 
 from __future__ import annotations
@@ -69,62 +73,149 @@ PAIRED_QUERIES = [
 ]
 
 
-def run_paired_control(commit: str, sf_dir: str) -> dict:
-    """Bench `commit` in a detached worktree, same box, same session
-    slot (caller must have stopped its SparkSession — two concurrent
-    local[32] JVMs contend and both lie). Returns the parsed JSON of
-    the control bench, or {'error': ...}; never raises."""
-    import shutil
-    import subprocess
-    import tempfile
+class PairedControl:
+    """The pinned-commit control as a long-lived COPROCESS
+    (scripts/bench_serve.py in a detached worktree), so head and
+    control passes INTERLEAVE A/B/A/B in one bench session (round-10
+    verdict #5): a box-contention spike lands on both sides of the
+    pair and cancels in the min-of-N, instead of corrupting whichever
+    side ran contiguously through it (the r9 false alarm). The two
+    JVMs coexist but never EXECUTE concurrently — the coprocess
+    blocks on stdin while the head runs, and vice versa.
 
-    repo = os.path.dirname(os.path.abspath(__file__))
-    tmp = tempfile.mkdtemp(prefix="bench_ctl_")
-    wt = os.path.join(tmp, "wt")
-    try:
-        subprocess.run(
-            ["git", "-C", repo, "worktree", "add", "--detach", wt, commit],
-            check=True,
-            capture_output=True,
-            timeout=120,
-        )
-        env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_PAIRED="0")
-        proc = subprocess.run(
-            [sys.executable, "bench.py", *PAIRED_QUERIES],
-            cwd=wt,
-            env=env,
-            capture_output=True,
-            text=True,
-            timeout=900,
-        )
-        line = next(
-            (
-                ln
-                for ln in reversed(proc.stdout.strip().splitlines())
-                if ln.startswith("{")
-            ),
-            None,
-        )
-        if proc.returncode != 0 or line is None:
-            return {
-                "commit": commit,
-                "error": (proc.stderr or proc.stdout)[-500:],
-            }
-        parsed = json.loads(line)
-        return {
-            "commit": commit,
-            "value": parsed.get("value"),
-            "queries": parsed.get("queries", {}),
-        }
-    except Exception as exc:  # noqa: BLE001 — the control is optional
-        return {"commit": commit, "error": f"{type(exc).__name__}: {exc}"[:500]}
-    finally:
-        subprocess.run(
-            ["git", "-C", repo, "worktree", "remove", "--force", wt],
-            capture_output=True,
-            timeout=120,
-        )
-        shutil.rmtree(tmp, ignore_errors=True)
+    Fault posture: the control is optional; any failure records an
+    error in the result dict and every method degrades to a no-op —
+    the head bench must never lose its timings to the control."""
+
+    def __init__(self, commit: str, sf_dir: str) -> None:
+        self.commit = commit
+        self.sf_dir = sf_dir
+        self.timings: dict[str, float] = {}
+        self.errors: dict[str, str] = {}
+        self.error: str | None = None
+        self._proc = None
+        self._tmp: str | None = None
+        self._q = None
+
+    def _fail(self, msg: str) -> None:
+        if self.error is None:
+            self.error = msg[:500]
+
+    def _recv(self, timeout: float) -> dict:
+        import queue as _queue
+
+        try:
+            return json.loads(self._q.get(timeout=timeout))
+        except _queue.Empty:
+            raise TimeoutError(f"control silent for {timeout}s") from None
+
+    def _send(self, line: str) -> None:
+        self._proc.stdin.write(line + "\n")
+        self._proc.stdin.flush()
+
+    def start(self, warm_dir: str | None) -> None:
+        import subprocess
+        import tempfile
+        import threading
+
+        repo = os.path.dirname(os.path.abspath(__file__))
+        try:
+            self._tmp = tempfile.mkdtemp(prefix="bench_ctl_")
+            wt = os.path.join(self._tmp, "wt")
+            subprocess.run(
+                ["git", "-C", repo, "worktree", "add", "--detach", wt, self.commit],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+            self._proc = subprocess.Popen(
+                [
+                    sys.executable,
+                    os.path.join(repo, "scripts", "bench_serve.py"),
+                    wt,
+                ],
+                stdin=subprocess.PIPE,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.DEVNULL,
+                text=True,
+            )
+            import queue as _queue
+
+            self._q = _queue.Queue()
+
+            def _pump() -> None:
+                for ln in self._proc.stdout:
+                    self._q.put(ln)
+
+            threading.Thread(target=_pump, daemon=True).start()
+            ready = self._recv(timeout=180)
+            if not ready.get("ready"):
+                raise RuntimeError(f"control not ready: {ready}")
+            if warm_dir:
+                for name in PAIRED_QUERIES:
+                    self._send(f"run {warm_dir} {name}")
+                    self._recv(timeout=600)
+        except Exception as exc:  # noqa: BLE001 — control is optional
+            self._fail(f"{type(exc).__name__}: {exc}")
+
+    def run_pass(self) -> None:
+        """One timed control pass (all paired queries once), keeping
+        per-query minimums — called between head passes."""
+        if self.error is not None:
+            return
+        for name in PAIRED_QUERIES:
+            if name in self.errors:
+                continue
+            try:
+                self._send(f"run {self.sf_dir} {name}")
+                got = self._recv(timeout=600)
+            except Exception as exc:  # noqa: BLE001
+                self._fail(f"{type(exc).__name__}: {exc}")
+                return
+            if "elapsed" in got:
+                t = got["elapsed"]
+                if name not in self.timings or t < self.timings[name]:
+                    self.timings[name] = t
+            else:
+                self.errors[name] = str(got.get("error", got))[:300]
+
+    def finish(self) -> dict:
+        import shutil
+        import subprocess
+
+        repo = os.path.dirname(os.path.abspath(__file__))
+        try:
+            if self._proc is not None and self._proc.poll() is None:
+                try:
+                    self._send("exit")
+                    self._proc.wait(timeout=60)
+                except Exception:  # noqa: BLE001
+                    self._proc.kill()
+        finally:
+            if self._tmp is not None:
+                subprocess.run(
+                    [
+                        "git",
+                        "-C",
+                        repo,
+                        "worktree",
+                        "remove",
+                        "--force",
+                        os.path.join(self._tmp, "wt"),
+                    ],
+                    capture_output=True,
+                    timeout=120,
+                )
+                shutil.rmtree(self._tmp, ignore_errors=True)
+        out: dict = {"commit": self.commit, "interleaved": True}
+        if self.timings:
+            out["value"] = round(sum(self.timings.values()), 3)
+            out["queries"] = self.timings
+        if self.errors:
+            out["query_errors"] = self.errors
+        if self.error is not None:
+            out["error"] = self.error
+        return out
 
 
 HEADLINE = [
@@ -257,6 +348,18 @@ def main() -> int:
     # one broken query must never zero the whole round's perf signal
     # (round 3 lost its entire bench to a single AnalysisException) —
     # failures are reported in the JSON, the rest keep their timings.
+    # Paired control coprocess (started AFTER the head warm-up so the
+    # two JVMs never execute at once): each of the 3 timed rounds runs
+    # head-pass then control-pass, A/B/A/B — see PairedControl.
+    control: PairedControl | None = None
+    if paired_on:
+        control = PairedControl(paired_commit, sf_dir)
+        control.start(
+            warm_dir
+            if os.path.isdir(warm_dir) and warm_dir != sf_dir
+            else None
+        )
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for _ in range(3):
@@ -275,6 +378,8 @@ def main() -> int:
             elapsed = round(time.perf_counter() - t0, 3)
             if name not in timings or elapsed < timings[name]:
                 timings[name] = elapsed
+        if control is not None:
+            control.run_pass()
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -286,11 +391,8 @@ def main() -> int:
     }
     if errors:
         out["errors"] = errors
-    if paired_on:
-        # sequential, never concurrent: free the JVM before the
-        # control's session starts
-        spark.stop()
-        out["control"] = run_paired_control(paired_commit, sf_dir)
+    if control is not None:
+        out["control"] = control.finish()
     print(json.dumps(out))
     return 0
 
