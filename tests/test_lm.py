@@ -159,6 +159,33 @@ def test_vocab_is_materialized_local(spark):
     assert "Generate" not in plan and "HashAggregate" not in plan, plan
 
 
+def test_doc_lm_perplexity_matches_oracle(spark):
+    """The r12-slated graded twin (queries/text.py doc_lm_perplexity):
+    bit-exact against the full-pipeline DuckDB replay (top-V vocab,
+    <unk> mapping, add-one bigrams, LUT NLL) at both scales — the
+    registry bar, held here until its registration clears the
+    rotation budget."""
+    import duckdb
+
+    from big_data_analytics_final_project_spark.queries.text import (
+        DOC_LM_PERPLEXITY_SQL,
+        doc_lm_perplexity,
+    )
+
+    from .conftest import SF_CORRECT, SF_SMOKE
+    from .parity import compare
+
+    for sf in (SF_SMOKE, SF_CORRECT):
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+        )
+        compare(
+            doc_lm_perplexity(spark, sf), con.sql(DOC_LM_PERPLEXITY_SQL)
+        )
+        con.close()
+
+
 def test_real_documents_smoke(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     out = lm_train_score(docs, vocab_k=512)
