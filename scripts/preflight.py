@@ -18,8 +18,11 @@ Sequence (each in its own subprocess so Spark sessions never overlap):
   6. scripts/check_determinism.py        — 3-vs-32-partition bit-equality
      (skipped with --fast)
 
-End-of-round order: rotate GRADING_PRIORITY -> preflight GREEN ->
-`python scripts/grading_manifest.py --freeze` -> final commit.
+Round protocol (r10 lesson — the skipped rotation left 89 queries
+stale at once): rotate GRADING_PRIORITY as the FIRST commit of the
+round (`grading_manifest.py --suggest` is paste-ready), then at round
+end: preflight GREEN -> `python scripts/grading_manifest.py --freeze`
+-> final commit.
 
 Round 3 shipped a one-line breakage that errored 4 graded queries,
 failed pytest, and zeroed the bench — every one of those was catchable
