@@ -115,9 +115,26 @@ def main() -> int:
 
     from bench import BENCH_VARIANTS, HEADLINE
 
-    from big_data_analytics_final_project_spark.queries import all_queries
+    from big_data_analytics_final_project_spark.queries import (
+        QuerySpec,
+        all_queries,
+    )
+    from big_data_analytics_final_project_spark.queries.batch import (
+        bloom_pruned_revenue,
+    )
+    from big_data_analytics_final_project_spark.queries.text import (
+        corpus_bpe_merges,
+        doc_lm_perplexity,
+    )
 
-    specs = {**all_queries(), **BENCH_VARIANTS}
+    # authored-but-unregistered r12 queue (COVERAGE.md) — scale-smokable
+    # by name here even before their registrations land
+    unregistered = {
+        "bloom_pruned_revenue": QuerySpec(bloom_pruned_revenue),
+        "doc_lm_perplexity": QuerySpec(doc_lm_perplexity),
+        "corpus_bpe_merges": QuerySpec(corpus_bpe_merges),
+    }
+    specs = {**all_queries(), **BENCH_VARIANTS, **unregistered}
     names = args.queries or HEADLINE
 
     spark = get_session(
