@@ -325,10 +325,28 @@ def zorder_frame(
     for t in terms[1:]:
         zval = zval.bitwiseOR(t)
     work = work.withColumn("_zval", zval)
+    # Curve-cell-ALIGNED file split (replaces range partitioning on
+    # raw _zval): the per-column ranks are scaled onto the full
+    # 2^bits range, so _zval is uniform over the curve BY
+    # CONSTRUCTION and the top ceil(log2(num_files)) bit planes cut
+    # it into equal-count cells. Range-partitioning on the CELL id
+    # means the sampler only picks which cell edges become file
+    # edges — it can merge two z-adjacent cells (off-by-one bounds;
+    # one file fewer than asked), but it can never put a file
+    # boundary INSIDE a cell. That intra-cell split was the old
+    # layout's pruning leak — both neighboring files then span the
+    # cell's full extent on every dimension (measured on the 40k-row
+    # footer-stats fixture: 7-8 of 16 files touched by a 5%
+    # one-dimension band, vs 3-6 aligned) — and since the sampler's
+    # seed varies with session RDD ids it was also run-order noise
+    # at full cell granularity rather than bounded to one edge.
+    cell_bits = max(num_files - 1, 0).bit_length()
+    shift = max(d * bits - cell_bits, 0)
+    work = work.withColumn("_zcell", F.shiftright(F.col("_zval"), shift))
     return (
-        work.repartitionByRange(num_files, F.col("_zval"))
+        work.repartitionByRange(num_files, F.col("_zcell"))
         .sortWithinPartitions("_zval")
-        .drop(*zcols, "_zval")
+        .drop(*zcols, "_zval", "_zcell")
     )
 
 
