@@ -320,7 +320,7 @@ def lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _profile_col_sql(c: str, kind: str) -> str:
+def _profile_col_sql(c: str, kind: str, src: str = "lineitem") -> str:
     null_of = {
         "num": "CAST(NULL AS DOUBLE)",
         "us": "CAST(NULL AS BIGINT)",
@@ -343,7 +343,7 @@ def _profile_col_sql(c: str, kind: str) -> str:
         f"       {slots[0]} AS min_num, {slots[1]} AS max_num,\n"
         f"       {slots[2]} AS min_us, {slots[3]} AS max_us,\n"
         f"       {slots[4]} AS min_str, {slots[5]} AS max_str\n"
-        f"FROM lineitem"
+        f"FROM {src}"
     )
 
 
@@ -353,6 +353,143 @@ LINEITEM_PROFILE_SQL = (
     )
     + "\nORDER BY column_name\n"
 )
+
+
+_KANON_K = 6
+_KANON_QI = ["c_nationkey", "c_mktsegment"]
+
+
+def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the customer table over the
+    (nation, market-segment) quasi-identifier at k=6 — the graded
+    surface for `k_anonymity_report` (operators/profile.py:176), the
+    structured-privacy check `doc_pii_scrub` is the text-side of.
+    k=6 is chosen so the verdict is non-degenerate at BOTH grading
+    scales (sf0.001: 92 of 93 QI groups below k; sf0.01: 2 of 125).
+
+    Scale: ONE map-side-combinable hash aggregate on the QI columns
+    plus a group-count-sized summary — the distinct-count footprint;
+    no window, no join (operator docstring has the 100 TB argument).
+
+    Oracle: the same two-level aggregate in ANSI SQL; every count is
+    an exact BIGINT (sums CAST to dodge DuckDB's HUGEINT)."""
+    from ..operators.profile import k_anonymity_report
+
+    return k_anonymity_report(
+        load_table(spark, sf_dir, "customer"), _KANON_QI, k=_KANON_K
+    )
+
+
+CUSTOMER_K_ANONYMITY_SQL = f"""
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment, count(*) AS n
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+)
+SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+       count(*) AS n_groups,
+       CAST(sum(CASE WHEN n < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_groups_below_k,
+       CAST(sum(CASE WHEN n < {_KANON_K} THEN n ELSE 0 END) AS BIGINT)
+         AS n_rows_at_risk,
+       min(n) AS min_group_size,
+       min(n) >= {_KANON_K} AS is_k_anonymous,
+       {_KANON_K} AS k
+FROM g
+"""
+
+
+# profile_diff graded twin: reference zone = orders before the split
+# date, current zone = orders after it, with ONE deliberately
+# asymmetric profiled column per side (o_orderstatus ref-only,
+# o_orderpriority cur-only) so the schema_drift flag has live rows.
+_DRIFT_SPLIT = "1998-01-01 00:00:00"
+_DRIFT_REF_COLS: dict[str, str] = {
+    "o_orderkey": "num",
+    "o_custkey": "num",
+    "o_totalprice": "num",
+    "o_orderdate": "time",
+    "o_orderstatus": "str",
+}
+_DRIFT_CUR_COLS: dict[str, str] = {
+    "o_orderkey": "num",
+    "o_custkey": "num",
+    "o_totalprice": "num",
+    "o_orderdate": "time",
+    "o_orderpriority": "str",
+}
+
+
+def orders_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-contract drift report between two zone drops — the
+    graded surface for `profile_diff` (operators/profile.py:219):
+    profile orders before vs after `_DRIFT_SPLIT` and diff the
+    profiles. The split guarantees deterministic live flags:
+    schema_drift on the two one-sided columns, range_drift on
+    o_orderkey/o_orderdate (later keys/dates escape the reference
+    max), quiet null/distinct flags (the generator emits no nulls and
+    stable per-row cardinality).
+
+    Scale: two profile scans (each the one-scan-total plan
+    `lineitem_profile` documents) and a ~n_cols-row full-outer join —
+    the diff itself is free at any data scale; every flag is exact
+    integer/boolean logic (ppm by integer div, cardinality by
+    cross-multiplication — no float rates to drift cross-engine)."""
+    from ..operators.profile import profile_diff, table_profile
+
+    orders = load_table(spark, sf_dir, "orders")
+    split = F.lit(_DRIFT_SPLIT).cast("timestamp")
+    ref = table_profile(
+        orders.filter(F.col("o_orderdate") < split), list(_DRIFT_REF_COLS)
+    )
+    cur = table_profile(
+        orders.filter(F.col("o_orderdate") >= split), list(_DRIFT_CUR_COLS)
+    )
+    return profile_diff(ref, cur)
+
+
+def _drift_profile_sql(cols: dict[str, str], pred: str) -> str:
+    src = f"(SELECT * FROM orders WHERE {pred})"
+    return "\nUNION ALL\n".join(
+        _profile_col_sql(c, k, src) for c, k in cols.items()
+    )
+
+
+_DRIFT_BOTH = "(r.column_name IS NOT NULL AND c.column_name IS NOT NULL)"
+_DRIFT_PPM_R = "r.n_nulls * 1000000 // r.n_rows"
+_DRIFT_PPM_C = "c.n_nulls * 1000000 // c.n_rows"
+
+ORDERS_PROFILE_DRIFT_SQL = f"""
+WITH ref_p AS (
+{_drift_profile_sql(_DRIFT_REF_COLS, f"o_orderdate < TIMESTAMP '{_DRIFT_SPLIT}'")}
+),
+cur_p AS (
+{_drift_profile_sql(_DRIFT_CUR_COLS, f"o_orderdate >= TIMESTAMP '{_DRIFT_SPLIT}'")}
+)
+SELECT
+  COALESCE(r.column_name, c.column_name) AS column_name,
+  r.column_name IS NOT NULL AS in_ref,
+  c.column_name IS NOT NULL AS in_cur,
+  {_DRIFT_PPM_R} AS null_ppm_ref,
+  {_DRIFT_PPM_C} AS null_ppm_cur,
+  r.n_distinct AS n_distinct_ref,
+  c.n_distinct AS n_distinct_cur,
+  NOT {_DRIFT_BOTH} AS schema_drift,
+  COALESCE({_DRIFT_BOTH}
+           AND abs(({_DRIFT_PPM_C}) - ({_DRIFT_PPM_R})) > 10000,
+           FALSE) AS null_drift,
+  COALESCE({_DRIFT_BOTH}
+           AND (c.n_distinct * r.n_rows > 2 * r.n_distinct * c.n_rows
+                OR r.n_distinct * c.n_rows > 2 * c.n_distinct * r.n_rows),
+           FALSE) AS distinct_drift,
+  {_DRIFT_BOTH}
+  AND COALESCE(
+        (c.min_num < r.min_num) OR (c.max_num > r.max_num)
+        OR (c.min_us < r.min_us) OR (c.max_us > r.max_us)
+        OR (c.min_str < r.min_str) OR (c.max_str > r.max_str),
+        FALSE) AS range_drift
+FROM ref_p r FULL OUTER JOIN cur_p c ON r.column_name = c.column_name
+ORDER BY column_name
+"""
 
 
 QUERIES: dict[str, QuerySpec] = {
@@ -367,4 +504,14 @@ QUERIES: dict[str, QuerySpec] = {
     # r9's window was full — 5 backlog registrations + 42 forced + 3
     # backfill — and the horizon budget is 1 new query/round) —
     # "lineitem_profile": QuerySpec(lineitem_profile, LINEITEM_PROFILE_SQL),
+    # r13 queue (COVERAGE.md; steady-state budget 2/round — r12's
+    # headroom is spoken for by the 5-deep r12 queue): the privacy
+    # audit and the drift report, authored r11, parity-tested at both
+    # scales in tests/test_profile.py —
+    # "customer_k_anonymity": QuerySpec(
+    #     customer_k_anonymity, CUSTOMER_K_ANONYMITY_SQL
+    # ),
+    # "orders_profile_drift": QuerySpec(
+    #     orders_profile_drift, ORDERS_PROFILE_DRIFT_SQL
+    # ),
 }

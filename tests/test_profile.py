@@ -14,8 +14,12 @@ from big_data_analytics_final_project_spark.operators.profile import (
     table_profile,
 )
 from big_data_analytics_final_project_spark.queries.quality import (
+    CUSTOMER_K_ANONYMITY_SQL,
     LINEITEM_PROFILE_SQL,
+    ORDERS_PROFILE_DRIFT_SQL,
+    customer_k_anonymity,
     lineitem_profile,
+    orders_profile_drift,
 )
 
 from .conftest import SF_CORRECT, SF_SMOKE
@@ -112,6 +116,47 @@ def test_lineitem_profile_matches_oracle(spark):
         )
         compare(lineitem_profile(spark, sf), con.sql(LINEITEM_PROFILE_SQL))
         con.close()
+
+
+def test_customer_k_anonymity_matches_oracle(spark):
+    """The r13-queued privacy twin at the registry bar: bit-exact at
+    both scales. k=6 is non-degenerate at both (the query docstring
+    has the group counts) — pin that too, so a testdata regen that
+    collapses the QI distribution fails loudly here instead of
+    silently grading a trivial report."""
+    for sf, below, groups in ((SF_SMOKE, 92, 93), (SF_CORRECT, 2, 125)):
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW customer AS SELECT * FROM '{sf}/customer.parquet'"
+        )
+        compare(customer_k_anonymity(spark, sf), con.sql(CUSTOMER_K_ANONYMITY_SQL))
+        con.close()
+        r = customer_k_anonymity(spark, sf).collect()[0]
+        assert (r["n_groups_below_k"], r["n_groups"]) == (below, groups)
+        assert not r["is_k_anonymous"]
+
+
+def test_orders_profile_drift_matches_oracle(spark):
+    """The r13-queued drift twin at the registry bar: bit-exact at
+    both scales, plus the semantic pin — the asymmetric profiled
+    columns trip schema_drift, the later zone's keys/dates escape the
+    reference range, and the no-null generator keeps null_drift
+    quiet everywhere."""
+    for sf in (SF_SMOKE, SF_CORRECT):
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW orders AS SELECT * FROM '{sf}/orders.parquet'"
+        )
+        compare(orders_profile_drift(spark, sf), con.sql(ORDERS_PROFILE_DRIFT_SQL))
+        con.close()
+        d = {
+            r["column_name"]: r
+            for r in orders_profile_drift(spark, sf).collect()
+        }
+        assert d["o_orderstatus"]["schema_drift"] and not d["o_orderstatus"]["in_cur"]
+        assert d["o_orderpriority"]["schema_drift"] and not d["o_orderpriority"]["in_ref"]
+        assert d["o_orderdate"]["range_drift"]
+        assert not any(r["null_drift"] for r in d.values())
 
 
 def test_profile_diff_flags_each_drift_kind(spark):
