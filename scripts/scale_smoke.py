@@ -122,17 +122,29 @@ def main() -> int:
     from big_data_analytics_final_project_spark.queries.batch import (
         bloom_pruned_revenue,
     )
+    from big_data_analytics_final_project_spark.queries.quality import (
+        customer_k_anonymity,
+        lineitem_profile,
+        orders_profile_drift,
+    )
     from big_data_analytics_final_project_spark.queries.text import (
         corpus_bpe_merges,
         doc_lm_perplexity,
     )
+    from big_data_analytics_final_project_spark.queries.windows import (
+        join_size_cms,
+    )
 
-    # authored-but-unregistered r12 queue (COVERAGE.md) — scale-smokable
-    # by name here even before their registrations land
+    # authored-but-unregistered r12/r13 queue (COVERAGE.md) —
+    # scale-smokable by name here even before their registrations land
     unregistered = {
+        "lineitem_profile": QuerySpec(lineitem_profile),
+        "join_size_cms": QuerySpec(join_size_cms),
         "bloom_pruned_revenue": QuerySpec(bloom_pruned_revenue),
         "doc_lm_perplexity": QuerySpec(doc_lm_perplexity),
         "corpus_bpe_merges": QuerySpec(corpus_bpe_merges),
+        "customer_k_anonymity": QuerySpec(customer_k_anonymity),
+        "orders_profile_drift": QuerySpec(orders_profile_drift),
     }
     specs = {**all_queries(), **BENCH_VARIANTS, **unregistered}
     names = args.queries or HEADLINE
