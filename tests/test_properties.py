@@ -387,3 +387,41 @@ def test_table_profile_matches_pure_python(spark, rows):
             want_hi = float(hi) if hi is not None else None
             assert (r["min_num"], r["max_num"]) == (want_lo, want_hi)
             assert r["min_str"] is None and r["min_us"] is None
+
+
+# --- k-anonymity report -------------------------------------------------
+
+_kanon_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # age-ish QI (few values)
+        st.sampled_from(["a", "b", None]),  # zip-ish QI incl. NULL group
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=_kanon_rows, k=st.integers(min_value=1, max_value=5))
+@settings(**_SETTINGS)
+def test_k_anonymity_matches_python_reference(spark, rows, k):
+    """Every report field vs a pure-Python Counter over the QI tuples;
+    NULL groups with itself (SQL groupBy semantics — Python None keys
+    reproduce that exactly)."""
+    from collections import Counter
+
+    from big_data_analytics_final_project_spark.operators.profile import (
+        k_anonymity_report,
+    )
+
+    df = spark.createDataFrame(
+        [(a, z, i) for i, (a, z) in enumerate(rows)],
+        "age: int, zip: string, uid: int",
+    )
+    r = k_anonymity_report(df, ["age", "zip"], k=k).collect()[0]
+    groups = Counter((a, z) for a, z in rows)
+    assert r["n_rows"] == len(rows)
+    assert r["n_groups"] == len(groups)
+    assert r["n_groups_below_k"] == sum(1 for n in groups.values() if n < k)
+    assert r["n_rows_at_risk"] == sum(n for n in groups.values() if n < k)
+    assert r["min_group_size"] == min(groups.values())
+    assert r["is_k_anonymous"] == (min(groups.values()) >= k)
