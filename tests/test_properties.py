@@ -425,3 +425,72 @@ def test_k_anonymity_matches_python_reference(spark, rows, k):
     assert r["n_rows_at_risk"] == sum(n for n in groups.values() if n < k)
     assert r["min_group_size"] == min(groups.values())
     assert r["is_k_anonymous"] == (min(groups.values()) >= k)
+
+
+# --- profile diff -------------------------------------------------------
+
+_diff_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(min_value=-5, max_value=5)),  # k
+        st.one_of(st.none(), st.floats(allow_nan=False, allow_infinity=False,
+                                       min_value=-10, max_value=10)),  # v
+        st.one_of(st.none(), st.sampled_from(["a", "b", "c"])),  # s
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(ref_rows=_diff_rows, cur_rows=_diff_rows)
+@settings(**_SETTINGS)
+def test_profile_diff_matches_python_reference(spark, ref_rows, cur_rows):
+    """profile_diff's exact-integer flag logic vs a pure-Python replay:
+    ref profiles (k, v), cur profiles (v, s) — so k/s pin the
+    one-sided schema_drift path every example, and v runs the
+    null-ppm / cross-multiplied-distinct / range logic on adversarial
+    NULL patterns (including all-NULL sides, where range must stay
+    quiet via the SQL three-valued OR)."""
+    from big_data_analytics_final_project_spark.operators.profile import (
+        profile_diff,
+        table_profile,
+    )
+
+    schema = "k: bigint, v: double, s: string"
+    ref_df = spark.createDataFrame(ref_rows, schema)
+    cur_df = spark.createDataFrame(cur_rows, schema)
+    got = {
+        r["column_name"]: r
+        for r in profile_diff(
+            table_profile(ref_df, ["k", "v"]),
+            table_profile(cur_df, ["v", "s"]),
+        ).collect()
+    }
+    assert set(got) == {"k", "v", "s"}
+    assert got["k"]["schema_drift"] and not got["k"]["in_cur"]
+    assert got["s"]["schema_drift"] and not got["s"]["in_ref"]
+    for one_sided in ("k", "s"):
+        r = got[one_sided]
+        assert not (r["null_drift"] or r["distinct_drift"] or r["range_drift"])
+
+    rv = [t[1] for t in ref_rows]
+    cv = [t[1] for t in cur_rows]
+    r_present = [x for x in rv if x is not None]
+    c_present = [x for x in cv if x is not None]
+    v = got["v"]
+    assert not v["schema_drift"]
+    ppm_r = (len(rv) - len(r_present)) * 1_000_000 // len(rv)
+    ppm_c = (len(cv) - len(c_present)) * 1_000_000 // len(cv)
+    assert (v["null_ppm_ref"], v["null_ppm_cur"]) == (ppm_r, ppm_c)
+    assert v["null_drift"] == (abs(ppm_c - ppm_r) > 10_000)
+    rd, cd = len(set(r_present)), len(set(c_present))
+    assert (v["n_distinct_ref"], v["n_distinct_cur"]) == (rd, cd)
+    assert v["distinct_drift"] == (
+        cd * len(rv) > 2 * rd * len(cv) or rd * len(cv) > 2 * cd * len(rv)
+    )
+    if r_present and c_present:
+        want_range = (min(c_present) < min(r_present)) or (
+            max(c_present) > max(r_present)
+        )
+    else:
+        want_range = False  # NULL min/max -> three-valued OR -> coalesce False
+    assert v["range_drift"] == want_range
