@@ -494,3 +494,48 @@ def test_profile_diff_matches_python_reference(spark, ref_rows, cur_rows):
     else:
         want_range = False  # NULL min/max -> three-valued OR -> coalesce False
     assert v["range_drift"] == want_range
+
+
+_profile_ts_rows = st.lists(
+    st.one_of(
+        st.none(),
+        st.integers(min_value=-86_400, max_value=86_400),  # offset seconds
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(offsets=_profile_ts_rows)
+@settings(**_SETTINGS)
+def test_table_profile_time_slot_exact_micros(spark, offsets):
+    """The time-kind column's min/max must land in the _us slot as
+    EXACT integer epoch microseconds of the true min/max (the
+    cross-engine contract the oracle's epoch_us() compares against),
+    with the num/str slots NULL and NULLs counted but excluded from
+    distinct."""
+    from big_data_analytics_final_project_spark.operators.profile import (
+        table_profile,
+    )
+
+    rows = [
+        (i, _BASE + timedelta(seconds=off) if off is not None else None)
+        for i, off in enumerate(offsets)
+    ]
+    df = spark.createDataFrame(rows, "i: bigint, t: timestamp")
+    r = {x["column_name"]: x for x in table_profile(df, ["t"]).collect()}["t"]
+    present = [off for off in offsets if off is not None]
+    assert r["n_rows"] == len(offsets)
+    assert r["n_nulls"] == len(offsets) - len(present)
+    assert r["n_distinct"] == len(set(present))
+    if present:
+        from datetime import timezone
+
+        # session TZ is pinned UTC; anchor the expectation there too
+        # instead of the system TZ .timestamp() would use
+        base_us = int(_BASE.replace(tzinfo=timezone.utc).timestamp()) * 1_000_000
+        assert r["min_us"] == base_us + min(present) * 1_000_000
+        assert r["max_us"] == base_us + max(present) * 1_000_000
+    else:
+        assert r["min_us"] is None and r["max_us"] is None
+    assert r["min_num"] is None and r["min_str"] is None
