@@ -37,10 +37,10 @@ class QuerySpec:
 # fall 3+ rounds old MUST be in this round's window, (b) a one-round
 # simulation proves the NEXT round's forced set also fits in 50, and
 # (c) a greedy multi-round horizon replay reports the sustainable
-# new-registration rate. Steady-state arithmetic: 140 rotating / 3 =
-# ~46.7 forced slots/round — the measured budget is ~1 NEW query per
-# round (author in round N with a commented QUERIES line + parity
-# tests, register in N+1).
+# new-registration rate. The budget is whatever that replay measures
+# (`python scripts/grading_manifest.py` "capacity:" line — 2 NEW
+# queries/round as of r12); author in round N with a commented
+# QUERIES line + parity tests, register when a window has slots.
 #
 # Window composition each round, in order: (1) every query whose
 # implementation or oracle is new or changed this round (fingerprint
@@ -49,71 +49,72 @@ class QuerySpec:
 # slots, heaviest/flagship shapes first, which smooths the next
 # round's forced load.
 #
-# Round-11 instance — CATCH-UP ROTATION. Round 10 ended without
-# rotating the window (r9's 50 names were re-graded verbatim), so 89
-# non-exempt queries entered r11 with a green row 2+ rounds old — 39
-# more than one window holds. Recovery plan (r10 verdict #1): this
-# round takes the 50 STALEST (all 42 r7-green entries + the 8
-# alphabetically-first r8-green ones); round 12's window sweeps the
-# remaining 39 r8-green entries plus the ~11 r9-green names that go
-# 2-rounds-old by then (39+11 = 50, exactly one window — verified by
-# scripts/grading_manifest.py's recovery replay). No new-registration
-# slots exist this round; lineitem_profile + join_size_cms stay
-# commented out until r12/r13 per the same plan.
+# Round-12 instance — RECOVERY COMPLETION + QUEUE DRAIN. This window
+# is the second half of the r10-debt recovery the gate's replay
+# verified: the 39 remaining r8-green names (the manifest's forced
+# set), the FIVE queued registrations (bloom_pruned_revenue,
+# doc_lm_perplexity, lineitem_profile, join_size_cms,
+# corpus_bpe_merges — all authored+parity-tested in earlier rounds;
+# new fingerprints, so the gate forces them anyway), and 6
+# oldest-green (r10) backfill to smooth r13's forced load. After this
+# window goes green the debt is 0 and the steady-state 2/round
+# cadence resumes (scripts/grading_manifest.py horizon report).
 GRADING_PRIORITY: tuple[str, ...] = (
-    # -- staleness catch-up: latest green row is r7 (42 entries)
-    "concurrent_sessions_peak",
-    "corpus_curation_report",
-    "corpus_pack_bins",
-    "customer_spend_deciles",
-    "daily_active_users",
-    "daily_active_users_approx",
-    "dedup_exact",
-    "dedup_incremental",
-    "dedup_overlap_pairs",
-    "dedup_semantic_clusters",
-    "doc_bpe_token_stats",
-    "doc_fingerprint",
-    "doc_lang_id",
-    "doc_pii_scrub",
-    "doc_sample_stratified",
-    "embedding_near_dup",
-    "engagement_spend_correlation",
-    "engagement_vs_spend",
-    "event_type_pivot",
-    "events_gap_filled_hourly",
-    "events_props_parse",
-    "events_sliding_2h",
-    "events_tumbling_hourly",
-    "gen_revenue_by_category",
-    "international_revenue",
-    "media_png_pixels",
-    "nested_order_items",
-    "order_cart_map",
-    "order_price_quantiles_approx",
-    "order_totals_reconciliation",
-    "orders_status_priority_cube",
-    "part_pagerank",
-    "part_triangle_count",
-    "purchase_last_click_matched",
-    "referential_integrity_audit",
-    "segment_counts",
-    "top_order_per_customer",
-    "top_spenders",
-    "user_event_runs",
-    "user_events_lookup",
-    "user_rolling_7d_spend",
-    "zone_roundtrip_daily",
-    # -- staleness catch-up: latest green row is r8 (first 8 of 47;
-    #    the other 39 are round 12's forced set)
-    "also_bought_pairs",
-    "conversion_funnel",
-    "corpus_bigram_topk",
-    "corpus_vocab_topk",
-    "customer_cohort_setops",
-    "customer_order_distribution",
-    "customer_status_scd2",
-    "dedup_jaccard_pairs",
+    # -- staleness sweep: latest green row is r8 (39 entries — the
+    #    remainder of the r10-debt; r11 took the other 50)
+    "dedup_minhash_lsh",
+    "doc_chunk_windows",
+    "doc_length_histogram",
+    "doc_ngram_contamination",
+    "doc_token_stats",
+    "doc_top_keywords",
+    "doc_winnowing_fingerprint",
+    "dormant_high_value_customers",
+    "embedding_random_projection",
+    "embedding_scalar_quantize",
+    "events_hourly_anomaly",
+    "events_jsonl_source_scan",
+    "frequent_items_mg",
+    "large_volume_customers",
+    "late_shipments_by_priority",
+    "media_gif_pixels",
+    "media_wav_meta",
+    "nation_trade_volume",
+    "order_item_stats",
+    "order_priority_returns",
+    "orders_grouping_sets",
+    "product_popularity",
+    "promo_disjunctive_revenue",
+    "promo_revenue_share",
+    "regional_supplier_volume",
+    "returned_item_customers",
+    "revenue_rollup",
+    "segment_purchasing_power",
+    "segment_value_psi",
+    "shipping_priority",
+    "small_order_revenue",
+    "supplier_count_by_part",
+    "top_customers_top5",
+    "top_event_type_per_user",
+    "top_orders_lateral",
+    "top_supplier_by_revenue",
+    "user_engagement",
+    "user_spend",
+    "weekly_retention",
+    # -- new registrations this round (fingerprint-forced; the r11
+    #    queue: operators changed r10/r11 with no driver row yet)
+    "bloom_pruned_revenue",
+    "doc_lm_perplexity",
+    "lineitem_profile",
+    "join_size_cms",
+    "corpus_bpe_merges",
+    # -- oldest-green (r10) backfill
+    "ann_hyperplane_lsh",
+    "ann_ivf",
+    "binary_meta",
+    "clicks_before_purchase",
+    "corpus_mix_plan",
+    "corpus_split_assign",
     # ---- driver's 50-entry window ends here ----
 )
 

@@ -2255,12 +2255,10 @@ QUERIES: dict[str, QuerySpec] = {
     "dominant_part_suppliers": QuerySpec(
         dominant_part_suppliers, DOMINANT_PART_SUPPLIERS_SQL
     ),
-    # r12 rotation: uncommenting registers the bloom-runtime-filter
-    # graded twin (authored + parity-tested r11 at both scales,
-    # tests/test_bloomjoin.py; r11's window had ZERO free slots — the
-    # 89-query catch-up rotation — and the recovery plan reserves new
-    # registrations for r12's ~11-slot headroom) —
-    # "bloom_pruned_revenue": QuerySpec(
-    #     bloom_pruned_revenue, BLOOM_PRUNED_REVENUE_SQL
-    # ),
+    # registered r12 (authored + parity-tested r11 at both scales,
+    # tests/test_bloomjoin.py; r11's window had zero free slots — the
+    # 89-query catch-up rotation) —
+    "bloom_pruned_revenue": QuerySpec(
+        bloom_pruned_revenue, BLOOM_PRUNED_REVENUE_SQL
+    ),
 }

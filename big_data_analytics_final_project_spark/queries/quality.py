@@ -499,11 +499,9 @@ QUERIES: dict[str, QuerySpec] = {
     "order_totals_reconciliation": QuerySpec(
         order_totals_reconciliation, ORDER_TOTALS_RECONCILIATION_SQL
     ),
-    # r10 rotation: uncommenting registers the table profiler
-    # (authored+parity-tested r9 at both scales, tests/test_profile.py;
-    # r9's window was full — 5 backlog registrations + 42 forced + 3
-    # backfill — and the horizon budget is 1 new query/round) —
-    # "lineitem_profile": QuerySpec(lineitem_profile, LINEITEM_PROFILE_SQL),
+    # registered r12 (authored+parity-tested r9 at both scales,
+    # tests/test_profile.py; deferred since r10 by full windows) —
+    "lineitem_profile": QuerySpec(lineitem_profile, LINEITEM_PROFILE_SQL),
     # r13 queue (COVERAGE.md; steady-state budget 2/round — r12's
     # headroom is spoken for by the 5-deep r12 queue): the privacy
     # audit and the drift report, authored r11, parity-tested at both

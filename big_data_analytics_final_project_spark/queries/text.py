@@ -1269,16 +1269,14 @@ QUERIES: dict[str, QuerySpec] = {
     "doc_winnowing_fingerprint": QuerySpec(
         doc_winnowing_fingerprint, DOC_WINNOWING_FINGERPRINT_SQL
     ),
-    # r12 rotation: uncommenting registers the bigram-LM perplexity
-    # graded twin (authored + parity-tested r11 at both scales,
-    # tests/test_lm.py; r11's window had ZERO free slots — the
-    # 89-query catch-up rotation — and the recovery plan reserves new
-    # registrations for r12's ~11-slot headroom) —
-    # "doc_lm_perplexity": QuerySpec(
-    #     doc_lm_perplexity, DOC_LM_PERPLEXITY_SQL
-    # ),
-    # r12/r13 rotation, same holding pattern: the BPE merge relation,
-    # ROWS-ONLY (sql=None — see the docstring; bit-exactness vs the
-    # Sennrich reference is pytest-pinned at two scales) —
-    # "corpus_bpe_merges": QuerySpec(corpus_bpe_merges, None),
+    # registered r12 (authored + parity-tested r11 at both scales,
+    # tests/test_lm.py; r11's window had zero free slots — the
+    # 89-query catch-up rotation) —
+    "doc_lm_perplexity": QuerySpec(
+        doc_lm_perplexity, DOC_LM_PERPLEXITY_SQL
+    ),
+    # registered r12: the BPE merge relation, ROWS-ONLY (sql=None —
+    # see the docstring; bit-exactness vs the Sennrich reference is
+    # pytest-pinned at two scales, tests/test_bpe.py) —
+    "corpus_bpe_merges": QuerySpec(corpus_bpe_merges, None),
 }

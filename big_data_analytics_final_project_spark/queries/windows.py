@@ -1287,9 +1287,7 @@ QUERIES: dict[str, QuerySpec] = {
     # — tests/test_sketches.py held it to the registry bar with a FULL
     # exact oracle since) —
     "user_freq_cms": QuerySpec(user_freq_cms, USER_FREQ_CMS_SQL),
-    # r10 rotation: uncommenting registers the CMS join-cardinality
-    # estimator (authored+parity-tested r9, tests/test_sketches.py;
-    # r9's window was full and the measured budget is 2 new/round —
-    # this plus lineitem_profile is exactly that budget) —
-    # "join_size_cms": QuerySpec(join_size_cms, JOIN_SIZE_CMS_SQL),
+    # registered r12 (authored+parity-tested r9, tests/test_sketches.py;
+    # deferred since r10 by full windows) —
+    "join_size_cms": QuerySpec(join_size_cms, JOIN_SIZE_CMS_SQL),
 }

@@ -36,7 +36,13 @@ def test_registry_counts_match_readme():
     specs = all_queries()
     n_total = len(specs)
     n_twinned = sum(1 for s in specs.values() if s.sql)
-    assert n_twinned == n_total, [n for n, s in specs.items() if not s.sql]
+    # The ONLY queries allowed to ship without a SQL twin: each must
+    # instead be pinned bit-equal to a pure-Python reference in a
+    # dedicated pytest (corpus_bpe_merges -> tests/test_bpe.py —
+    # greedy BPE merge induction has no relational oracle).
+    ROWS_ONLY = {"corpus_bpe_merges"}
+    untwinned = {n for n, s in specs.items() if not s.sql}
+    assert untwinned == ROWS_ONLY, sorted(untwinned ^ ROWS_ONLY)
     with open(os.path.join(REPO, "README.md")) as f:
         readme = f.read()
     m = re.search(r"\((\d+) of (\d+) as of", readme)
