@@ -153,7 +153,11 @@ class PairedControl:
                 raise RuntimeError(f"control not ready: {ready}")
             if warm_dir:
                 for name in PAIRED_QUERIES:
-                    self._send(f"run {warm_dir} {name}")
+                    self._send(
+                        json.dumps(
+                            {"cmd": "run", "sf_dir": warm_dir, "name": name}
+                        )
+                    )
                     self._recv(timeout=600)
         except Exception as exc:  # noqa: BLE001 — control is optional
             self._fail(f"{type(exc).__name__}: {exc}")
@@ -167,7 +171,11 @@ class PairedControl:
             if name in self.errors:
                 continue
             try:
-                self._send(f"run {self.sf_dir} {name}")
+                self._send(
+                    json.dumps(
+                        {"cmd": "run", "sf_dir": self.sf_dir, "name": name}
+                    )
+                )
                 got = self._recv(timeout=600)
             except Exception as exc:  # noqa: BLE001
                 self._fail(f"{type(exc).__name__}: {exc}")
@@ -187,7 +195,7 @@ class PairedControl:
         try:
             if self._proc is not None and self._proc.poll() is None:
                 try:
-                    self._send("exit")
+                    self._send(json.dumps({"cmd": "exit"}))
                     self._proc.wait(timeout=60)
                 except Exception:  # noqa: BLE001
                     self._proc.kill()

@@ -55,6 +55,12 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DateType,
+    NumericType,
+    TimestampNTZType,
+    TimestampType,
+)
 
 #: default geometry: 2^20 bits / 5 hashes ≈ 0.9% FPR at ~10 bits/key
 #: for a 10^5-key build side; size n_bits ≈ 10 × |build keys| and keep
@@ -202,9 +208,12 @@ def bloom_semi_join(
     removes its false positives — but the shuffle feeding that
     residual join sees |matches| + |false positives| probe rows
     instead of |fact|. Oracle: plain ANSI ``WHERE key IN (SELECT ...)``.
-    Mixed-type keys are compared in the WIDENED common type, exactly
-    as ANSI coerces the ``IN`` — so double build keys never truncate
-    onto integral fact keys.
+    Mixed NUMERIC (or mixed temporal) keys are compared in the
+    WIDENED common type, exactly as ANSI coerces the ``IN`` — so
+    double build keys never truncate onto integral fact keys. Other
+    mixes (string vs numeric, where comparison coercion is DOUBLE but
+    the union lattice says STRING) raise ``TypeError``: cast
+    explicitly at the call site.
     """
     bkey = build_key_col or key_col
     # Compare (and hash) BOTH sides in the WIDENED common type, the
@@ -223,24 +232,48 @@ def bloom_semi_join(
     if build_key_type == fact_key_type:
         common = fact_key_type
     else:
-        try:
-            common = (
-                fact.select(F.col(key_col).alias("_k")).limit(0)
-                .union(build.select(F.col(bkey).alias("_k")).limit(0))
-                .schema["_k"]
-                .dataType
+        # The UNION lattice is only the right coercion for
+        # numeric-vs-numeric and temporal-vs-temporal mixes. For
+        # string-vs-numeric it widens to STRING, but equi-join/IN
+        # comparison coercion (Spark and DuckDB alike) compares the
+        # pair as DOUBLE — a string build key '7.0' would then be a
+        # false negative against bigint fact key 7, violating the
+        # documented ANSI-IN contract. Refuse such mixes instead of
+        # silently diverging; the caller owns the explicit cast.
+        both_numeric = isinstance(fact_key_type, NumericType) and isinstance(
+            build_key_type, NumericType
+        )
+        _temporal = (DateType, TimestampType, TimestampNTZType)
+        both_temporal = isinstance(fact_key_type, _temporal) and isinstance(
+            build_key_type, _temporal
+        )
+        if not (both_numeric or both_temporal):
+            raise TypeError(
+                "bloom_semi_join key types "
+                f"{fact_key_type.simpleString()} vs "
+                f"{build_key_type.simpleString()}: only numeric/temporal "
+                "mixes widen like ANSI IN comparison; cast the keys to "
+                "one explicit type first"
             )
-        except Exception:  # no common type — keep the legacy behavior
-            common = fact_key_type
+        common = (
+            fact.select(F.col(key_col).alias("_k")).limit(0)
+            .union(build.select(F.col(bkey).alias("_k")).limit(0))
+            .schema["_k"]
+            .dataType
+        )
     bloom = bloom_build(
         build.select(F.col(bkey).cast(common).alias(key_col)),
         key_col,
         n_bits,
         n_hashes,
     )
-    staged = fact.withColumn("_bf_key", F.col(key_col).cast(common))
-    pruned = bloom_prune(staged, "_bf_key", bloom, n_bits, n_hashes)
+    # probe-side temp column: never collide with a caller column
+    tmp = "_bf_key"
+    while tmp in fact.columns:
+        tmp += "_"
+    staged = fact.withColumn(tmp, F.col(key_col).cast(common))
+    pruned = bloom_prune(staged, tmp, bloom, n_bits, n_hashes)
     build_keys = build.select(
-        F.col(bkey).cast(common).alias("_bf_key")
+        F.col(bkey).cast(common).alias(tmp)
     ).distinct()
-    return pruned.join(build_keys, "_bf_key", "left_semi").drop("_bf_key")
+    return pruned.join(build_keys, tmp, "left_semi").drop(tmp)

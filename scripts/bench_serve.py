@@ -9,11 +9,13 @@ cancels in the min-of-N, instead of corrupting whichever side ran
 contiguously through it (the r9 dedup_jaccard/knn false alarm cost a
 full verdict cycle to adjudicate).
 
-Protocol (line-oriented over stdin/stdout; stderr is Spark noise):
-    -> {"ready": true}              once the session is up
-    <- run <sf_dir> <name>          one timed noop-sink execution
-    -> {"name": ..., "elapsed": s}  (or {"name": ..., "error": ...})
-    <- exit                         stop the session and quit
+Protocol (JSON lines over stdin/stdout — commands match the JSON
+responses, so an sf_dir containing spaces survives; stderr is Spark
+noise):
+    -> {"ready": true}                              once the session is up
+    <- {"cmd": "run", "sf_dir": ..., "name": ...}   one timed noop-sink run
+    -> {"name": ..., "elapsed": s}                  (or {"name": ..., "error": ...})
+    <- {"cmd": "exit"}                              stop the session and quit
 
 The coprocess is IDLE (blocked on stdin) while the head side runs a
 pass, and vice versa — the two JVMs coexist but never execute
@@ -46,15 +48,19 @@ def main() -> int:
     spark.range(1).count()  # force the JVM fully up before "ready"
     print(json.dumps({"ready": True}), flush=True)
     for line in sys.stdin:
-        parts = line.split()
-        if not parts:
+        if not line.strip():
             continue
-        if parts[0] == "exit":
-            break
-        if parts[0] != "run" or len(parts) != 3:
+        try:
+            cmd = json.loads(line)
+        except json.JSONDecodeError:
             print(json.dumps({"error": f"bad command: {line!r}"}), flush=True)
             continue
-        _, sf_dir, name = parts
+        if cmd.get("cmd") == "exit":
+            break
+        if cmd.get("cmd") != "run" or "sf_dir" not in cmd or "name" not in cmd:
+            print(json.dumps({"error": f"bad command: {line!r}"}), flush=True)
+            continue
+        sf_dir, name = cmd["sf_dir"], cmd["name"]
         t0 = time.perf_counter()
         try:
             specs[name].fn(spark, sf_dir).write.format("noop").mode(

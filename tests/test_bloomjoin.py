@@ -33,6 +33,10 @@ def test_bloom_pruned_revenue_matches_oracle(spark):
     from .conftest import SF_CORRECT, SF_SMOKE
     from .parity import compare
 
+    from big_data_analytics_final_project_spark.queries.batch import (
+        _BLOOM_HV_CUTOFF,
+    )
+
     for sf in (SF_SMOKE, SF_CORRECT):
         con = duckdb.connect()
         for t in ("lineitem", "orders"):
@@ -42,6 +46,21 @@ def test_bloom_pruned_revenue_matches_oracle(spark):
         compare(
             bloom_pruned_revenue(spark, sf),
             con.sql(BLOOM_PRUNED_REVENUE_SQL),
+        )
+        # Non-vacuity of the p90 cutoff constant (r11 verdict #7): if
+        # testdata generation ever shifts the o_totalprice
+        # distribution, the build side must neither vanish (query
+        # degenerates to empty) nor swallow ≈all orders (bloom prunes
+        # nothing and the twin stops exercising the operator).
+        n_total, n_build = con.sql(
+            "SELECT count(*), "
+            f"count(*) FILTER (o_totalprice > {_BLOOM_HV_CUTOFF}) "
+            "FROM orders"
+        ).fetchone()
+        frac = n_build / n_total
+        assert 0.01 <= frac <= 0.5, (
+            f"_BLOOM_HV_CUTOFF selects {frac:.1%} of orders at {sf}; "
+            "re-pin the constant to ~p90 of o_totalprice"
         )
         con.close()
 
@@ -135,20 +154,47 @@ def test_null_keys_follow_semi_join_semantics(spark):
     assert [r.k for r in got] == ["a"]
 
 
-def test_numeric_build_keys_cast_align(spark):
-    """Build side typed bigint, fact side string: the operator hashes
-    both through the same string cast, so '17' matches 17."""
+def test_string_vs_numeric_mix_refused(spark):
+    """String-vs-numeric key mixes RAISE (r11 advice): the union
+    lattice widens them to STRING, but ANSI IN comparison coerces the
+    pair to DOUBLE — '7.0' vs bigint 7 would be a silent false
+    negative. The caller casts explicitly; with the cast the operator
+    behaves as before ('17' matches 17)."""
+    import pytest
+
     fact = spark.createDataFrame(
         [("17", 1), ("18", 2), ("19", 3)], "k: string, payload: int"
     )
     build = spark.createDataFrame([(17,), (19,)], "id: bigint")
+    with pytest.raises(TypeError, match="cast the keys"):
+        bloom_semi_join(fact, "k", build, build_key_col="id", n_bits=256)
     got = sorted(
         r.k
         for r in bloom_semi_join(
-            fact, "k", build, build_key_col="id", n_bits=256
+            fact,
+            "k",
+            build.select(F.col("id").cast("string").alias("id")),
+            build_key_col="id",
+            n_bits=256,
         ).collect()
     )
     assert got == ["17", "19"]
+
+
+def test_caller_bf_key_column_survives(spark):
+    """A pre-existing `_bf_key` column on the fact frame is caller
+    data, not ours to overwrite (r11 advice): the operator picks a
+    fresh temp name and the column comes through untouched."""
+    fact = spark.createDataFrame(
+        [("a", 10), ("b", 20), ("c", 30)], "k: string, _bf_key: int"
+    )
+    build = spark.createDataFrame([("a",), ("c",)], "k: string")
+    out = bloom_semi_join(fact, "k", build, n_bits=256)
+    assert out.columns == ["k", "_bf_key"]
+    assert sorted((r.k, r._bf_key) for r in out.collect()) == [
+        ("a", 10),
+        ("c", 30),
+    ]
 
 
 def test_mismatched_renderings_no_false_negatives(spark):
