@@ -295,6 +295,17 @@ HEADLINE = [
     "user_freq_cms",
     "doc_weighted_sample",
     "dedup_jaccard_collapsed",
+    # added r12 (totals not comparable to BENCH_r11 on these lines):
+    # the four families newly graded this round — the bloom runtime
+    # filter (map-side prune + residual semi-join), the bigram-LM
+    # perplexity scorer (fit + score passes), the full-table profiler
+    # (one wide agg -> unpivot), and the iterative BPE merge induction
+    # (the registry's only multi-round driver loop; join_size_cms is
+    # already represented by user_freq_cms's sketch shuffle)
+    "bloom_pruned_revenue",
+    "doc_lm_perplexity",
+    "lineitem_profile",
+    "corpus_bpe_merges",
 ]
 
 
