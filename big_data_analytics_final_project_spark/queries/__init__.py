@@ -38,9 +38,10 @@ class QuerySpec:
 # simulation proves the NEXT round's forced set also fits in 50, and
 # (c) a greedy multi-round horizon replay reports the sustainable
 # new-registration rate. The budget is whatever that replay measures
-# (`python scripts/grading_manifest.py` "capacity:" line — 2 NEW
-# queries/round as of r12); author in round N with a commented
-# QUERIES line + parity tests, register when a window has slots.
+# (`python scripts/grading_manifest.py` "capacity:" line — 1 NEW
+# query/round after r12's five registrations grew the rotating set
+# to 143); author in round N with a commented QUERIES line + parity
+# tests, register when a window has slots.
 #
 # Window composition each round, in order: (1) every query whose
 # implementation or oracle is new or changed this round (fingerprint
@@ -134,11 +135,10 @@ GRADING_PRIORITY: tuple[str, ...] = (
 #   - STILL trip the fingerprint gate — any source/oracle change puts
 #     them back in the next window (scripts/grading_manifest.py);
 #   - are simply never FORCED by staleness.
-# This keeps the rotating set at 138 of 147 registered -> an average
-# forced load of 138/3 = 46 of the 50 slots, with measured headroom
-# for 2 new registrations/round (scripts/grading_manifest.py horizon
-# report — the round-8 verdict's target), instead of saturating the
-# 150 ceiling in r10.
+# This keeps the rotating set at 143 of 152 registered -> an average
+# forced load of 143/3 = 47-48 of the 50 slots, with measured headroom
+# for 1 new registration/round (scripts/grading_manifest.py horizon
+# report), instead of saturating the window as in r10.
 ROTATION_EXEMPT: frozenset[str] = frozenset(
     {
         # twin of revenue_by_brand (salting differential; same oracle)
