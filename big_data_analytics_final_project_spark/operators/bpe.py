@@ -46,27 +46,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.text import tokens
-
-
-def _unpersist_local_checkpoint(df: DataFrame) -> None:
-    """Free the block store behind an eager ``localCheckpoint`` frame.
-
-    ``localCheckpoint`` persists the dataset's internal RDD, and those
-    blocks live until the JVM garbage-collects the RDD — across an
-    n_merges training loop that is n_merges vocab-sized block sets
-    pinned in executor storage memory (at 100 TB, gigabytes per
-    training job; in a shared session it squeezes execution memory for
-    every later query — measured 3-4x slowdowns on unrelated bench
-    queries before this hook). The checkpointed frame's analyzed plan
-    is a ``LogicalRDD`` wrapping exactly that internal RDD, so
-    unpersist it directly. Classic-mode internals (`_jdf`), hence the
-    broad except: on any other backend this degrades to the old
-    GC-eventually behavior rather than failing the job.
-    """
-    try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:
-        pass
+from .checkpoints import unpersist_local_checkpoint
 
 
 def _chars(word: Column) -> Column:
@@ -162,7 +142,7 @@ def bpe_train(
         # pile up in storage memory for the life of the session.
         state = state.localCheckpoint(eager=True)
         if prev_ck is not None:
-            _unpersist_local_checkpoint(prev_ck)
+            unpersist_local_checkpoint(prev_ck)
         prev_ck = state
         n = F.size("sym")
         pairs = state.filter(n >= 2).select(
@@ -192,7 +172,7 @@ def bpe_train(
             _apply_merge(F.col("sym"), a, b).alias("sym"), "cnt"
         )
     if prev_ck is not None:
-        _unpersist_local_checkpoint(prev_ck)
+        unpersist_local_checkpoint(prev_ck)
     return merges
 
 

@@ -1,0 +1,38 @@
+"""Block hygiene for iterative operators built on ``localCheckpoint``.
+
+The iterative operators (BPE training, connected components) truncate
+lineage each round with an eager ``localCheckpoint`` — the only lever
+when the round's state is the data itself (kmeans re-derives from
+literal centroids instead). ``localCheckpoint`` persists the dataset's
+internal RDD, and those blocks live until the JVM garbage-collects the
+RDD: across an n-round loop that is n state-sized block sets pinned in
+executor storage memory for the life of the session. At 100 TB that is
+gigabytes of dead blocks per job; in a shared session it squeezes the
+unified-memory execution pool for every LATER query (measured 3-4x
+slowdowns on unrelated bench queries before this hook existed).
+
+The fix: each round frees the previous round's checkpoint as soon as
+the current round's eager checkpoint has materialized — the old blocks
+were read exactly once, just then, and have no further reader.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def unpersist_local_checkpoint(df: DataFrame) -> None:
+    """Free the block store behind an eager ``localCheckpoint`` frame.
+
+    The checkpointed frame's analyzed plan is a ``LogicalRDD`` wrapping
+    exactly the internal RDD ``localCheckpoint`` persisted, so
+    unpersist it directly. Classic-mode internals (``_jdf``), hence the
+    broad except: on any other backend this degrades to the old
+    GC-eventually behavior rather than failing the job. Callers must
+    only invoke this once nothing will read the frame again —
+    a locally-checkpointed RDD cannot be recomputed.
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass

@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .checkpoints import unpersist_local_checkpoint
+
 
 def connected_components(
     edges: DataFrame,
@@ -83,7 +85,15 @@ def connected_components(
             .where(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        # the changed-count was the old labels checkpoint's last
+        # reader — free its blocks before they pile up round-over-round
+        # (operators/checkpoints.py rationale)
+        unpersist_local_checkpoint(labels)
         labels = jumped
         if changed == 0:
             break
+    # the returned frame reads only its OWN checkpoint blocks, so the
+    # edge mirror can go too; the final labels checkpoint is the one
+    # block set that must outlive the call (it IS the result's data)
+    unpersist_local_checkpoint(und)
     return labels

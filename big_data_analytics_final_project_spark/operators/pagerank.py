@@ -46,12 +46,21 @@ def pagerank(
     damping: float = 0.85,
     src_col: str = "src",
     dst_col: str = "dst",
+    materialize: bool = True,
 ) -> DataFrame:
     """Ranks after ``n_iters`` synchronous PageRank rounds from a
     uniform start. Returns (node, pagerank), undamped mass (1-d)/N
     included. Every node must have ≥1 out-edge (true for edge lists
     built from undirected pairs); dangling-mass handling is therefore
-    not implemented — feed a symmetrized edge list."""
+    not implemented — feed a symmetrized edge list.
+
+    By default the node-sized result is materialized eagerly (one
+    localCheckpoint — the same contract connected_components returns
+    under) so the persisted loop-invariant frames can be RELEASED
+    before returning (the MLlib train-then-unpersist idiom; otherwise
+    every call pins an edge-sized cached frame for the session's
+    life). ``materialize=False`` returns the lazy n_iters-round plan
+    and leaves the persisted frames for the caller to manage."""
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     )
@@ -63,7 +72,11 @@ def pagerank(
     )
     n = nodes.count()  # materializes the node cache
     if n == 0:
-        return nodes.withColumn("pagerank", F.lit(0.0))
+        empty = nodes.withColumn("pagerank", F.lit(0.0))
+        if materialize:
+            empty = empty.localCheckpoint(eager=True)
+            nodes.unpersist()
+        return empty
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # Loop-invariant frames are PERSISTED: without this, every
     # iteration's lineage re-embeds the (possibly expensive) edge
@@ -95,7 +108,13 @@ def pagerank(
                 + F.lit(damping) * (F.coalesce(F.col("sq"), F.lit(0.0)) / _Q)
             ).alias("r"),
         )
-    return ranks.select("node", F.col("r").alias("pagerank"))
+    result = ranks.select("node", F.col("r").alias("pagerank"))
+    if not materialize:
+        return result
+    result = result.localCheckpoint(eager=True)  # node-sized
+    nodes.unpersist()
+    edged.unpersist()
+    return result
 
 
 def pagerank_sql(

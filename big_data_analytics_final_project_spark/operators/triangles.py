@@ -34,14 +34,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def triangle_count(edges: DataFrame) -> DataFrame:
+def triangle_count(edges: DataFrame, materialize: bool = True) -> DataFrame:
     """Count triangles in an undirected simple graph.
 
     ``edges``: columns (u, v), one row per undirected edge with u < v,
     no duplicates, no self-loops (pre-dedup otherwise — same contract
     as operators/pagerank.py's edge input).
 
-    Returns a single row (n_nodes, n_edges, n_triangles).
+    Returns a single row (n_nodes, n_edges, n_triangles). By default
+    that row is materialized eagerly (a 1-row localCheckpoint) so the
+    loop-invariant persisted frames can be RELEASED before returning —
+    the MLlib train-then-unpersist idiom; without it every call leaks
+    three edge-sized cached frames into the session for good.
+    ``materialize=False`` returns the fully lazy plan and leaves the
+    persisted frames alive for the caller (used by the plan-shape
+    tests, which assert on the lazy form).
     """
     # `edges` is referenced four times (two degree attaches, the edge
     # count, the degree build) and `oriented` three times (both wedge
@@ -87,8 +94,15 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     )
     n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
     n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
-    return (
+    result = (
         n_nodes.join(F.broadcast(n_edges))
         .join(F.broadcast(tri))
         .select("n_nodes", "n_edges", "n_triangles")
     )
+    if not materialize:
+        return result
+    result = result.localCheckpoint(eager=True)  # one row
+    edges.unpersist()
+    deg.unpersist()
+    oriented.unpersist()
+    return result

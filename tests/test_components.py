@@ -43,3 +43,21 @@ def test_partitioning_independent(spark):
     out1 = sorted(map(tuple, connected_components(df1, "a", "b").collect()))
     out7 = sorted(map(tuple, connected_components(df7, "a", "b").collect()))
     assert out1 == out7
+
+
+def test_leaves_one_block_set_at_most(spark):
+    """Per-round checkpoints must be freed as the loop advances
+    (operators/checkpoints.py): after the call, the only persisted
+    entity allowed is the single checkpoint backing the RETURNED
+    labels frame — not one per round plus the edge mirror."""
+    sc = spark.sparkContext
+
+    def n_persistent() -> int:
+        return sc._jsc.sc().getPersistentRDDs().size()
+
+    before = n_persistent()
+    chain = [(i, i + 1) for i in range(40)]  # multi-round convergence
+    df = spark.createDataFrame(chain, ["a", "b"])
+    out = connected_components(df, "a", "b")
+    assert out.count() == 41  # result stays readable after cleanup
+    assert n_persistent() <= before + 1

@@ -60,3 +60,20 @@ def test_winnowing_match_guarantee(spark):
     assert fps[1] & fps[2], "shared 6-token run must share a fingerprint"
     assert not fps[1] & fps[3]
     assert not fps[2] & fps[3]
+
+
+def test_pagerank_releases_persisted_frames(spark):
+    """The default (materialized) path must unpersist the node and
+    edge caches before returning; only the node-sized result
+    checkpoint may remain (MLlib train-then-unpersist idiom)."""
+    sc = spark.sparkContext
+
+    def n_persistent() -> int:
+        return sc._jsc.sc().getPersistentRDDs().size()
+
+    before = n_persistent()
+    edges = [(1, 2), (2, 1), (2, 3), (3, 2)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = pagerank(df, n_iters=2)
+    assert abs(sum(r["pagerank"] for r in out.collect()) - 1.0) < 1e-9
+    assert n_persistent() <= before + 1

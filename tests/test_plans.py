@@ -284,9 +284,37 @@ def test_triangle_count_reuses_edge_build(spark):
     """The degree-ordered triangle count references the edge frame
     from five places; the persisted frames must keep the plan at its
     designed shuffle budget instead of re-expanding the co-purchase
-    self-join per reference (74 exchanges before the persist fix)."""
-    df = _df(spark, "part_triangle_count")
-    assert count_shuffles(df) <= 20
+    self-join per reference (74 exchanges before the persist fix).
+    Asserted on the LAZY form (materialize=False): the default path
+    checkpoints the 1-row result and releases the persisted frames,
+    which hides the shape behind an RDD scan."""
+    from pyspark.sql import functions as F
+
+    from big_data_analytics_final_project_spark.operators.triangles import (
+        triangle_count,
+    )
+    from big_data_analytics_final_project_spark.sources import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("order_id"),
+        F.col("l_partkey").alias("product_id"),
+    ).dropDuplicates()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(b, F.col("a.order_id") == F.col("b.order_id"))
+        .where(F.col("a.product_id") < F.col("b.product_id"))
+        .select(
+            F.col("a.product_id").alias("u"),
+            F.col("b.product_id").alias("v"),
+        )
+        .dropDuplicates()
+    )
+    df = triangle_count(edges, materialize=False)
+    try:
+        assert count_shuffles(df) <= 20
+    finally:
+        spark.catalog.clearCache()  # release the lazy form's persists
 
 
 def test_lateral_limit_decorrelates_to_window(spark):

@@ -79,3 +79,22 @@ def test_empty_and_triangle_free(spark):
     empty = spark.createDataFrame([], "u long, v long")
     row = triangle_count(empty).collect()[0]
     assert (row.n_nodes, row.n_edges, row.n_triangles) == (0, 0, 0)
+
+
+def test_releases_persisted_frames(spark):
+    """The default (materialized) path must unpersist its three
+    loop-invariant frames before returning; only the 1-row result
+    checkpoint may remain (MLlib train-then-unpersist idiom)."""
+    sc = spark.sparkContext
+
+    def n_persistent() -> int:
+        return sc._jsc.sc().getPersistentRDDs().size()
+
+    before = n_persistent()
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], ["u", "v"]
+    )
+    out = triangle_count(edges)
+    row = out.collect()[0]
+    assert row["n_triangles"] == 1
+    assert n_persistent() <= before + 1
