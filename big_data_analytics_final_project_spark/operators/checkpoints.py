@@ -20,6 +20,19 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+# Default for operators whose result materialization is optional
+# (pagerank, triangle_count): True = checkpoint the result and release
+# the loop-invariant persisted frames (the production posture). Plan
+# tooling (scripts/dump_plans.py) flips this to False so the dumped
+# plans show the real join/aggregate shapes instead of an opaque
+# post-checkpoint RDD scan.
+MATERIALIZE_RESULTS = True
+
+
+def resolve_materialize(flag: bool | None) -> bool:
+    """Per-call override if given, else the module default."""
+    return MATERIALIZE_RESULTS if flag is None else flag
+
 
 def unpersist_local_checkpoint(df: DataFrame) -> None:
     """Free the block store behind an eager ``localCheckpoint`` frame.

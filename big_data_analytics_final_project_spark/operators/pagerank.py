@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .checkpoints import resolve_materialize
+
 _Q = 1e12  # contribution quantum: floor(contrib * _Q + 0.5)
 
 
@@ -46,7 +48,7 @@ def pagerank(
     damping: float = 0.85,
     src_col: str = "src",
     dst_col: str = "dst",
-    materialize: bool = True,
+    materialize: bool | None = None,
 ) -> DataFrame:
     """Ranks after ``n_iters`` synchronous PageRank rounds from a
     uniform start. Returns (node, pagerank), undamped mass (1-d)/N
@@ -73,7 +75,7 @@ def pagerank(
     n = nodes.count()  # materializes the node cache
     if n == 0:
         empty = nodes.withColumn("pagerank", F.lit(0.0))
-        if materialize:
+        if resolve_materialize(materialize):
             empty = empty.localCheckpoint(eager=True)
             nodes.unpersist()
         return empty
@@ -109,7 +111,7 @@ def pagerank(
             ).alias("r"),
         )
     result = ranks.select("node", F.col("r").alias("pagerank"))
-    if not materialize:
+    if not resolve_materialize(materialize):
         return result
     result = result.localCheckpoint(eager=True)  # node-sized
     nodes.unpersist()

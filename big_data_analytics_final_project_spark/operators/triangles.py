@@ -33,8 +33,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .checkpoints import resolve_materialize
 
-def triangle_count(edges: DataFrame, materialize: bool = True) -> DataFrame:
+
+def triangle_count(
+    edges: DataFrame, materialize: bool | None = None
+) -> DataFrame:
     """Count triangles in an undirected simple graph.
 
     ``edges``: columns (u, v), one row per undirected edge with u < v,
@@ -99,7 +103,7 @@ def triangle_count(edges: DataFrame, materialize: bool = True) -> DataFrame:
         .join(F.broadcast(tri))
         .select("n_nodes", "n_edges", "n_triangles")
     )
-    if not materialize:
+    if not resolve_materialize(materialize):
         return result
     result = result.localCheckpoint(eager=True)  # one row
     edges.unpersist()

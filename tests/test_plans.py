@@ -285,35 +285,19 @@ def test_triangle_count_reuses_edge_build(spark):
     from five places; the persisted frames must keep the plan at its
     designed shuffle budget instead of re-expanding the co-purchase
     self-join per reference (74 exchanges before the persist fix).
-    Asserted on the LAZY form (materialize=False): the default path
-    checkpoints the 1-row result and releases the persisted frames,
-    which hides the shape behind an RDD scan."""
-    from pyspark.sql import functions as F
+    Asserted on the LAZY form (checkpoints.MATERIALIZE_RESULTS off —
+    the scripts/dump_plans.py toggle): the default path checkpoints
+    the 1-row result and releases the persisted frames, which hides
+    the shape behind an RDD scan."""
+    from big_data_analytics_final_project_spark.operators import checkpoints
 
-    from big_data_analytics_final_project_spark.operators.triangles import (
-        triangle_count,
-    )
-    from big_data_analytics_final_project_spark.sources import load_table
-
-    li = load_table(spark, SF_SMOKE, "lineitem")
-    items = li.select(
-        F.col("l_orderkey").alias("order_id"),
-        F.col("l_partkey").alias("product_id"),
-    ).dropDuplicates()
-    a, b = items.alias("a"), items.alias("b")
-    edges = (
-        a.join(b, F.col("a.order_id") == F.col("b.order_id"))
-        .where(F.col("a.product_id") < F.col("b.product_id"))
-        .select(
-            F.col("a.product_id").alias("u"),
-            F.col("b.product_id").alias("v"),
-        )
-        .dropDuplicates()
-    )
-    df = triangle_count(edges, materialize=False)
+    old = checkpoints.MATERIALIZE_RESULTS
+    checkpoints.MATERIALIZE_RESULTS = False
     try:
+        df = _df(spark, "part_triangle_count")
         assert count_shuffles(df) <= 20
     finally:
+        checkpoints.MATERIALIZE_RESULTS = old
         spark.catalog.clearCache()  # release the lazy form's persists
 
 
