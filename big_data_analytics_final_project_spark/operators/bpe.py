@@ -136,14 +136,14 @@ def bpe_train(
         # keeps the per-round plan depth CONSTANT (kmeans keeps depth
         # constant by re-deriving from literal centroids; BPE's state
         # is the array itself, so truncation is the only lever).
-        # The PREVIOUS round's blocks are freed as soon as this round's
-        # eager checkpoint has materialized (they were read exactly
-        # once, just now) — otherwise n_merges vocab-sized block sets
-        # pile up in storage memory for the life of the session.
-        state = state.localCheckpoint(eager=True)
-        if prev_ck is not None:
-            unpersist_local_checkpoint(prev_ck)
-        prev_ck = state
+        # LAZY (eager=False): the argmax job below is the round's
+        # first action and materializes the checkpoint as it runs —
+        # an eager checkpoint would spend a whole extra job per round
+        # (schedule + write blocks + re-read them) to persist state
+        # the very next job consumes anyway. At sf0.1 the saving is
+        # within box noise; at scale it removes one full pass over
+        # the vocab frame per round.
+        state = state.localCheckpoint(eager=False)
         n = F.size("sym")
         pairs = state.filter(n >= 2).select(
             "cnt",
@@ -156,7 +156,9 @@ def bpe_train(
             ).alias("p"),
         )
         # 1-row argmax: count desc, then (a, b) — the per-round
-        # model-sized collect (kmeans precedent, COLLECT_ALLOW)
+        # model-sized collect (kmeans precedent, COLLECT_ALLOW).
+        # TakeOrdered reads every partition, so after this action the
+        # lazy checkpoint is fully materialized.
         best = (
             pairs.groupBy("p.a", "p.b")
             .agg(F.sum("cnt").alias("w"))
@@ -164,6 +166,13 @@ def bpe_train(
             .limit(1)
             .collect()
         )
+        # The PREVIOUS round's blocks are freed only NOW — after the
+        # argmax materialized this round's checkpoint (their one and
+        # only reader) — otherwise n_merges vocab-sized block sets
+        # pile up in storage memory for the life of the session.
+        if prev_ck is not None:
+            unpersist_local_checkpoint(prev_ck)
+        prev_ck = state
         if not best or best[0]["w"] < min_freq:
             break
         a, b = best[0]["a"], best[0]["b"]
