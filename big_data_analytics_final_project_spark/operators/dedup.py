@@ -456,7 +456,15 @@ def overlap_coeff_pairs(
     prefix-truncated (the bound gives the larger side no usable
     prefix); the larger side joins its full posting list. Exact, then
     verified via array_intersect like jaccard_pairs; the all-pairs
-    oracle (`overlap_coeff_pairs_sql`) must and does match."""
+    oracle (`overlap_coeff_pairs_sql`) must and does match.
+
+    No positional filter here, deliberately (unlike `jaccard_pairs`,
+    r12): the A-side bound 1 + |A| − i ≥ t·|A| reduces to
+    i ≤ |A|(1−t) + 1 — the prefix length itself, so it prunes
+    nothing — and the B-side bound 1 + |B| − j ≥ t·|A| needs a second
+    rank window over the big side's full postings for little return
+    (prefix terms are globally rare, so they rank early in B too and
+    the bound almost always passes with |B| ≥ |A|)."""
     sets = _shingle_sets(docs, text_col, id_col)
     inv = sets.select(
         "doc_id", F.size("terms").alias("sz"), F.explode("terms").alias("term")
