@@ -192,6 +192,7 @@ def test_json_ingest_with_skips(spark, tmp_root):
             T.StructField("city", T.StringType()),
         ]
     )
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     good, counters = read_json_zone_with_skips(spark, path, schema)
     rows = {(r["user_id"], r["city"]) for r in good.collect()}
     assert rows == {(1, "a"), (2, "b"), (3, "d")}
@@ -199,6 +200,11 @@ def test_json_ingest_with_skips(spark, tmp_root):
     # lineage-free return: bare count() works (no corrupt-only-query
     # restriction) and the raw parse cache was released
     assert good.count() == 3
+    # block hygiene (operators/checkpoints.py rationale): only the
+    # checkpoint backing the returned clean frame may remain; the raw
+    # parse cache must not survive the call
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert after <= before + 1
 
 
 def test_dynamic_partition_overwrite(spark, tmp_root):
