@@ -127,61 +127,70 @@ def bpe_train(
         _chars(F.col("word")).alias("sym"), F.col("cnt")
     )
     merges: list[tuple[str, str]] = []
-    prev_ck: DataFrame | None = None
-    for _ in range(n_merges):
-        # localCheckpoint each round: the merge fold nests one level
-        # of F.aggregate per round, and a lineage carrying r nested
-        # folds OOMs the driver in analysis/codegen long before data
-        # does — the checkpoint materializes the vocab-sized frame and
-        # keeps the per-round plan depth CONSTANT (kmeans keeps depth
-        # constant by re-deriving from literal centroids; BPE's state
-        # is the array itself, so truncation is the only lever).
-        # LAZY (eager=False): the argmax job below is the round's
-        # first action and materializes the checkpoint as it runs —
-        # an eager checkpoint would spend a whole extra job per round
-        # (schedule + write blocks + re-read them) to persist state
-        # the very next job consumes anyway. At sf0.1 the saving is
-        # within box noise; at scale it removes one full pass over
-        # the vocab frame per round.
-        state = state.localCheckpoint(eager=False)
-        n = F.size("sym")
-        pairs = state.filter(n >= 2).select(
-            "cnt",
-            F.explode(
-                F.zip_with(
-                    F.slice(F.col("sym"), 1, n - 1),
-                    F.slice(F.col("sym"), 2, n - 1),
-                    lambda x, y: F.struct(x.alias("a"), y.alias("b")),
-                )
-            ).alias("p"),
-        )
-        # 1-row argmax: count desc, then (a, b) — the per-round
-        # model-sized collect (kmeans precedent, COLLECT_ALLOW).
-        # TakeOrdered reads every partition, so after this action the
-        # lazy checkpoint is fully materialized.
-        best = (
-            pairs.groupBy("p.a", "p.b")
-            .agg(F.sum("cnt").alias("w"))
-            .orderBy(F.col("w").desc(), "a", "b")
-            .limit(1)
-            .collect()
-        )
-        # The PREVIOUS round's blocks are freed only NOW — after the
-        # argmax materialized this round's checkpoint (their one and
-        # only reader) — otherwise n_merges vocab-sized block sets
-        # pile up in storage memory for the life of the session.
-        if prev_ck is not None:
-            unpersist_local_checkpoint(prev_ck)
-        prev_ck = state
-        if not best or best[0]["w"] < min_freq:
-            break
-        a, b = best[0]["a"], best[0]["b"]
-        merges.append((a, b))
-        state = state.select(
-            _apply_merge(F.col("sym"), a, b).alias("sym"), "cnt"
-        )
-    if prev_ck is not None:
-        unpersist_local_checkpoint(prev_ck)
+    # checkpoints whose blocks have not been freed yet, oldest first;
+    # the try/finally guarantees none of them outlives the call even
+    # when a round's job fails mid-training (the leak class
+    # operators/checkpoints.py documents must not return on the error
+    # path)
+    live: list[DataFrame] = []
+    try:
+        for _ in range(n_merges):
+            # localCheckpoint each round: the merge fold nests one
+            # level of F.aggregate per round, and a lineage carrying r
+            # nested folds OOMs the driver in analysis/codegen long
+            # before data does — the checkpoint materializes the
+            # vocab-sized frame and keeps the per-round plan depth
+            # CONSTANT (kmeans keeps depth constant by re-deriving
+            # from literal centroids; BPE's state is the array itself,
+            # so truncation is the only lever).
+            # LAZY (eager=False): the argmax job below is the round's
+            # first action and materializes the checkpoint as it runs
+            # — an eager checkpoint would spend a whole extra job per
+            # round (schedule + write blocks + re-read them) to
+            # persist state the very next job consumes anyway. At
+            # sf0.1 the saving is within box noise; at scale it
+            # removes one full pass over the vocab frame per round.
+            state = state.localCheckpoint(eager=False)
+            live.append(state)
+            n = F.size("sym")
+            pairs = state.filter(n >= 2).select(
+                "cnt",
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("sym"), 1, n - 1),
+                        F.slice(F.col("sym"), 2, n - 1),
+                        lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                    )
+                ).alias("p"),
+            )
+            # 1-row argmax: count desc, then (a, b) — the per-round
+            # model-sized collect (kmeans precedent, COLLECT_ALLOW).
+            # TakeOrdered reads every partition, so after this action
+            # the lazy checkpoint is fully materialized.
+            best = (
+                pairs.groupBy("p.a", "p.b")
+                .agg(F.sum("cnt").alias("w"))
+                .orderBy(F.col("w").desc(), "a", "b")
+                .limit(1)
+                .collect()
+            )
+            # The PREVIOUS round's blocks are freed only NOW — after
+            # the argmax materialized this round's checkpoint (their
+            # one and only reader) — otherwise n_merges vocab-sized
+            # block sets pile up in storage memory for the session's
+            # life.
+            while len(live) > 1:
+                unpersist_local_checkpoint(live.pop(0))
+            if not best or best[0]["w"] < min_freq:
+                break
+            a, b = best[0]["a"], best[0]["b"]
+            merges.append((a, b))
+            state = state.select(
+                _apply_merge(F.col("sym"), a, b).alias("sym"), "cnt"
+            )
+    finally:
+        while live:
+            unpersist_local_checkpoint(live.pop())
     return merges
 
 

@@ -18,7 +18,12 @@ were read exactly once, just then, and have no further reader.
 
 from __future__ import annotations
 
+import logging
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
+
+_log = logging.getLogger(__name__)
 
 # Default for operators whose result materialization is optional
 # (pagerank, triangle_count): True = checkpoint the result and release
@@ -32,6 +37,25 @@ MATERIALIZE_RESULTS = True
 def resolve_materialize(flag: bool | None) -> bool:
     """Per-call override if given, else the module default."""
     return MATERIALIZE_RESULTS if flag is None else flag
+
+
+@contextmanager
+def lazy_results():
+    """Scoped ``MATERIALIZE_RESULTS = False`` for plan tooling.
+
+    Every plan-inspection site (scripts/dump_plans.py, plans/lint.py,
+    the plan-shape tests) needs the same flip-and-restore; centralizing
+    it here means none of them can forget the restore. Not safe under
+    concurrent callers of the affected operators (the flag is process-
+    global) — plan tooling runs single-threaded.
+    """
+    global MATERIALIZE_RESULTS
+    old = MATERIALIZE_RESULTS
+    MATERIALIZE_RESULTS = False
+    try:
+        yield
+    finally:
+        MATERIALIZE_RESULTS = old
 
 
 def unpersist_local_checkpoint(df: DataFrame) -> None:
@@ -48,4 +72,12 @@ def unpersist_local_checkpoint(df: DataFrame) -> None:
     try:
         df._jdf.queryExecution().analyzed().rdd().unpersist(False)
     except Exception:
-        pass
+        # Degrading silently would let the leak this module exists to
+        # fix return unnoticed (e.g. on Spark Connect, or if a future
+        # Spark stops exposing the checkpoint as a bare LogicalRDD) —
+        # leave a trace without failing the job.
+        _log.warning(
+            "unpersist_local_checkpoint could not free checkpoint "
+            "blocks; storage-memory cleanup degraded to GC-eventually",
+            exc_info=True,
+        )

@@ -59,39 +59,51 @@ def connected_components(
         .select(F.col("u").alias("node"), F.col("u").alias("label"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_rounds):
-        # one hop: min label among self and neighbors
-        nb = und.join(
-            labels, und.v == labels.node
-        ).select(F.col("u").alias("node"), F.col("label"))
-        hop = (
-            labels.union(nb).groupBy("node").agg(F.min("label").alias("label"))
-        )
-        # pointer jumping: adopt the label's own label (labels are node
-        # ids, and every node id has a row, so the lookup always hits)
-        lut = hop.select(
-            F.col("node").alias("l_node"), F.col("label").alias("l_label")
-        )
-        jumped = (
-            hop.join(lut, hop.label == lut.l_node, "left")
-            .select(
-                "node", F.coalesce("l_label", "label").alias("label")
+    old = labels
+    try:
+        for _ in range(max_rounds):
+            # one hop: min label among self and neighbors
+            nb = und.join(
+                labels, und.v == labels.node
+            ).select(F.col("u").alias("node"), F.col("label"))
+            hop = (
+                labels.union(nb)
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
             )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        # the changed-count was the old labels checkpoint's last
-        # reader — free its blocks before they pile up round-over-round
-        # (operators/checkpoints.py rationale)
-        unpersist_local_checkpoint(labels)
-        labels = jumped
-        if changed == 0:
-            break
+            # pointer jumping: adopt the label's own label (labels are
+            # node ids, and every node id has a row, so the lookup
+            # always hits)
+            lut = hop.select(
+                F.col("node").alias("l_node"), F.col("label").alias("l_label")
+            )
+            jumped = (
+                hop.join(lut, hop.label == lut.l_node, "left")
+                .select(
+                    "node", F.coalesce("l_label", "label").alias("label")
+                )
+                .localCheckpoint(eager=True)
+            )
+            old, labels = labels, jumped
+            changed = (
+                jumped.alias("n")
+                .join(old.alias("o"), "node")
+                .where(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            # the changed-count was the old labels checkpoint's last
+            # reader — free its blocks before they pile up
+            # round-over-round (operators/checkpoints.py rationale)
+            unpersist_local_checkpoint(old)
+            if changed == 0:
+                break
+    except BaseException:
+        # a failed round must not strand its checkpoints in storage
+        # memory; unpersist is idempotent, so double-freeing `old` on
+        # partial progress is harmless
+        for df in (und, old, labels):
+            unpersist_local_checkpoint(df)
+        raise
     # the returned frame reads only its OWN checkpoint blocks, so the
     # edge mirror can go too; the final labels checkpoint is the one
     # block set that must outlive the call (it IS the result's data)

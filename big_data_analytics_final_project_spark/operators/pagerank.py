@@ -63,6 +63,7 @@ def pagerank(
     every call pins an edge-sized cached frame for the session's
     life). ``materialize=False`` returns the lazy n_iters-round plan
     and leaves the persisted frames for the caller to manage."""
+    mat = resolve_materialize(materialize)
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     )
@@ -72,51 +73,58 @@ def pagerank(
         .distinct()
         .persist()
     )
-    n = nodes.count()  # materializes the node cache
-    if n == 0:
-        empty = nodes.withColumn("pagerank", F.lit(0.0))
-        if resolve_materialize(materialize):
-            empty = empty.localCheckpoint(eager=True)
+    edged = None
+    try:
+        n = nodes.count()  # materializes the node cache
+        if n == 0:
+            empty = nodes.withColumn("pagerank", F.lit(0.0))
+            if mat:
+                empty = empty.localCheckpoint(eager=True)
+            return empty
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+        # Loop-invariant frames are PERSISTED: without this, every
+        # iteration's lineage re-embeds the (possibly expensive) edge
+        # derivation and the static plan grows a full copy per round
+        # (measured 40 scans / 73 shuffles for 3 rounds over the
+        # co-purchase build). This is the GraphX/Pregel shape — the
+        # edge list is cached once, iterations touch only cached state.
+        edged = e.join(deg, "src").persist()  # (src, dst, outdeg)
+        base = (1.0 - damping) / n
+        ranks = nodes.withColumn("r", F.lit(1.0 / n))
+        for _ in range(n_iters):
+            contribs = edged.join(
+                ranks, edged.src == ranks.node
+            ).select(
+                "dst",
+                F.floor(F.col("r") / F.col("outdeg") * _Q + 0.5)
+                .cast("decimal(38,0)")
+                .alias("q"),
+            )
+            sums = contribs.groupBy("dst").agg(
+                F.sum("q").cast("double").alias("sq")
+            )
+            ranks = nodes.join(
+                sums, nodes.node == sums.dst, "left"
+            ).select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("sq"), F.lit(0.0)) / _Q)
+                ).alias("r"),
+            )
+        result = ranks.select("node", F.col("r").alias("pagerank"))
+        if not mat:
+            return result
+        return result.localCheckpoint(eager=True)  # node-sized
+    finally:
+        # runs on the error path too — a failed round must not strand
+        # the caches in storage memory for the session's life. In lazy
+        # mode the caller owns the persisted frames.
+        if mat:
             nodes.unpersist()
-        return empty
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # Loop-invariant frames are PERSISTED: without this, every
-    # iteration's lineage re-embeds the (possibly expensive) edge
-    # derivation and the static plan grows a full copy per round
-    # (measured 40 scans / 73 shuffles for 3 rounds over the
-    # co-purchase build). This is the GraphX/Pregel shape — the edge
-    # list is cached once, iterations touch only cached state.
-    edged = e.join(deg, "src").persist()  # (src, dst, outdeg)
-    base = (1.0 - damping) / n
-    ranks = nodes.withColumn("r", F.lit(1.0 / n))
-    for _ in range(n_iters):
-        contribs = edged.join(
-            ranks, edged.src == ranks.node
-        ).select(
-            "dst",
-            F.floor(F.col("r") / F.col("outdeg") * _Q + 0.5)
-            .cast("decimal(38,0)")
-            .alias("q"),
-        )
-        sums = contribs.groupBy("dst").agg(
-            F.sum("q").cast("double").alias("sq")
-        )
-        ranks = nodes.join(
-            sums, nodes.node == sums.dst, "left"
-        ).select(
-            "node",
-            (
-                F.lit(base)
-                + F.lit(damping) * (F.coalesce(F.col("sq"), F.lit(0.0)) / _Q)
-            ).alias("r"),
-        )
-    result = ranks.select("node", F.col("r").alias("pagerank"))
-    if not resolve_materialize(materialize):
-        return result
-    result = result.localCheckpoint(eager=True)  # node-sized
-    nodes.unpersist()
-    edged.unpersist()
-    return result
+            if edged is not None:
+                edged.unpersist()
 
 
 def pagerank_sql(

@@ -54,6 +54,7 @@ def triangle_count(
     persisted frames alive for the caller (used by the plan-shape
     tests, which assert on the lazy form).
     """
+    mat = resolve_materialize(materialize)
     # `edges` is referenced four times (two degree attaches, the edge
     # count, the degree build) and `oriented` three times (both wedge
     # legs + the closing side) — persist both so Catalyst plans ONE
@@ -61,52 +62,63 @@ def triangle_count(
     # upstream subtree per reference. Same loop-invariant-frame
     # discipline as operators/pagerank.py.
     edges = edges.select("u", "v").persist()
-    # degree over the undirected edge set
-    ends = edges.select(F.col("u").alias("node")).unionAll(
-        edges.select(F.col("v").alias("node"))
-    )
-    deg = ends.groupBy("node").agg(F.count(F.lit(1)).alias("deg")).persist()
+    deg = None
+    oriented = None
+    try:
+        # degree over the undirected edge set
+        ends = edges.select(F.col("u").alias("node")).unionAll(
+            edges.select(F.col("v").alias("node"))
+        )
+        deg = (
+            ends.groupBy("node").agg(F.count(F.lit(1)).alias("deg")).persist()
+        )
 
-    # orient: src = smaller endpoint under (deg, node), dst = larger
-    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
-    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
-    with_deg = edges.join(du, "u").join(dv, "v")
-    u_first = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    oriented = with_deg.select(
-        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-    ).persist()
+        # orient: src = smaller endpoint under (deg, node), dst = larger
+        du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+        dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+        with_deg = edges.join(du, "u").join(dv, "v")
+        u_first = (F.col("du") < F.col("dv")) | (
+            (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+        )
+        oriented = with_deg.select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        ).persist()
 
-    # wedges at each pivot src: pairs of out-neighbors, ordered by the
-    # same total order the orientation used — which is exactly "an
-    # oriented (b, c) edge may exist", so the closing join needs no
-    # extra ordering predicate.
-    e1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    e2 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"))
-    closing = oriented.select(
-        F.col("src").alias("b"), F.col("dst").alias("c")
-    )
-    # Each wedge appears in BOTH orderings (b,c)/(c,b); the orientation
-    # is a total order, so of the two at most one exists in `closing`
-    # — the semi-join therefore counts every triangle exactly once
-    # (avoiding a degree re-attach just to pre-order the pair).
-    wedges = e1.join(e2, "a").where(F.col("b") != F.col("c"))
-    tri = wedges.join(closing, ["b", "c"], "left_semi").agg(
-        F.count(F.lit(1)).alias("n_triangles")
-    )
-    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
-    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
-    result = (
-        n_nodes.join(F.broadcast(n_edges))
-        .join(F.broadcast(tri))
-        .select("n_nodes", "n_edges", "n_triangles")
-    )
-    if not resolve_materialize(materialize):
-        return result
-    result = result.localCheckpoint(eager=True)  # one row
-    edges.unpersist()
-    deg.unpersist()
-    oriented.unpersist()
-    return result
+        # wedges at each pivot src: pairs of out-neighbors, ordered by
+        # the same total order the orientation used — which is exactly
+        # "an oriented (b, c) edge may exist", so the closing join
+        # needs no extra ordering predicate.
+        e1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        e2 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+        closing = oriented.select(
+            F.col("src").alias("b"), F.col("dst").alias("c")
+        )
+        # Each wedge appears in BOTH orderings (b,c)/(c,b); the
+        # orientation is a total order, so of the two at most one
+        # exists in `closing` — the semi-join therefore counts every
+        # triangle exactly once (avoiding a degree re-attach just to
+        # pre-order the pair).
+        wedges = e1.join(e2, "a").where(F.col("b") != F.col("c"))
+        tri = wedges.join(closing, ["b", "c"], "left_semi").agg(
+            F.count(F.lit(1)).alias("n_triangles")
+        )
+        n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+        n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+        result = (
+            n_nodes.join(F.broadcast(n_edges))
+            .join(F.broadcast(tri))
+            .select("n_nodes", "n_edges", "n_triangles")
+        )
+        if not mat:
+            return result
+        return result.localCheckpoint(eager=True)  # one row
+    finally:
+        # runs on the error path too — a failed job must not strand
+        # the three caches in storage memory. In lazy mode the caller
+        # owns them.
+        if mat:
+            edges.unpersist()
+            for df in (deg, oriented):
+                if df is not None:
+                    df.unpersist()

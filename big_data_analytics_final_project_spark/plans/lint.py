@@ -109,25 +109,32 @@ def lint_query(name: str, df) -> list[LintFinding]:
 def lint_registry(spark, sf_dir: str, names=None) -> list[LintFinding]:
     """Lint every registered query's plan (build-only, no execution).
     Returns all findings; callers fail on any with allowed=False."""
+    from ..operators.checkpoints import lazy_results
     from ..queries import all_queries
 
     findings: list[LintFinding] = []
-    for name, spec in all_queries().items():
-        if names and name not in names:
-            continue
-        try:
-            df = spec.fn(spark, sf_dir)
-        except Exception as exc:  # noqa: BLE001 — surface as a finding
-            findings.append(
-                LintFinding(
-                    query=name,
-                    check=f"plan_build_failed: {type(exc).__name__}",
-                    allowed=False,
-                    reason=None,
+    # lazy_results: operators that checkpoint-and-release by default
+    # (pagerank, triangle_count) must expose their REAL join topology
+    # to the lint — the default path would hand over an opaque
+    # post-checkpoint RDD scan (hiding any future anti-pattern inside)
+    # and EXECUTE the query just to format its plan.
+    with lazy_results():
+        for name, spec in all_queries().items():
+            if names and name not in names:
+                continue
+            try:
+                df = spec.fn(spark, sf_dir)
+            except Exception as exc:  # noqa: BLE001 — surface as a finding
+                findings.append(
+                    LintFinding(
+                        query=name,
+                        check=f"plan_build_failed: {type(exc).__name__}",
+                        allowed=False,
+                        reason=None,
+                    )
                 )
-            )
-            continue
-        findings.extend(lint_query(name, df))
+                continue
+            findings.extend(lint_query(name, df))
     return findings
 
 # --- driver-materialization lint (round-7 verdict #5) -----------------

@@ -185,4 +185,6 @@ def test_train_leaves_no_persisted_blocks(spark):
     before = n_persistent()
     merges = bpe_train(_df(spark, _DOCS), "text", 10, 2)
     assert merges  # trained something, so checkpoints did happen
-    assert n_persistent() == before
+    # <= (not ==): an unrelated pre-existing persisted RDD may be
+    # ContextCleaner-collected mid-train in a shared session
+    assert n_persistent() <= before

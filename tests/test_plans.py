@@ -292,20 +292,25 @@ def test_triangle_count_reuses_edge_build(spark):
     from five places; the persisted frames must keep the plan at its
     designed shuffle budget instead of re-expanding the co-purchase
     self-join per reference (74 exchanges before the persist fix).
-    Asserted on the LAZY form (checkpoints.MATERIALIZE_RESULTS off —
-    the scripts/dump_plans.py toggle): the default path checkpoints
-    the 1-row result and releases the persisted frames, which hides
-    the shape behind an RDD scan."""
-    from big_data_analytics_final_project_spark.operators import checkpoints
+    Asserted on the LAZY form (checkpoints.lazy_results — the
+    scripts/dump_plans.py toggle): the default path checkpoints the
+    1-row result and releases the persisted frames, which hides the
+    shape behind an RDD scan."""
+    from big_data_analytics_final_project_spark.operators.checkpoints import (
+        lazy_results,
+    )
 
-    old = checkpoints.MATERIALIZE_RESULTS
-    checkpoints.MATERIALIZE_RESULTS = False
     try:
-        df = _df(spark, "part_triangle_count")
-        assert count_shuffles(df) <= 20
+        with lazy_results():
+            df = _df(spark, "part_triangle_count")
+            assert count_shuffles(df) <= 20
     finally:
-        checkpoints.MATERIALIZE_RESULTS = old
-        spark.catalog.clearCache()  # release the lazy form's persists
+        # drop the lazy form's three persist MARKS (nothing executed,
+        # so no blocks exist — but lingering CacheManager entries would
+        # make later tests' identical subplans plan InMemoryTableScan).
+        # The suite keeps no session-cached fixtures, so clearing all
+        # is safe.
+        spark.catalog.clearCache()
 
 
 def test_lateral_limit_decorrelates_to_window(spark):
