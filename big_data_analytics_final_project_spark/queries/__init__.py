@@ -50,72 +50,71 @@ class QuerySpec:
 # slots, heaviest/flagship shapes first, which smooths the next
 # round's forced load.
 #
-# Round-12 instance — RECOVERY COMPLETION + QUEUE DRAIN. This window
-# is the second half of the r10-debt recovery the gate's replay
-# verified: the 39 remaining r8-green names (the manifest's forced
-# set), the FIVE queued registrations (bloom_pruned_revenue,
-# doc_lm_perplexity, lineitem_profile, join_size_cms,
-# corpus_bpe_merges — all authored+parity-tested in earlier rounds;
-# new fingerprints, so the gate forces them anyway), and 6
-# oldest-green (r10) backfill to smooth r13's forced load. After this
-# window goes green the debt is 0 and the steady-state 2/round
-# cadence resumes (scripts/grading_manifest.py horizon report).
+# Round-13 instance — STEADY-STATE ROTATION. The manifest's forced
+# set is the 43 r10-green names plus `corpus_bpe_merges` (r12 row was
+# `no_oracle`, graded nothing, so it never went green). Backfill is
+# NOT the alphabetical oldest-green default: the 6 slots go to the
+# r11-green queries whose SHARED OPERATOR modules changed in r12
+# without a post-change driver row (the r12 ADVICE's fingerprint-gate
+# blind spot, closed manually here): dedup.py's positional filter
+# (dedup_jaccard_pairs, dedup_overlap_pairs), components/checkpoints
+# block hygiene (dedup_incremental, dedup_semantic_clusters), and the
+# pagerank/triangles materialize default (part_pagerank,
+# part_triangle_count).
 GRADING_PRIORITY: tuple[str, ...] = (
-    # -- staleness sweep: latest green row is r8 (39 entries — the
-    #    remainder of the r10-debt; r11 took the other 50)
-    "dedup_minhash_lsh",
-    "doc_chunk_windows",
-    "doc_length_histogram",
-    "doc_ngram_contamination",
-    "doc_token_stats",
-    "doc_top_keywords",
-    "doc_winnowing_fingerprint",
-    "dormant_high_value_customers",
-    "embedding_random_projection",
-    "embedding_scalar_quantize",
-    "events_hourly_anomaly",
-    "events_jsonl_source_scan",
-    "frequent_items_mg",
-    "large_volume_customers",
-    "late_shipments_by_priority",
-    "media_gif_pixels",
-    "media_wav_meta",
-    "nation_trade_volume",
-    "order_item_stats",
-    "order_priority_returns",
-    "orders_grouping_sets",
-    "product_popularity",
-    "promo_disjunctive_revenue",
-    "promo_revenue_share",
-    "regional_supplier_volume",
-    "returned_item_customers",
-    "revenue_rollup",
-    "segment_purchasing_power",
-    "segment_value_psi",
-    "shipping_priority",
-    "small_order_revenue",
-    "supplier_count_by_part",
-    "top_customers_top5",
-    "top_event_type_per_user",
-    "top_orders_lateral",
-    "top_supplier_by_revenue",
-    "user_engagement",
-    "user_spend",
-    "weekly_retention",
-    # -- new registrations this round (fingerprint-forced; the r11
-    #    queue: operators changed r10/r11 with no driver row yet)
-    "bloom_pruned_revenue",
-    "doc_lm_perplexity",
-    "lineitem_profile",
-    "join_size_cms",
+    # -- staleness sweep: latest green row is r10 (43 entries) plus
+    #    corpus_bpe_merges (registered r12; its row graded nothing)
     "corpus_bpe_merges",
-    # -- oldest-green (r10) backfill
-    "ann_hyperplane_lsh",
-    "ann_ivf",
-    "binary_meta",
-    "clicks_before_purchase",
-    "corpus_mix_plan",
-    "corpus_split_assign",
+    "customer_order_history",
+    "customers_without_orders",
+    "dedup_clusters",
+    "dedup_fuzzy_pairs",
+    "dedup_simhash",
+    "discount_revenue_delta",
+    "doc_dedup_survivors",
+    "doc_quality_score",
+    "doc_repetition_stats",
+    "doc_unigram_entropy",
+    "doc_weighted_sample",
+    "dominant_part_suppliers",
+    "embedding_kmeans",
+    "events_hypertable_rollup",
+    "events_json_roundtrip",
+    "events_rowkey_export",
+    "events_sessionized",
+    "gen_also_bought_pairs",
+    "gen_engagement_vs_spend",
+    "gen_product_popularity",
+    "gen_top_spenders",
+    "gen_transactions_flat",
+    "important_part_share",
+    "join_key_skew_report",
+    "json_ingest_roundtrip",
+    "json_ingest_with_errors",
+    "knn_bruteforce",
+    "media_avi_frames",
+    "media_feature_knn",
+    "media_frame_sample",
+    "media_png_dims",
+    "media_wav_rms",
+    "min_cost_supplier",
+    "nation_market_share",
+    "pricing_summary",
+    "product_profit_by_nation",
+    "purchase_last_click",
+    "report_csv_roundtrip",
+    "revenue_by_brand",
+    "session_stats_per_user",
+    "user_freq_cms",
+    "user_spend_trend",
+    "waiting_supplier",
+    # -- backfill: r11-green dependents of r12-changed operators
+    "dedup_incremental",
+    "dedup_jaccard_pairs",
+    "dedup_overlap_pairs",
+    "dedup_semantic_clusters",
+    "part_pagerank",
+    "part_triangle_count",
     # ---- driver's 50-entry window ends here ----
 )
 
