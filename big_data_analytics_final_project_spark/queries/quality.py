@@ -502,14 +502,13 @@ QUERIES: dict[str, QuerySpec] = {
     # registered r12 (authored+parity-tested r9 at both scales,
     # tests/test_profile.py; deferred since r10 by full windows) —
     "lineitem_profile": QuerySpec(lineitem_profile, LINEITEM_PROFILE_SQL),
-    # r13 queue (COVERAGE.md; steady-state budget 2/round — r12's
-    # headroom is spoken for by the 5-deep r12 queue): the privacy
-    # audit and the drift report, authored r11, parity-tested at both
-    # scales in tests/test_profile.py —
-    # "customer_k_anonymity": QuerySpec(
-    #     customer_k_anonymity, CUSTOMER_K_ANONYMITY_SQL
-    # ),
-    # "orders_profile_drift": QuerySpec(
-    #     orders_profile_drift, ORDERS_PROFILE_DRIFT_SQL
-    # ),
+    # registered r13 (authored r11, parity-tested at both scales in
+    # tests/test_profile.py; the constant-input exemption freed the
+    # slots — queries/__init__.py CONSTANT_INPUT_EXEMPT) —
+    "customer_k_anonymity": QuerySpec(
+        customer_k_anonymity, CUSTOMER_K_ANONYMITY_SQL
+    ),
+    "orders_profile_drift": QuerySpec(
+        orders_profile_drift, ORDERS_PROFILE_DRIFT_SQL
+    ),
 }

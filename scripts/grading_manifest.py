@@ -8,8 +8,22 @@ ships changed-but-unverified code (round 4's three late-landing
 queries; nearly round 3 too).
 
 Mechanics: `scripts/grading_manifest.json` holds a fingerprint per
-query (sha256 of the query function's source + its oracle SQL), frozen
-at the END of each round — i.e. the state the driver last graded.
+query, frozen at the END of each round — i.e. the state the driver
+last graded. Format 2 (round 13, per the r12 ADVICE): each entry is
+{"own", "deep"} where `own` hashes the query function's source + its
+oracle SQL and `deep` additionally folds in the sources of every
+NON-QUERY package module in the query's transitive import closure
+(operators/, functions/, sources/, streaming/, generator) — so a
+semantic change to a shared operator forces every dependent graded
+query back into the window, the blind spot round 12 shipped through
+(dedup's positional filter changed with no re-grade of
+dedup_jaccard_pairs). The queries/ package itself is excluded from
+the closure: a query's own semantics are its fn source + oracle SQL
+(already in `own`), and folding sibling-query edits or
+GRADING_PRIORITY rotations into every fingerprint would force the
+whole registry each round. A format-1 manifest (flat name->own hash)
+is compared on `own` only; the deep gate arms at the first format-2
+freeze.
 
     python scripts/grading_manifest.py            # check (preflight step)
     python scripts/grading_manifest.py --suggest  # print the next round's
@@ -34,11 +48,14 @@ from __future__ import annotations
 
 import glob as _glob
 import hashlib
+import importlib
+import importlib.util
 import inspect
 import json
 import os
 import re
 import sys
+from functools import lru_cache
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -51,9 +68,191 @@ from big_data_analytics_final_project_spark.queries import (
 MANIFEST = os.path.join(os.path.dirname(os.path.abspath(__file__)), "grading_manifest.json")
 WINDOW = 50
 
+_PKG = "big_data_analytics_final_project_spark"
+_QUERIES_PKG = f"{_PKG}.queries"
 
-def fingerprints() -> dict[str, str]:
+# `from .x import a, b` / `from ..operators.y import (a,\n b)` — both
+# top-level and function-local; a parenthesized name list may span
+# lines, an unparenthesized one stops at end-of-line (so one import
+# statement never swallows the next).
+_FROM_IMPORT_RE = re.compile(
+    r"^\s*from\s+(\.*)([\w.]*)\s+import\s+(?:\(([^)]*)\)|([^\n]*))", re.M
+)
+_ABS_IMPORT_RE = re.compile(rf"^\s*import\s+({re.escape(_PKG)}[\w.]*)", re.M)
+
+
+@lru_cache(maxsize=None)
+def _is_module(name: str) -> bool:
+    try:
+        return importlib.util.find_spec(name) is not None
+    except (ImportError, ValueError):
+        return False
+
+
+def _internal_imports(src: str, package: str) -> frozenset[str]:
+    """Package-internal module names imported by `src`, resolved
+    against `package` for relative forms. `from X import a` also
+    probes `X.a` (the `from ..operators import dedup` shape)."""
+    out: set[str] = set()
+    for m in _FROM_IMPORT_RE.finditer(src):
+        dots, mod = m.group(1), m.group(2)
+        names = m.group(3) if m.group(3) is not None else m.group(4) or ""
+        if dots:
+            parts = package.split(".")
+            up = len(dots) - 1
+            if up >= len(parts):
+                continue
+            base = ".".join(parts[: len(parts) - up])
+            target = f"{base}.{mod}" if mod else base
+        else:
+            target = mod
+        if not target.startswith(_PKG):
+            continue
+        cands = {target}
+        for n in re.split(r"[,\s]+", names):
+            n = n.strip()
+            if n and n.isidentifier():
+                cands.add(f"{target}.{n}")
+        out.update(c for c in cands if _is_module(c))
+    out.update(
+        m.group(1) for m in _ABS_IMPORT_RE.finditer(src) if _is_module(m.group(1))
+    )
+    return frozenset(out)
+
+
+@lru_cache(maxsize=None)
+def _module_src(mod: str) -> str:
+    try:
+        return inspect.getsource(importlib.import_module(mod))
+    except Exception:  # noqa: BLE001 — unreadable module contributes nothing
+        return ""
+
+
+@lru_cache(maxsize=None)
+def _module_closure(start: str) -> frozenset[str]:
+    """Transitive package-internal import closure of `start`,
+    excluding the queries package (see the module docstring)."""
+    seen: set[str] = set()
+    todo = [start]
+    while todo:
+        mod = todo.pop()
+        if (
+            mod in seen
+            or not mod.startswith(_PKG)
+            or mod == _QUERIES_PKG
+            or mod.startswith(_QUERIES_PKG + ".")
+        ):
+            continue
+        seen.add(mod)
+        src = _module_src(mod)
+        if not src:
+            continue
+        try:
+            pkg = importlib.import_module(mod).__package__ or mod
+        except Exception:  # noqa: BLE001
+            continue
+        todo.extend(_internal_imports(src, pkg))
+    return frozenset(seen)
+
+
+def _name_to_module(src: str, package: str) -> dict[str, str]:
+    """Module-level from-import NAME -> package-internal module it
+    binds (``from ..operators.dedup import jaccard_pairs`` maps
+    ``jaccard_pairs`` -> operators.dedup; ``from ..operators import
+    dedup`` maps ``dedup`` -> operators.dedup). Lets the per-query
+    dep scan include only the modules whose names the query's source
+    actually uses, instead of every import its module makes."""
     out: dict[str, str] = {}
+    for m in _FROM_IMPORT_RE.finditer(src):
+        dots, mod = m.group(1), m.group(2)
+        names = m.group(3) if m.group(3) is not None else m.group(4) or ""
+        if dots:
+            parts = package.split(".")
+            up = len(dots) - 1
+            if up >= len(parts):
+                continue
+            base = ".".join(parts[: len(parts) - up])
+            target = f"{base}.{mod}" if mod else base
+        else:
+            target = mod
+        if not target.startswith(_PKG):
+            continue
+        for n in re.split(r"[,\s]+", names):
+            n = n.strip()
+            if not n or not n.isidentifier() or n == "as":
+                continue
+            if _is_module(f"{target}.{n}"):
+                out[n] = f"{target}.{n}"
+            elif _is_module(target):
+                out[n] = target
+    return out
+
+
+@lru_cache(maxsize=None)
+def _module_helpers(modname: str) -> tuple[tuple[str, str], ...]:
+    """(name, source) of every function defined at module level in
+    `modname` — so a query fn that calls a same-module helper inherits
+    the helper's import deps too."""
+    try:
+        mod = importlib.import_module(modname)
+    except Exception:  # noqa: BLE001
+        return ()
+    out = []
+    for n, obj in vars(mod).items():
+        if inspect.isfunction(obj) and getattr(obj, "__module__", "") == modname:
+            try:
+                out.append((n, inspect.getsource(obj)))
+            except (OSError, TypeError):
+                continue
+    return tuple(out)
+
+
+def _query_dep_modules(fn) -> list[str]:
+    """Sorted non-query package modules the query depends on: the
+    transitive closure of (a) function-local imports in the fn body
+    (and in any same-module helper the fn references, recursively),
+    and (b) module-level from-imports whose bound NAME appears in one
+    of those sources. Residual gap, accepted: a module-level constant
+    computed FROM an import (e.g. an SQL fragment) doesn't carry the
+    import's dep — those fragments are baked into the oracle string,
+    which the `own` hash already covers."""
+    modname = getattr(fn, "__module__", "") or ""
+    if not modname.startswith(_PKG):
+        return []
+    try:
+        mod = importlib.import_module(modname)
+        pkg = mod.__package__ or modname
+        fsrc = inspect.getsource(fn)
+    except Exception:  # noqa: BLE001
+        return []
+    name_map = _name_to_module(_module_src(modname), pkg)
+    helpers = dict(_module_helpers(modname))
+    srcs = [fsrc]
+    seen_helpers = {getattr(fn, "__name__", "")}
+    frontier = [fsrc]
+    while frontier:
+        s = frontier.pop()
+        for hname, hsrc in helpers.items():
+            if hname not in seen_helpers and re.search(
+                rf"\b{re.escape(hname)}\b", s
+            ):
+                seen_helpers.add(hname)
+                srcs.append(hsrc)
+                frontier.append(hsrc)
+    starts: set[str] = set()
+    for s in srcs:
+        starts |= _internal_imports(s, pkg)
+        for nm, target in name_map.items():
+            if re.search(rf"\b{re.escape(nm)}\b", s):
+                starts.add(target)
+    deps: set[str] = set()
+    for s in starts:
+        deps |= _module_closure(s)
+    return sorted(deps)
+
+
+def fingerprints() -> dict[str, dict[str, str]]:
+    out: dict[str, dict[str, str]] = {}
     for name, spec in all_queries().items():
         try:
             src = inspect.getsource(spec.fn)
@@ -63,8 +262,24 @@ def fingerprints() -> dict[str, str]:
         h.update(src.encode())
         h.update(b"\x00")
         h.update((spec.sql or "").encode())
-        out[name] = h.hexdigest()
+        own = h.hexdigest()
+        deep_h = hashlib.sha256(own.encode())
+        for dep in _query_dep_modules(spec.fn):
+            deep_h.update(b"\x00")
+            deep_h.update(dep.encode())
+            deep_h.update(b"\x00")
+            deep_h.update(_module_src(dep).encode())
+        out[name] = {"own": own, "deep": deep_h.hexdigest()}
     return out
+
+
+def changed_names(frozen: dict, current: dict[str, dict[str, str]]) -> list[str]:
+    """Names whose fingerprint differs from the frozen manifest,
+    format-aware: a format-1 manifest compares `own` only."""
+    if frozen.get("_format") == 2:
+        fq = frozen.get("queries", {})
+        return sorted(n for n, fp in current.items() if fq.get(n) != fp)
+    return sorted(n for n, fp in current.items() if frozen.get(n) != fp["own"])
 
 
 def latest_green_rounds() -> tuple[dict[str, int], int]:
@@ -93,7 +308,7 @@ def latest_green_rounds() -> tuple[dict[str, int], int]:
 
 
 def suggest_window(
-    current: dict[str, str],
+    current: dict[str, dict[str, str]],
     latest: dict[str, int],
     prep_round: int,
     new_budget: int,
@@ -108,12 +323,13 @@ def suggest_window(
     if os.path.exists(MANIFEST):
         with open(MANIFEST) as f:
             frozen = json.load(f)
+    changed = set(changed_names(frozen, current))
     rotating = [n for n in current if n not in ROTATION_EXEMPT]
     forced = sorted(
         n
         for n in current
         if (n not in ROTATION_EXEMPT and latest.get(n, 0) < prep_round - 2)
-        or frozen.get(n) != current[n]
+        or n in changed
     )
     room = max(0, WINDOW - len(forced) - new_budget)
     backfill = sorted(
@@ -164,9 +380,14 @@ def main() -> int:
         return 0
     if "--freeze" in sys.argv:
         with open(MANIFEST, "w") as f:
-            json.dump(current, f, indent=1, sort_keys=True)
+            json.dump(
+                {"_format": 2, "queries": current},
+                f,
+                indent=1,
+                sort_keys=True,
+            )
             f.write("\n")
-        print(f"froze {len(current)} fingerprints -> {MANIFEST}")
+        print(f"froze {len(current)} fingerprints (format 2) -> {MANIFEST}")
         return 0
 
     if not os.path.exists(MANIFEST):
@@ -174,9 +395,13 @@ def main() -> int:
         return 1
     with open(MANIFEST) as f:
         frozen = json.load(f)
-    changed = sorted(
-        n for n, fp in current.items() if frozen.get(n) != fp
-    )
+    changed = changed_names(frozen, current)
+    if frozen.get("_format") != 2:
+        print(
+            "note: frozen manifest is format 1 — comparing own-source "
+            "hashes only; the transitive (deep) gate arms at this "
+            "round's --freeze"
+        )
     window = list(grading_order())[:WINDOW]
     outside = [n for n in changed if n not in window]
     print(
@@ -306,7 +531,7 @@ def main() -> int:
     #    recovery at rate 0 that carries the overflow, and report how
     #    many rounds until the forced set fits a window again. A debt
     #    that clears is a schedule, not a failure.
-    HORIZON = 6
+    HORIZON = 8  # r13..r20 — the project's full remaining schedule
     fresh_state = {n: prep_round - 1 for n in rotating}
     capacity_rate = None
     for new_rate in range(NEW_BUDGET, -1, -1):

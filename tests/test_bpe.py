@@ -188,3 +188,70 @@ def test_train_leaves_no_persisted_blocks(spark):
     # <= (not ==): an unrelated pre-existing persisted RDD may be
     # ContextCleaner-collected mid-train in a shared session
     assert n_persistent() <= before
+
+
+def test_frozen_merge_list_matches_sf0001_training(spark):
+    """`corpus_bpe_encode`'s frozen tokenizer model must BE the live
+    training output on the sf0.001 corpus — the pin that lets the
+    encode twin's driver-graded oracle row vouch transitively for
+    `corpus_bpe_merges` (whose induction has no relational oracle)."""
+    from big_data_analytics_final_project_spark.queries.text import (
+        _BPE_FROZEN_MERGES,
+        _BPE_N_MERGES,
+    )
+
+    from .conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    live = bpe_train(docs, "text", n_merges=_BPE_N_MERGES, min_freq=2)
+    assert live == list(_BPE_FROZEN_MERGES)
+
+
+def test_sql_bracket_encode_equals_encode_word():
+    """The oracle's bracketed-symbol replace chain (queries/text.py
+    _bpe_encode_word_sql) must segment exactly like the engine's
+    `_encode_word` greedy loop, for every word — property-swept over
+    random corpora whose merge lists come from the pure-Python
+    trainer (so each list is VALID: parts exist when learned, the
+    precondition of the rank-order-pass equivalence argument)."""
+    import duckdb
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from big_data_analytics_final_project_spark.operators.bpe import (
+        _encode_word,
+    )
+    from big_data_analytics_final_project_spark.queries import text as qt
+
+    word = st.text(alphabet="abc01", min_size=1, max_size=8)
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        corpus=st.lists(word, min_size=1, max_size=30),
+        probes=st.lists(word, min_size=1, max_size=10),
+        n_merges=st.integers(min_value=1, max_value=12),
+    )
+    def check(corpus, probes, n_merges):
+        merges = _ref_train(
+            [(0, " ".join(corpus))], n_merges, min_freq=1
+        )
+        ranks = {m: i for i, m in enumerate(merges)}
+        # point _bpe_encode_word_sql at THIS merge list
+        old = qt._BPE_FROZEN_MERGES
+        qt._BPE_FROZEN_MERGES = tuple(merges)
+        try:
+            expr = qt._bpe_encode_word_sql("w")
+        finally:
+            qt._BPE_FROZEN_MERGES = old
+        con = duckdb.connect()
+        got = con.execute(
+            f"SELECT string_split(trim({expr}, '<>'), '><')"
+            " FROM (SELECT unnest(?) AS w)",
+            [probes],
+        ).fetchall()
+        con.close()
+        for w, (g,) in zip(probes, got):
+            assert g == _encode_word(w, ranks), (w, merges)
+
+    check()
