@@ -343,6 +343,19 @@ def main() -> int:
         return 2
 
     spark = get_session(app_name="bench", extra_conf={"spark.ui.enabled": "false"})
+    # The checkpoint-hygiene unpersists (operators/checkpoints.py)
+    # emit one EXPECTED WARN per freed block set ("locally
+    # checkpointed ... cannot be recomputed"); across the iterative
+    # queries that is dozens of lines burying the one-line bench JSON.
+    # Silence the RDD-class loggers for this session only (classic
+    # mode; on other backends the hook already degrades silently).
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.rdd", jvm.org.apache.logging.log4j.Level.ERROR
+        )
+    except Exception:  # noqa: BLE001 — cosmetic only
+        pass
     # Warm-up: run each selected query once at the smallest SF so JVM
     # JIT + whole-stage-codegen compilation (a per-plan, not per-row,
     # cost that amortizes to zero on a long-lived cluster) is paid

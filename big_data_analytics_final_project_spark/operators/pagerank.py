@@ -71,11 +71,19 @@ def pagerank(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
     )
+    if not mat:
+        # Lazy mode (plan tooling): run the n-probe BEFORE the persist
+        # mark is registered, so building the plan materializes no
+        # cache — otherwise every lint/dump over the registry leaks a
+        # materialized node cache into the shared session (r12
+        # ADVICE). The count job itself is unavoidable: n is a literal
+        # in the returned plan (rank init, undamped base).
+        n_probe = nodes.count()
+    nodes = nodes.persist()
     edged = None
     try:
-        n = nodes.count()  # materializes the node cache
+        n = nodes.count() if mat else n_probe  # mat: warms the node cache
         if n == 0:
             empty = nodes.withColumn("pagerank", F.lit(0.0))
             if mat:

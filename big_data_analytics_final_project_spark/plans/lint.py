@@ -118,23 +118,33 @@ def lint_registry(spark, sf_dir: str, names=None) -> list[LintFinding]:
     # to the lint — the default path would hand over an opaque
     # post-checkpoint RDD scan (hiding any future anti-pattern inside)
     # and EXECUTE the query just to format its plan.
-    with lazy_results():
-        for name, spec in all_queries().items():
-            if names and name not in names:
-                continue
-            try:
-                df = spec.fn(spark, sf_dir)
-            except Exception as exc:  # noqa: BLE001 — surface as a finding
-                findings.append(
-                    LintFinding(
-                        query=name,
-                        check=f"plan_build_failed: {type(exc).__name__}",
-                        allowed=False,
-                        reason=None,
+    try:
+        with lazy_results():
+            for name, spec in all_queries().items():
+                if names and name not in names:
+                    continue
+                try:
+                    df = spec.fn(spark, sf_dir)
+                except Exception as exc:  # noqa: BLE001 — surface as a finding
+                    findings.append(
+                        LintFinding(
+                            query=name,
+                            check=f"plan_build_failed: {type(exc).__name__}",
+                            allowed=False,
+                            reason=None,
+                        )
                     )
-                )
-                continue
-            findings.extend(lint_query(name, df))
+                    continue
+                findings.extend(lint_query(name, df))
+    finally:
+        # The lazy builds leave persist MARKS (and pagerank's node
+        # frame would otherwise be materialized by its count) in the
+        # shared session's CacheManager; without this, later identical
+        # subplans plan InMemoryTableScan and shift the scan/shuffle
+        # counts the plan-shape tests assert (r12 ADVICE; the same
+        # cleanup test_plans' triangle test does). Lint is
+        # single-threaded tooling, so clearing ALL cache is safe.
+        spark.catalog.clearCache()
     return findings
 
 # --- driver-materialization lint (round-7 verdict #5) -----------------

@@ -13,6 +13,20 @@ SF_SMOKE = "/root/testdata/sf0.001"
 SF_CORRECT = "/root/testdata/sf0.01"
 
 
+def require_classic(spark) -> None:
+    """Skip the calling test on non-classic backends (Spark Connect):
+    the persistent-RDD accounting tests reach JVM internals
+    (``sc._jsc…getPersistentRDDs``) that don't exist there, and on
+    such backends the checkpoint-release optimization deliberately
+    degrades to GC-eventually (operators/checkpoints.py) — the
+    OPERATORS stay correct, so a backend change must degrade the
+    optimization, not fail the suite (r12 ADVICE)."""
+    try:
+        spark.sparkContext._jsc.sc()  # noqa: B018 — probe, not use
+    except Exception:  # noqa: BLE001 — any Connect-side refusal
+        pytest.skip("persistent-RDD accounting requires classic PySpark")
+
+
 @pytest.fixture(scope="session")
 def spark():
     import shutil

@@ -14,6 +14,8 @@ from big_data_analytics_final_project_spark.operators.bpe import (
     word_counts,
 )
 
+from .conftest import require_classic
+
 
 def _ref_tokens(text: str) -> list[str]:
     t = re.sub(r"[^a-z0-9]+", " ", text.lower()).strip()
@@ -177,6 +179,7 @@ def test_train_leaves_no_persisted_blocks(spark):
     sets pile up in storage memory for the life of the session
     (measured 3-4x slowdowns on unrelated queries sharing the bench
     session)."""
+    require_classic(spark)
     sc = spark.sparkContext
 
     def n_persistent() -> int:

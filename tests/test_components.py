@@ -8,6 +8,8 @@ from big_data_analytics_final_project_spark.operators.components import (
     connected_components,
 )
 
+from .conftest import require_classic
+
 
 def _labels(spark, edges):
     df = spark.createDataFrame(edges, ["a", "b"])
@@ -50,6 +52,7 @@ def test_leaves_one_block_set_at_most(spark):
     (operators/checkpoints.py): after the call, the only persisted
     entity allowed is the single checkpoint backing the RETURNED
     labels frame — not one per round plus the edge mirror."""
+    require_classic(spark)
     sc = spark.sparkContext
 
     def n_persistent() -> int:

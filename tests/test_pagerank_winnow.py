@@ -6,6 +6,8 @@ from pyspark.sql import functions as F
 
 from big_data_analytics_final_project_spark.operators.pagerank import pagerank
 
+from .conftest import require_classic
+
 
 def _sym(spark, pairs):
     df = spark.createDataFrame(pairs, ["src", "dst"])
@@ -66,6 +68,7 @@ def test_pagerank_releases_persisted_frames(spark):
     """The default (materialized) path must unpersist the node and
     edge caches before returning; only the node-sized result
     checkpoint may remain (MLlib train-then-unpersist idiom)."""
+    require_classic(spark)
     sc = spark.sparkContext
 
     def n_persistent() -> int:

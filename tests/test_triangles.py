@@ -13,6 +13,8 @@ from big_data_analytics_final_project_spark.operators.triangles import (
     triangle_count,
 )
 
+from .conftest import require_classic
+
 
 def _brute_triangles(edges: set[tuple[int, int]]) -> int:
     adj: dict[int, set[int]] = {}
@@ -85,6 +87,7 @@ def test_releases_persisted_frames(spark):
     """The default (materialized) path must unpersist its three
     loop-invariant frames before returning; only the 1-row result
     checkpoint may remain (MLlib train-then-unpersist idiom)."""
+    require_classic(spark)
     sc = spark.sparkContext
 
     def n_persistent() -> int:
