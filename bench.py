@@ -306,6 +306,14 @@ HEADLINE = [
     "doc_lm_perplexity",
     "lineitem_profile",
     "corpus_bpe_merges",
+    # added r13 (totals not comparable to BENCH_r12 on these lines):
+    # the three registrations — the frozen-merge BPE encoder (the
+    # corpus-sized Arrow hop with the per-partition distinct-word
+    # cache), the k-anonymity audit (QI hash agg + summary), and the
+    # profile diff (two profile scans + a cols-sized full outer)
+    "corpus_bpe_encode",
+    "customer_k_anonymity",
+    "orders_profile_drift",
 ]
 
 
