@@ -176,3 +176,89 @@ def test_suggest_window_invariants():
     }
     assert stale <= set(forced)
     assert not (set(backfill) & exempt)
+
+
+def test_changed_names_is_format_aware():
+    """The format-1 -> format-2 manifest migration (r13): a frozen
+    flat map compares `own` hashes only; a format-2 manifest compares
+    the full {own, deep} pair — so arming the transitive gate cannot
+    spuriously force the whole registry in the migration round."""
+    current = {
+        "a": {"own": "o1", "deep": "d1"},
+        "b": {"own": "o2", "deep": "d2"},
+    }
+    # format 1: only b's own hash differs
+    frozen1 = {"a": "o1", "b": "STALE"}
+    assert _MOD.changed_names(frozen1, current) == ["b"]
+    # format 2: a's deep differs (operator edit), own identical
+    frozen2 = {
+        "_format": 2,
+        "queries": {
+            "a": {"own": "o1", "deep": "OLD"},
+            "b": {"own": "o2", "deep": "d2"},
+        },
+    }
+    assert _MOD.changed_names(frozen2, current) == ["a"]
+    # unknown query (new registration) is changed under both formats
+    assert _MOD.changed_names({}, current) == ["a", "b"]
+
+
+def test_query_dep_modules_sees_operator_closure():
+    """The r12 blind spot, pinned closed: a graded query's deep
+    fingerprint must cover the operator module it calls AND that
+    module's own package-internal imports (dedup_jaccard_pairs ->
+    operators.dedup; corpus_bpe_merges -> operators.bpe ->
+    operators.checkpoints), while staying OUT of the queries package
+    (sibling edits and window rotations must not rotate unrelated
+    fingerprints)."""
+    from big_data_analytics_final_project_spark.queries import all_queries
+
+    aq = all_queries()
+    pkg = "big_data_analytics_final_project_spark"
+    deps_jac = _MOD._query_dep_modules(aq["dedup_jaccard_pairs"].fn)
+    assert f"{pkg}.operators.dedup" in deps_jac
+    deps_bpe = _MOD._query_dep_modules(aq["corpus_bpe_merges"].fn)
+    assert f"{pkg}.operators.bpe" in deps_bpe
+    assert f"{pkg}.operators.checkpoints" in deps_bpe  # transitive
+    for deps in (deps_jac, deps_bpe):
+        assert not any(d.startswith(f"{pkg}.queries") for d in deps)
+    # constant-input exemption soundness: gen_* must cover generator
+    deps_gen = _MOD._query_dep_modules(aq["gen_transactions_flat"].fn)
+    assert f"{pkg}.generator" in deps_gen
+
+
+def test_deep_fingerprint_tracks_operator_source():
+    """An operator-module source change must flip every dependent
+    query's deep fingerprint and no unrelated one (simulated by
+    poisoning the module-source cache rather than editing the file)."""
+    fps_before = _MOD.fingerprints()
+    pkg = "big_data_analytics_final_project_spark"
+    target = f"{pkg}.operators.dedup"
+    # poison the lru_cache for one module's source
+    orig = _MOD._module_src
+    _MOD._module_src.cache_clear()
+
+    def patched(mod):
+        src = orig.__wrapped__(mod)
+        return src + "\n# edited" if mod == target else src
+
+    import functools
+    _MOD._module_src = functools.lru_cache(maxsize=None)(patched)
+    try:
+        fps_after = _MOD.fingerprints()
+    finally:
+        _MOD._module_src = orig
+        _MOD._module_src.cache_clear()
+    flipped = {
+        n
+        for n in fps_before
+        if fps_before[n]["deep"] != fps_after[n]["deep"]
+    }
+    same_own = all(
+        fps_before[n]["own"] == fps_after[n]["own"] for n in fps_before
+    )
+    assert same_own  # own hashes never see operator sources
+    assert "dedup_jaccard_pairs" in flipped
+    assert "dedup_exact" in flipped
+    assert "pricing_summary" not in flipped
+    assert "gen_transactions_flat" not in flipped
