@@ -552,6 +552,104 @@ JOIN_KEY_SKEW_REPORT_SQL = (
 )
 
 
+# --- rolling histogram quantiles --------------------------------------
+# Frozen monitor config (the fixed-edge requirement from
+# operators/sketches.py histogram_daily_sketches: edges must agree
+# across days or the merge is meaningless). [0, 512) covers the
+# events.value domain at every generated SF; width 512/128 = 4.0 is a
+# power of two, so the bin arithmetic is IEEE-exact in both engines.
+_HQ_LO = 0.0
+_HQ_HI = 512.0
+_HQ_BINS = 128
+_HQ_WINDOW = 7
+_HQ_QS = (0.5, 0.95, 0.99)
+
+
+def events_rolling_value_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rolling 7-day p50/p95/p99 of events.value from mergeable
+    per-day fixed-edge histograms (operators/sketches.py) — the
+    graded batch anchor for the standing streaming monitor
+    (streaming/quantiles.py calls the SAME two operators on its
+    maintained zone, so this row transitively vouches for the
+    monitor's read side).
+
+    Why not percentile_approx per window: GK state is not a storable,
+    mergeable relation — a rolling percentile would rescan 7 days of
+    raw values per output day. The histogram IS mergeable (counts
+    add), so at 100 TB each day's events are scanned once into a
+    ≤ 128-row sketch and every downstream step — the 7-day fan-out,
+    the cumulative walk, the quantile interpolation — runs on
+    day×bin-sized frames, scale-free against event volume. Estimate
+    error is bounded by one bin width (4.0), an explicit contract.
+
+    Deterministic: integer bin counts + closed-form type-1
+    (ceil-rank) quantile with linear interpolation in the hit bin;
+    doubles appear only in the final fixed-order IEEE expression, so
+    the DuckDB oracle reproduces every bit.
+    """
+    from ..operators.sketches import (
+        histogram_daily_sketches,
+        histogram_rolling_quantiles,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = histogram_daily_sketches(
+        ev, "ts", "value", _HQ_LO, _HQ_HI, _HQ_BINS
+    )
+    return histogram_rolling_quantiles(
+        daily, list(_HQ_QS), _HQ_LO, _HQ_HI, _HQ_BINS, _HQ_WINDOW
+    ).orderBy("day", "q")
+
+
+_HQ_WIDTH = (_HQ_HI - _HQ_LO) / _HQ_BINS
+_HQ_QS_SQL = ", ".join(f"CAST({q!r} AS DOUBLE)" for q in _HQ_QS)
+
+EVENTS_ROLLING_VALUE_QUANTILES_SQL = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         least({_HQ_BINS - 1}, greatest(0,
+           CAST(floor((value - {_HQ_LO!r}) / {_HQ_WIDTH!r}) AS INTEGER)
+         )) AS bin,
+         count(*) AS cnt
+  FROM events
+  WHERE value IS NOT NULL
+  GROUP BY 1, 2
+), fanned AS (
+  SELECT d.day + CAST(r.o AS INTEGER) AS target_day, d.day, d.bin, d.cnt
+  FROM daily d, unnest(range(0, {_HQ_WINDOW})) AS r(o)
+), merged AS (
+  SELECT target_day, bin, CAST(sum(cnt) AS BIGINT) AS cnt
+  FROM fanned GROUP BY 1, 2
+), ndays AS (
+  SELECT target_day, count(DISTINCT day) AS n_days_merged
+  FROM fanned GROUP BY 1
+), cum AS (
+  SELECT target_day, bin, cnt,
+         CAST(sum(cnt) OVER (
+           PARTITION BY target_day ORDER BY bin
+         ) AS BIGINT) AS c_cum,
+         CAST(sum(cnt) OVER (PARTITION BY target_day) AS BIGINT) AS c_total
+  FROM merged
+), hit AS (
+  SELECT c.target_day, c.bin, c.cnt,
+         c.c_cum - c.cnt AS c_prev, c.c_cum, q.q,
+         greatest(CAST(1 AS BIGINT), least(c.c_total,
+           CAST(ceil(q.q * c.c_total) AS BIGINT))) AS c_rank
+  FROM cum c, (SELECT unnest([{_HQ_QS_SQL}]) AS q) q
+)
+SELECT h.target_day AS day, n.n_days_merged, h.q,
+       {_HQ_LO!r} + {_HQ_WIDTH!r}
+         * (h.bin + (h.c_rank - h.c_prev) / h.cnt) AS estimate
+FROM hit h
+JOIN (SELECT DISTINCT day FROM daily) o ON o.day = h.target_day
+JOIN ndays n ON n.target_day = h.target_day
+WHERE h.c_prev < h.c_rank AND h.c_rank <= h.c_cum
+ORDER BY day, q
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "events_hourly_anomaly": QuerySpec(
         events_hourly_anomaly, EVENTS_HOURLY_ANOMALY_SQL
@@ -563,4 +661,11 @@ QUERIES: dict[str, QuerySpec] = {
     "join_key_skew_report": QuerySpec(
         join_key_skew_report, JOIN_KEY_SKEW_REPORT_SQL
     ),
+    # r14/r15 queue (COVERAGE.md; the r13 window is full at 50 and
+    # the manifest's steady-state budget is 1/round): the rolling
+    # histogram-quantile monitor's graded batch anchor, authored +
+    # parity-tested r13 at both scales (tests/test_histogram_rollup.py) —
+    # "events_rolling_value_quantiles": QuerySpec(
+    #     events_rolling_value_quantiles, EVENTS_ROLLING_VALUE_QUANTILES_SQL
+    # ),
 }

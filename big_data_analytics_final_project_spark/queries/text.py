@@ -1323,6 +1323,109 @@ ORDER BY doc_id
 """
 
 
+_KMV_K = 256  # sketch size: rel. error ~1/sqrt(k) ≈ 6% (Beyer et al.)
+
+
+def corpus_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap matrix from per-source KMV sketches —
+    the provenance dedup planner: "which sources duplicate each
+    other's content" over 3-token shingles, answered from n·k sketch
+    rows instead of n² corpus self-joins (operators/kmv.py; Beyer et
+    al., SIGMOD 2007).
+
+    The 100 TB shape is the whole point: each source's shingle set is
+    scanned ONCE into a ≤ k-row bottom-k sketch (the per-partition
+    Arrow fold shuffles ≤ k rows per partition-group, never the
+    distinct shingle space), and every one of the n(n-1)/2 pairwise
+    jaccard/union/intersection estimates afterwards is computed on
+    ≤ 2k-row frames — adding a 21st source never rescans the other
+    twenty.
+
+    Deterministic end-to-end: the sketch hash is the first 60 bits of
+    md5 (engine-portable by construction), so the DuckDB oracle
+    replays the EXACT sketches — bottom-k per source, per-pair
+    bottom-K of the union, the same fixed-order IEEE estimate
+    arithmetic — and the driver hash-grades every float bit.
+    Reference scope analogy: the reference's cross-collection joins
+    (spark_analysis integrated queries) never ask set-overlap
+    questions; this is LLM-pipeline surplus, oracled to the same bar.
+    """
+    from ..operators.kmv import kmv_overlap_matrix, kmv_sketch_by
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.filter(F.col("text").isNotNull())
+        .select("source", tokens(F.col("text")).alias("toks"))
+        .select(
+            "source",
+            F.explode(shingles3_from_tokens(F.col("toks"))).alias("shingle"),
+        )
+    )
+    sk = kmv_sketch_by(sh, "source", "shingle", k=_KMV_K)
+    return kmv_overlap_matrix(sk, "source", _KMV_K).orderBy(
+        "group_a", "group_b"
+    )
+
+
+#: 2^60 as the exact double both engines normalize hashes by
+_KMV_DOMAIN_SQL = "1152921504606846976.0"
+
+CORPUS_OVERLAP_KMV_SQL = f"""
+WITH tok AS (
+  SELECT source, {_TOKS} AS toks
+  FROM documents
+  WHERE text IS NOT NULL AND source IS NOT NULL
+), sh AS (
+  SELECT source, unnest({shingles3_from_tokens_sql("toks")}) AS shingle
+  FROM tok
+), hashed AS (
+  SELECT DISTINCT source,
+         ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+  FROM sh
+  WHERE shingle IS NOT NULL
+), sk AS (
+  SELECT source, h FROM (
+    SELECT source, h,
+           row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM hashed
+  ) WHERE rn <= {_KMV_K}
+), pairs AS (
+  SELECT a.source AS ga, b.source AS gb
+  FROM (SELECT DISTINCT source FROM sk) a,
+       (SELECT DISTINCT source FROM sk) b
+  WHERE a.source < b.source
+), flagged AS (
+  SELECT p.ga, p.gb, s.h,
+         max(CASE WHEN s.source = p.ga THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN s.source = p.gb THEN 1 ELSE 0 END) AS in_b
+  FROM pairs p JOIN sk s ON s.source IN (p.ga, p.gb)
+  GROUP BY 1, 2, 3
+), bottom AS (
+  SELECT * FROM (
+    SELECT ga, gb, h, in_a, in_b,
+           row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn
+    FROM flagged
+  ) WHERE rn <= {_KMV_K}
+), est AS (
+  SELECT ga, gb,
+         count(*) AS n,
+         max(h) AS hk,
+         sum(in_a * in_b) AS nboth
+  FROM bottom GROUP BY 1, 2
+)
+SELECT group_a, group_b, jaccard_est, union_est,
+       jaccard_est * union_est AS intersection_est
+FROM (
+  SELECT ga AS group_a, gb AS group_b,
+         nboth / n AS jaccard_est,
+         CASE WHEN n < {_KMV_K} THEN CAST(n AS DOUBLE)
+              ELSE (n - 1) / (hk / {_KMV_DOMAIN_SQL}) END AS union_est
+  FROM est
+)
+ORDER BY group_a, group_b
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "doc_token_stats": QuerySpec(doc_token_stats, DOC_TOKEN_STATS_SQL),
     "doc_unigram_entropy": QuerySpec(
@@ -1372,4 +1475,11 @@ QUERIES: dict[str, QuerySpec] = {
     # registered r13: the GRADED encode twin under the frozen merge
     # list (r12 verdict #2 option (a)) —
     "corpus_bpe_encode": QuerySpec(corpus_bpe_encode, CORPUS_BPE_ENCODE_SQL),
+    # r14 queue (COVERAGE.md; the r13 window is full at 50 and the
+    # manifest's steady-state budget is 1/round): the KMV source-
+    # overlap matrix, authored + parity-tested r13 at both scales
+    # (tests/test_kmv.py) —
+    # "corpus_overlap_kmv": QuerySpec(
+    #     corpus_overlap_kmv, CORPUS_OVERLAP_KMV_SQL
+    # ),
 }

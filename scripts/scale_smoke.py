@@ -127,8 +127,12 @@ def main() -> int:
         lineitem_profile,
         orders_profile_drift,
     )
+    from big_data_analytics_final_project_spark.queries.drift import (
+        events_rolling_value_quantiles,
+    )
     from big_data_analytics_final_project_spark.queries.text import (
         corpus_bpe_merges,
+        corpus_overlap_kmv,
         doc_lm_perplexity,
     )
     from big_data_analytics_final_project_spark.queries.windows import (
@@ -145,6 +149,10 @@ def main() -> int:
         "corpus_bpe_merges": QuerySpec(corpus_bpe_merges),
         "customer_k_anonymity": QuerySpec(customer_k_anonymity),
         "orders_profile_drift": QuerySpec(orders_profile_drift),
+        "corpus_overlap_kmv": QuerySpec(corpus_overlap_kmv),
+        "events_rolling_value_quantiles": QuerySpec(
+            events_rolling_value_quantiles
+        ),
     }
     specs = {**all_queries(), **BENCH_VARIANTS, **unregistered}
     names = args.queries or HEADLINE

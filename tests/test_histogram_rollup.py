@@ -223,3 +223,36 @@ def test_segmented_rollup_equals_per_segment_runs(spark):
     # segment b has no day-2 row: no phantom output for it
     day2 = (BASE + dt.timedelta(days=2)).date().isoformat()
     assert ("b", day2, 0.5) not in got
+
+
+def test_events_rolling_value_quantiles_matches_oracle(spark):
+    """The r14/r15-queued graded surface at the registry bar:
+    bit-exact at both scales, plus the semantic pins — one row per
+    (observed day, q), a full 7-day window once warmed up, and every
+    estimate inside the frozen [lo, hi) bounds (values clamp into the
+    edge bins, so an estimate outside the bounds is arithmetic
+    breakage, not data drift)."""
+    import duckdb
+
+    from big_data_analytics_final_project_spark.queries.drift import (
+        EVENTS_ROLLING_VALUE_QUANTILES_SQL,
+        _HQ_HI,
+        _HQ_LO,
+        _HQ_QS,
+        events_rolling_value_quantiles,
+    )
+
+    from .conftest import SF_CORRECT, SF_SMOKE
+    from .parity import compare
+
+    for sf in (SF_SMOKE, SF_CORRECT):
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+        res = events_rolling_value_quantiles(spark, sf)
+        compare(res, con.sql(EVENTS_ROLLING_VALUE_QUANTILES_SQL))
+        con.close()
+        rows = res.collect()
+        days = {r.day for r in rows}
+        assert len(rows) == len(days) * len(_HQ_QS)
+        assert max(r.n_days_merged for r in rows) == 7
+        assert all(_HQ_LO <= r.estimate < _HQ_HI for r in rows)

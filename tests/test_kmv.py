@@ -186,3 +186,33 @@ def test_overlap_matrix_consistent_and_accurate(spark):
     assert solo.union_est == wb.union_est
     assert solo.intersection_est == wb.intersection_est
     sk.unpersist()
+
+
+def test_corpus_overlap_kmv_matches_oracle(spark):
+    """The r14-queued graded surface at the registry bar: bit-exact
+    at both scales, plus the non-degeneracy pin — all 20-source pairs
+    present with strictly positive shingle overlap (a testdata regen
+    that collapses cross-source content fails loudly here instead of
+    silently grading an all-zero matrix)."""
+    import duckdb
+
+    from big_data_analytics_final_project_spark.queries.text import (
+        CORPUS_OVERLAP_KMV_SQL,
+        corpus_overlap_kmv,
+    )
+
+    from .conftest import SF_CORRECT, SF_SMOKE
+    from .parity import compare
+
+    for sf in (SF_SMOKE, SF_CORRECT):
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+        )
+        res = corpus_overlap_kmv(spark, sf)
+        compare(res, con.sql(CORPUS_OVERLAP_KMV_SQL))
+        con.close()
+        rows = res.collect()
+        assert len(rows) == 190  # C(20, 2) source pairs
+        assert all(r.jaccard_est > 0 for r in rows), sf
+        assert all(0 < r.intersection_est <= r.union_est for r in rows)
