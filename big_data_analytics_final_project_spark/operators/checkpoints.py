@@ -19,6 +19,7 @@ were read exactly once, just then, and have no further reader.
 from __future__ import annotations
 
 import logging
+import threading
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
@@ -28,34 +29,45 @@ _log = logging.getLogger(__name__)
 # Default for operators whose result materialization is optional
 # (pagerank, triangle_count): True = checkpoint the result and release
 # the loop-invariant persisted frames (the production posture). Plan
-# tooling (scripts/dump_plans.py) flips this to False so the dumped
-# plans show the real join/aggregate shapes instead of an opaque
-# post-checkpoint RDD scan.
+# tooling (scripts/dump_plans.py) flips this to False via
+# ``lazy_results`` so the dumped plans show the real join/aggregate
+# shapes instead of an opaque post-checkpoint RDD scan. The override
+# is THREAD-LOCAL (r12 verdict finding #3): a lazy_results scope on
+# one thread can no longer leak lazy plans into queries built
+# concurrently on another (e.g. a parallel pytest runner), while the
+# single-threaded plan tooling behaves exactly as before.
 MATERIALIZE_RESULTS = True
+
+_tl = threading.local()
 
 
 def resolve_materialize(flag: bool | None) -> bool:
-    """Per-call override if given, else the module default."""
-    return MATERIALIZE_RESULTS if flag is None else flag
+    """Per-call override if given, else this thread's scoped override
+    (set by ``lazy_results``), else the module default."""
+    if flag is not None:
+        return flag
+    return getattr(_tl, "materialize", MATERIALIZE_RESULTS)
 
 
 @contextmanager
 def lazy_results():
-    """Scoped ``MATERIALIZE_RESULTS = False`` for plan tooling.
+    """Scoped ``materialize=False`` default for plan tooling.
 
     Every plan-inspection site (scripts/dump_plans.py, plans/lint.py,
-    the plan-shape tests) needs the same flip-and-restore; centralizing
-    it here means none of them can forget the restore. Not safe under
-    concurrent callers of the affected operators (the flag is process-
-    global) — plan tooling runs single-threaded.
-    """
-    global MATERIALIZE_RESULTS
-    old = MATERIALIZE_RESULTS
-    MATERIALIZE_RESULTS = False
+    the plan-shape tests) needs the same flip-and-restore;
+    centralizing it here means none of them can forget the restore.
+    The override lives in a thread-local, so concurrent operator
+    calls on OTHER threads keep the production materialize=True
+    posture; nesting restores the outer scope's value."""
+    old = getattr(_tl, "materialize", None)
+    _tl.materialize = False
     try:
         yield
     finally:
-        MATERIALIZE_RESULTS = old
+        if old is None:
+            del _tl.materialize
+        else:
+            _tl.materialize = old
 
 
 def unpersist_local_checkpoint(df: DataFrame) -> None:
