@@ -261,7 +261,7 @@ def hll_daily_sketches(
 
 
 def hll_rolling_distinct(
-    daily: DataFrame, window_days: int = 7
+    daily: DataFrame, window_days: int = 7, materialize: bool | None = None
 ) -> DataFrame:
     """Rolling `window_days`-day distinct estimates from per-day HLL
     sketches: ``(day, n_days_merged, approx_distinct)``.
@@ -281,7 +281,22 @@ def hll_rolling_distinct(
     observed range. Input is day-cardinality-sized; everything here
     is negligible next to the one corpus scan in
     `hll_daily_sketches`.
+
+    `daily` has TWO consumers here (the fan-out and the observed-day
+    join); when it is an expensive derivation (a raw-corpus
+    `hll_daily_sketches`), column pruning specializes each branch's
+    subtree and defeats AQE exchange reuse — the corpus would scan
+    once per branch. Under `materialize` (default: the module
+    posture, see operators/checkpoints.py) the day-sized `daily` is
+    eagerly checkpointed first — ONE corpus scan — and the day-sized
+    result is checkpointed so the intermediate's blocks are freed
+    before returning (the pagerank/components idiom).
     """
+    from .checkpoints import resolve_materialize, unpersist_local_checkpoint
+
+    mat = resolve_materialize(materialize)
+    if mat:
+        daily = daily.localCheckpoint(eager=True)
     w = window_days
     fanned = daily.select(
         F.explode(F.sequence(F.lit(0), F.lit(w - 1))).alias("_off"),
@@ -299,11 +314,15 @@ def hll_rolling_distinct(
     # range legitimately carry partial windows, reported via
     # n_days_merged) — day-cardinality join, broadcast
     observed = daily.select(F.col("day").alias("target_day"))
-    return merged.join(F.broadcast(observed), "target_day").select(
+    out = merged.join(F.broadcast(observed), "target_day").select(
         F.col("target_day").alias("day"),
         "n_days_merged",
         F.hll_sketch_estimate("merged").alias("approx_distinct"),
     )
+    if mat:
+        out = out.localCheckpoint(eager=True)
+        unpersist_local_checkpoint(daily)
+    return out
 
 
 def histogram_daily_sketches(
@@ -366,6 +385,7 @@ def histogram_rolling_quantiles(
     n_bins: int = 128,
     window_days: int = 7,
     by: list[str] | None = None,
+    materialize: bool | None = None,
 ) -> DataFrame:
     """Rolling `window_days`-day quantile estimates from per-day
     histograms: ``(day, *by, n_days_merged, q, estimate)`` — pass the
@@ -387,7 +407,24 @@ def histogram_rolling_quantiles(
     and the q fan-out joins a len(qs)-literal array. Doubles appear
     only in the final +,*,/ interpolation — IEEE-exact operations, so
     the output is bit-identical across engines.
+
+    `daily` has THREE consumers (merge fan-out, window-day counter,
+    observed-day join), and column pruning specializes each branch
+    past AQE exchange reuse — composed directly over a raw-corpus
+    `histogram_daily_sketches`, the corpus would scan once PER
+    BRANCH. Under `materialize` (default: the module posture,
+    operators/checkpoints.py) the day×bin-sized `daily` is eagerly
+    checkpointed first — ONE corpus scan, honoring the scan-once
+    claim above — and the day×q-sized result is checkpointed so the
+    intermediate's blocks are freed before returning. Plan tooling
+    flips `lazy_results()` to keep inspecting the declarative
+    topology.
     """
+    from .checkpoints import resolve_materialize, unpersist_local_checkpoint
+
+    mat = resolve_materialize(materialize)
+    if mat:
+        daily = daily.localCheckpoint(eager=True)
     w = window_days
     width = (hi - lo) / n_bins
     g = list(by or [])
@@ -457,7 +494,7 @@ def histogram_rolling_quantiles(
     observed = daily.select("day", *g).distinct().select(
         F.col("day").alias("target_day"), *g
     )
-    return (
+    out = (
         est.join(F.broadcast(observed), ["target_day", *g])
         .join(F.broadcast(days_per_target), ["target_day", *g])
         .select(
@@ -468,6 +505,10 @@ def histogram_rolling_quantiles(
             "estimate",
         )
     )
+    if mat:
+        out = out.localCheckpoint(eager=True)
+        unpersist_local_checkpoint(daily)
+    return out
 
 
 _GROUP_SUMMARY_SCHEMA = T.StructType(

@@ -172,13 +172,75 @@ def test_partitioning_independent(spark):
 
 
 def test_plan_is_jvm_only(spark):
+    """Inspect the LAZY (declarative) form — the materialized default
+    returns a checkpointed-RDD scan whose plan would pass vacuously."""
+    from big_data_analytics_final_project_spark.operators.checkpoints import (
+        lazy_results,
+    )
+
     day_values = {0: [1.0, 2.0], 1: [3.0]}
     daily = histogram_daily_sketches(
         _df(spark, day_values), "ts", "v", LO, HI, BINS
     )
-    out = histogram_rolling_quantiles(daily, [0.5], LO, HI, BINS, 7)
+    with lazy_results():
+        out = histogram_rolling_quantiles(daily, [0.5], LO, HI, BINS, 7)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def test_rolling_materialize_scans_input_once(spark):
+    """The scan-once contract: `daily` has three consumers (merge
+    fan-out, day counter, observed join) and column pruning
+    specializes each branch past exchange reuse, so the LAZY plan
+    embeds the daily derivation (and any corpus scan under it) three
+    times; the materialized default must instead checkpoint daily
+    once — result plan reads ONLY the checkpointed RDDs — and free
+    the intermediate, leaving at most the result's own block set."""
+    import re
+
+    from big_data_analytics_final_project_spark.operators.checkpoints import (
+        lazy_results,
+    )
+
+    from .conftest import require_classic
+
+    require_classic(spark)
+    spark.catalog.clearCache()
+    day_values = {0: [1.0, 2.0, 50.0], 1: [3.0, 9.0], 3: [70.0]}
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    def build():
+        daily = histogram_daily_sketches(
+            _df(spark, day_values), "ts", "v", LO, HI, BINS
+        )
+        return histogram_rolling_quantiles(daily, [0.5], LO, HI, BINS, 7)
+
+    out = build()
+    plan = (
+        out._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert len(re.findall(r"Scan ExistingRDD", plan)) == 1, plan
+    assert "Scan parquet" not in plan
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert after - before <= 1  # daily's checkpoint freed, result kept
+    with lazy_results():
+        lazy = build()
+    lazy.collect()
+    lazy_plan = (
+        lazy._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    # the lazy twin proves the hazard is real: the daily source
+    # subtree appears once per consumer branch there
+    n_src = len(re.findall(r"Scan ExistingRDD|LocalTableScan", lazy_plan))
+    assert n_src >= 2, lazy_plan
+    key = lambda r: (r.day.isoformat(), r.q)  # noqa: E731
+    assert sorted(lazy.collect(), key=key) == sorted(out.collect(), key=key)
 
 
 def test_segmented_rollup_equals_per_segment_runs(spark):

@@ -216,3 +216,30 @@ def test_corpus_overlap_kmv_matches_oracle(spark):
         assert len(rows) == 190  # C(20, 2) source pairs
         assert all(r.jaccard_est > 0 for r in rows), sf
         assert all(0 < r.intersection_est <= r.union_est for r in rows)
+
+
+def test_overlap_matrix_scans_corpus_once(spark):
+    """The matrix references the sketch subtree three times (group
+    list, left flag, right flag); the scan-once contract at 100 TB
+    rests on AQE exchange reuse collapsing them onto ONE corpus scan
+    + Arrow fold. Pin it: the final adaptive plan must contain exactly
+    one FileScan/MapInPandas and reuse the sketch exchange for every
+    other reference — an operator change that breaks exchange
+    canonicalization (e.g. a non-deterministic expression sneaking
+    into the fold projection) fails here, not in a 3x scan at scale."""
+    import re
+
+    from .conftest import SF_SMOKE, require_classic
+
+    from big_data_analytics_final_project_spark.queries.text import (
+        corpus_overlap_kmv,
+    )
+
+    require_classic(spark)
+    df = corpus_overlap_kmv(spark, SF_SMOKE)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert len(re.findall(r"Scan parquet", final)) == 1, final
+    assert len(re.findall(r"MapInPandas", final)) == 1, final
+    assert len(re.findall(r"ReusedExchange", final)) >= 3, final
