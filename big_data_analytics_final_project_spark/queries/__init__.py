@@ -122,7 +122,11 @@ GRADING_PRIORITY: tuple[str, ...] = (
     "part_triangle_count",
     # -- oldest-green (r11) backfill
     "also_bought_pairs",
-    "concurrent_sessions_peak",
+    # -- fingerprint-forced: conversion_funnel's session-2 rewrite
+    #    (frontier materialization, 5→3 events scans) replaced the
+    #    concurrent_sessions_peak backfill slot; that r11-green name
+    #    rotates back in r14 (simulate headroom covers it)
+    "conversion_funnel",
     # ---- driver's 50-entry window ends here ----
 )
 

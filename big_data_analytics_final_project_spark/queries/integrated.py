@@ -85,7 +85,9 @@ ORDER BY user_id
 """
 
 
-def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def conversion_funnel(
+    spark: SparkSession, sf_dir: str, materialize: bool | None = None
+) -> DataFrame:
     """Strictly-ordered view → click → purchase funnel: a user counts
     at a stage only if the stage's first event happens AFTER the
     previous stage's first event. One row: users reaching each stage.
@@ -93,7 +95,25 @@ def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: each stage is a keyed min-aggregate joined to the previous
     stage's (shrinking) frontier — the frontier is user-cardinality,
     broadcastable or cheap to shuffle; the raw log is scanned with a
-    pushed event_type filter per stage, never self-joined row×row."""
+    pushed event_type filter per stage, never self-joined row×row.
+
+    The viewed/clicked frontiers each have TWO consumers (the next
+    stage's join and the final count), and optimizer specialization
+    per branch (count-only pruning, per-branch AQE join strategy)
+    defeats exchange reuse — measured 5 events scans in the executed
+    plan where the design claims one per stage. Under `materialize`
+    (the default posture, operators/checkpoints.py) each frontier is
+    eagerly checkpointed — user-cardinality, the pagerank node-frame
+    class — so the log is scanned exactly once per stage; the 1-row
+    result is checkpointed and the frontier blocks are freed before
+    returning. `lazy_results()` keeps the declarative plan for
+    tooling."""
+    from ..operators.checkpoints import (
+        resolve_materialize,
+        unpersist_local_checkpoint,
+    )
+
+    mat = resolve_materialize(materialize)
     events = load_table(spark, sf_dir, "events")
 
     def first_after(event_type: str, frontier, prev_ts: str, out: str):
@@ -108,17 +128,30 @@ def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     viewed = first_after("view", None, "", "first_view")
+    if mat:
+        viewed = viewed.localCheckpoint(eager=True)
     clicked = first_after("click", viewed, "first_view", "first_click")
+    if mat:
+        clicked = clicked.localCheckpoint(eager=True)
     purchased = first_after(
         "purchase", clicked, "first_click", "first_purchase"
     )
-    return (
-        viewed.agg(F.count(F.lit(1)).alias("n_viewed"))
-        .crossJoin(clicked.agg(F.count(F.lit(1)).alias("n_clicked")))
+    # count(first_*): never null (a min over the stage's non-null ts),
+    # so == count(1) — but keeping the aggregate column referenced
+    # stops the optimizer from specializing the count branch's subtree
+    # (it stays reusable under lazy plan tooling too)
+    out = (
+        viewed.agg(F.count("first_view").alias("n_viewed"))
+        .crossJoin(clicked.agg(F.count("first_click").alias("n_clicked")))
         .crossJoin(
-            purchased.agg(F.count(F.lit(1)).alias("n_purchased"))
+            purchased.agg(F.count("first_purchase").alias("n_purchased"))
         )
     )
+    if mat:
+        out = out.localCheckpoint(eager=True)
+        unpersist_local_checkpoint(viewed)
+        unpersist_local_checkpoint(clicked)
+    return out
 
 
 CONVERSION_FUNNEL_SQL = """

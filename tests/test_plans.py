@@ -578,3 +578,43 @@ def test_lazy_results_is_thread_scoped():
         t.join()
         assert seen == [True]  # other thread: production posture
     assert resolve_materialize(None) is True
+
+
+def test_conversion_funnel_scans_log_once_per_stage(spark):
+    """The viewed/clicked frontiers are doubly consumed (next stage's
+    join + the final count); optimizer branch specialization defeated
+    exchange reuse and the executed plan scanned events FIVE times.
+    Pin the materialized contract: one events scan per stage — the
+    result plan reads only the checkpointed frontiers (zero parquet
+    scans; the three stage scans ran once each inside the frontier
+    checkpoints) — and the frontier blocks are freed, leaving at most
+    the 1-row result's set."""
+    import re
+
+    from big_data_analytics_final_project_spark.operators.checkpoints import (
+        lazy_results,
+    )
+    from big_data_analytics_final_project_spark.queries.integrated import (
+        conversion_funnel,
+    )
+
+    from .conftest import SF_SMOKE, require_classic
+
+    require_classic(spark)
+    spark.catalog.clearCache()
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    out = conversion_funnel(spark, SF_SMOKE)
+    plan = (
+        out._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "Scan parquet" not in plan, plan
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert after - before <= 1  # frontiers freed, 1-row result kept
+    with lazy_results():
+        lazy = conversion_funnel(spark, SF_SMOKE)
+    # identical relation either way (the lazy twin is what the plan
+    # tooling and the DuckDB oracle see)
+    assert lazy.collect() == out.collect()
