@@ -58,7 +58,14 @@ def main() -> int:
 
     from big_data_analytics_final_project_spark.queries import all_queries
 
-    names = [n for n in sorted(all_queries()) if not only or n in only]
+    registered = sorted(all_queries())
+    unknown = sorted(only - set(registered))
+    if unknown:
+        # mirror check_parity.py: a typo'd name must not report the
+        # vacuous "0 failures" of an empty sweep
+        print(f"unknown queries: {unknown}", file=sys.stderr)
+        return 2
+    names = [n for n in registered if not only or n in only]
 
     narrow: dict = {}
     wide: dict = {}
