@@ -66,6 +66,7 @@ def priority_sample(
     k: int,
     id_col: str = "doc_id",
     salt: str = ":psample",
+    materialize: bool | None = None,
 ) -> DataFrame:
     """Weighted sample of `k` rows without replacement, proportional to
     `weight_col`, with unbiased subset-sum estimator weights.
@@ -80,7 +81,19 @@ def priority_sample(
     them return with est_weight = weight exactly (tau is 0 when no
     (k+1)-th priority exists — the paper's convention, making the
     estimator degenerate to the exact sum).
+
+    The (k+1)-row race frame has TWO consumers (the tau aggregate and
+    the sample cut), and each lazily re-runs the corpus-wide
+    TakeOrdered — the executed plan scanned the corpus twice (r13
+    scan audit). Under `materialize` (the module posture,
+    operators/checkpoints.py) the k+1 rows are eagerly checkpointed —
+    ONE corpus scan — and the k-row result is checkpointed so the
+    frame's blocks are freed before returning; `lazy_results()`
+    keeps the declarative plan for tooling.
     """
+    from .checkpoints import resolve_materialize, unpersist_local_checkpoint
+
+    mat = resolve_materialize(materialize)
     pos = df.filter(
         F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
     ).withColumn("priority", _priority(id_col, weight_col, salt))
@@ -88,6 +101,8 @@ def priority_sample(
     # md5 makes priority ties measure-zero; id tie-break pins full
     # determinism anyway.
     frame = pos.orderBy(F.col("priority").desc(), F.col(id_col)).limit(k + 1)
+    if mat:
+        frame = frame.localCheckpoint(eager=True)
     # tau = the (k+1)-th priority, 0 if the frame is short (paper
     # convention: estimator degenerates to the exact weight)
     tau = frame.agg(
@@ -96,13 +111,17 @@ def priority_sample(
         .alias("_tau")
     )
     sample = frame.orderBy(F.col("priority").desc(), F.col(id_col)).limit(k)
-    return sample.crossJoin(F.broadcast(tau)).select(
+    out = sample.crossJoin(F.broadcast(tau)).select(
         *[F.col(c) for c in df.columns],
         "priority",
         F.greatest(F.col(weight_col).cast("double"), F.col("_tau")).alias(
             "est_weight"
         ),
     )
+    if mat:
+        out = out.localCheckpoint(eager=True)
+        unpersist_local_checkpoint(frame)
+    return out
 
 
 def priority_sample_sql(

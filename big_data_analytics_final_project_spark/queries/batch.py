@@ -20,7 +20,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import DEC, exact_sum, exact_sum_sql
@@ -2039,22 +2039,24 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     chosen non-vacuous at every testdata SF: keeps 3/99/544
     suppliers, and the semi join actually filters at each).
 
-    Scale: two cascading aggregates over one lineitem scan — (part,
-    supplier) then part — joined back on partkey (both frames are
-    already small and co-keyed), then a LEFT SEMI into the supplier
-    dim. Nothing rescans the fact table; quantities accumulate in
-    exact decimal so the 3×-mean comparison sees identical doubles on
-    both engines."""
+    Scale: one (part, supplier) aggregate over one lineitem scan,
+    then the part-level mean as a WINDOW over that aggregate — the
+    per-part total/count ride the same partkey partitioning the
+    aggregate already established, so nothing rescans the fact table
+    and nothing joins back (the original agg-then-join-back form
+    consumed the (part, supplier) frame twice, and per-branch column
+    pruning defeated exchange reuse: the executed plan scanned
+    lineitem twice — the r13 scan audit's find). Then a LEFT SEMI
+    into the supplier dim. Quantities accumulate in exact decimal so
+    the 3×-mean comparison sees identical doubles on both engines."""
     li = load_table(spark, sf_dir, "lineitem")
     ps = li.groupBy("l_partkey", "l_suppkey").agg(
         exact_sum("l_quantity", "qty")
     )
-    pt = ps.groupBy(F.col("l_partkey").alias("_pk")).agg(
-        exact_sum("qty", "total"),
-        F.count(F.lit(1)).alias("nsupp"),
-    )
+    by_part = Window.partitionBy("l_partkey")
     dominant = (
-        ps.join(pt, ps.l_partkey == pt._pk)
+        ps.withColumn("total", F.sum("qty").over(by_part))
+        .withColumn("nsupp", F.count(F.lit(1)).over(by_part))
         .filter(
             F.col("qty") > F.lit(3.0) * F.col("total") / F.col("nsupp")
         )

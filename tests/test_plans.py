@@ -514,15 +514,44 @@ def test_priority_sample_take_ordered_no_global_sort(spark):
     """The weighted sample's top-(k+1) race must plan as
     TakeOrderedAndProject (per-task heaps + driver merge) with the
     tau aggregate broadcast back — never a global sort of the corpus,
-    and never a corpus-sized shuffle."""
+    and never a corpus-sized shuffle. Inspected on the LAZY form (the
+    materialized default returns a checkpointed-RDD scan); the
+    materialized contract — ONE corpus scan feeding both the tau
+    aggregate and the sample cut, frame blocks freed — is pinned
+    alongside."""
+    import re
+
+    from big_data_analytics_final_project_spark.operators.checkpoints import (
+        lazy_results,
+    )
     from big_data_analytics_final_project_spark.queries.curation import (
         doc_weighted_sample,
     )
 
-    df = doc_weighted_sample(spark, SF_SMOKE)
+    with lazy_results():
+        df = doc_weighted_sample(spark, SF_SMOKE)
     plan = physical_plan(df)
     assert "TakeOrderedAndProject" in plan, plan
     assert count_broadcasts(df) >= 1  # tau joins the sample broadcast
+
+    from .conftest import require_classic
+
+    require_classic(spark)
+    spark.catalog.clearCache()
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    mat = doc_weighted_sample(spark, SF_SMOKE)
+    final = (
+        mat._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "Scan parquet" not in final, final
+    assert re.search(r"Scan ExistingRDD", final), final
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert after - before <= 1  # race frame freed, k-row result kept
+    key = lambda r: r.doc_id  # noqa: E731
+    assert sorted(df.collect(), key=key) == sorted(mat.collect(), key=key)
 
 
 def test_cms_sketch_partial_agg_before_exchange(spark):
