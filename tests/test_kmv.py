@@ -243,3 +243,65 @@ def test_overlap_matrix_scans_corpus_once(spark):
     assert len(re.findall(r"Scan parquet", final)) == 1, final
     assert len(re.findall(r"MapInPandas", final)) == 1, final
     assert len(re.findall(r"ReusedExchange", final)) >= 3, final
+
+
+def test_corpus_overlap_kmv_accuracy_vs_exact(spark):
+    """Estimator QUALITY pin (the determinism side is the bit-exact
+    oracle): every pair's jaccard_est must sit within the 4-sigma
+    binomial band of the EXACT shingle jaccard — sigma =
+    sqrt(J(1-J)/K) for the bottom-K union sample, K = 256. Measured
+    max abs error at sf0.001 is 0.029 against a 4-sigma bound of
+    ~0.061; a break here means the estimator (not the hashing) went
+    wrong, or a testdata regen collapsed the overlap structure."""
+    import duckdb
+
+    from big_data_analytics_final_project_spark.functions.text import (
+        shingles3_from_tokens_sql,
+        tokens_sql,
+    )
+    from big_data_analytics_final_project_spark.queries.text import (
+        _KMV_K,
+        corpus_overlap_kmv,
+    )
+
+    from .conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    sh_cte = f"""
+    WITH tok AS (
+      SELECT source, {tokens_sql("text")} AS toks
+      FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+    ), sh AS (
+      SELECT DISTINCT source,
+             unnest({shingles3_from_tokens_sql("toks")}) AS shingle
+      FROM tok
+    )"""
+    sizes = dict(
+        con.sql(sh_cte + "SELECT source, count(*) FROM sh GROUP BY 1").fetchall()
+    )
+    inter = {
+        (a, b): c
+        for a, b, c in con.sql(
+            sh_cte
+            + """
+            SELECT x.source, y.source, count(*) FROM sh x
+            JOIN sh y ON x.shingle = y.shingle AND x.source < y.source
+            GROUP BY 1, 2"""
+        ).fetchall()
+    }
+    con.close()
+
+    import math
+
+    rows = corpus_overlap_kmv(spark, SF_SMOKE).collect()
+    assert len(rows) == 190
+    for r in rows:
+        ci = inter.get((r.group_a, r.group_b), 0)
+        true_j = ci / (sizes[r.group_a] + sizes[r.group_b] - ci)
+        sigma = math.sqrt(max(true_j * (1 - true_j), 1.0 / _KMV_K) / _KMV_K)
+        assert abs(r.jaccard_est - true_j) <= 4 * sigma, (
+            r.group_a, r.group_b, true_j, r.jaccard_est, sigma,
+        )
