@@ -318,3 +318,51 @@ def test_events_rolling_value_quantiles_matches_oracle(spark):
         assert len(rows) == len(days) * len(_HQ_QS)
         assert max(r.n_days_merged for r in rows) == 7
         assert all(_HQ_LO <= r.estimate < _HQ_HI for r in rows)
+
+
+def test_events_rolling_value_quantiles_one_bin_accuracy(spark):
+    """Estimator QUALITY pin for the r14/r15-queued query (the
+    determinism side is the bit-exact oracle): each (day, q) estimate
+    must sit within ONE BIN WIDTH (4.0) of the TRUE windowed quantile
+    computed from raw rows — the operator's explicit error contract.
+    sf0.001 only: its value range fits [0, 512) so no edge-bin
+    clamping weakens the bound."""
+    import duckdb
+
+    from big_data_analytics_final_project_spark.queries.drift import (
+        _HQ_BINS,
+        _HQ_HI,
+        _HQ_LO,
+        _HQ_WINDOW,
+        events_rolling_value_quantiles,
+    )
+
+    from .conftest import SF_SMOKE
+
+    width = (_HQ_HI - _HQ_LO) / _HQ_BINS
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{SF_SMOKE}/events.parquet'")
+    lo_v, hi_v = con.sql(
+        "SELECT min(value), max(value) FROM events"
+    ).fetchone()
+    assert _HQ_LO <= lo_v and hi_v < _HQ_HI  # no clamped values here
+    true_q = {}
+    for q in (0.5, 0.95, 0.99):
+        for d, v in con.sql(f"""
+            WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+            SELECT d.day, quantile_disc(e.value, {q}) AS trueq
+            FROM days d
+            JOIN events e
+              ON CAST(e.ts AS DATE) BETWEEN d.day - {_HQ_WINDOW - 1} AND d.day
+            WHERE e.value IS NOT NULL
+            GROUP BY 1
+        """).fetchall():
+            true_q[(d.isoformat(), q)] = v
+    con.close()
+    rows = events_rolling_value_quantiles(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        t = true_q[(r.day.isoformat(), r.q)]
+        assert abs(r.estimate - float(t)) <= width + 1e-9, (
+            r.day, r.q, r.estimate, t,
+        )
