@@ -72,5 +72,136 @@ def count_broadcast_hints(df: DataFrame) -> int:
     return len(re.findall(r"ResolvedHint \(strategy=broadcast\)", analyzed))
 
 
+def executed_scan_counts(spark, run):
+    """Per-table parquet FileScan counts across EVERY SQL execution
+    fired by ``run()`` — construction-time materializations included.
+
+    The final DataFrame's executed plan is blind to work done while
+    the query was BUILT: under the eager-checkpoint idiom
+    (operators/checkpoints.py) the fact scans happen inside
+    ``localCheckpoint`` jobs and the returned plan reads only RDD
+    blocks, so a plan-only audit reports `{}` (the r13 scan audit's
+    acknowledged blind spot). This sweeps the SQL status store
+    (fed by the listener bus regardless of UI) for executions that
+    started after ``run`` began, takes each one's AQE-FINAL plan
+    description, and sums FileScan-per-table — the true "how many
+    times did we read the corpus" number.
+
+    Returns ``(result, Counter)`` where ``result`` is ``run()``'s
+    return value. ``run`` must leave every job it wants counted
+    FINISHED (collect inside it); the listener bus is drained before
+    the sweep so late adaptive-plan updates are included.
+    """
+    from collections import Counter
+
+    store = spark._jsparkSession.sharedState().statusStore()
+
+    def _ids() -> set[int]:
+        lst = store.executionsList()
+        return {lst.apply(i).executionId() for i in range(lst.size())}
+
+    before = _ids()
+    result = run()
+    try:  # drain async listener events (final AQE plan updates)
+        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty(10000)
+    except Exception:  # pragma: no cover — non-classic backends
+        import time as _t
+
+        _t.sleep(1.0)
+    tables: Counter[str] = Counter()
+    seen_recipes: set[str] = set()
+    lst = store.executionsList()
+    for i in range(lst.size()):
+        e = lst.apply(i)
+        if e.executionId() in before:
+            continue
+        direct, recipes = _desc_scan_tables(e.physicalPlanDescription())
+        tables.update(direct)
+        for fp, rtables in recipes.items():
+            if fp not in seen_recipes:  # the cache fill — reads once
+                seen_recipes.add(fp)
+                tables.update(rtables)
+    return result, tables
+
+
+def _desc_scan_tables(desc: str):
+    """Parse ONE execution's plan description (formatted-explain text:
+    a tree section with ``Scan parquet (n)`` nodes and a detail
+    section mapping ``(n) Scan parquet`` to its Location).
+
+    Returns ``(direct, recipes)``:
+
+    - ``direct``: Counter of tables scanned by the execution itself —
+      scan nodes in the AQE-FINAL tree (the ``== Initial Plan ==``
+      reprint is cut, and a subtree AQE collapsed into a
+      ReusedQueryStage/ReusedExchange is not re-printed there, so
+      runtime-reused scans are naturally excluded), EXCLUDING nodes
+      nested under an ``InMemoryRelation``.
+    - ``recipes``: normalized-fingerprint -> Counter of tables for
+      each ``InMemoryRelation`` subtree. That subtree is the cache's
+      recipe, reprinted in EVERY consumer's plan; the parquet read
+      happens exactly once — whichever execution fills the cache — so
+      the caller counts each distinct recipe once across the query's
+      executions.
+
+    The detail section (which lives BELOW the initial-plan reprint,
+    so it is parsed from the full text) resolves each node id to its
+    parquet table."""
+    from collections import Counter
+
+    id_to_table: dict[str, str] = {}
+    for m in re.finditer(
+        r"^\((\d+)\) Scan parquet", desc, flags=re.M
+    ):
+        window = desc[m.end() : m.end() + 600]
+        loc = re.search(r"Location:.*?(\w+)\.parquet", window)
+        # scans of non-table paths (scratch zones, staging dirs) are
+        # grouped under one label — their paths carry run-specific
+        # suffixes that would make baselines unstable
+        id_to_table[m.group(1)] = loc.group(1) if loc else "_nontable"
+
+    tree = desc.split("== Initial Plan ==")[0]
+    direct: Counter[str] = Counter()
+    recipes: dict[str, Counter[str]] = {}
+    recipe_depth: int | None = None
+    recipe_lines: list[str] = []
+
+    def _close_recipe():
+        nonlocal recipe_depth, recipe_lines
+        if recipe_depth is None:
+            return
+        # node ids / expr ids / runtime stats vary per reprint — strip
+        # them so the same cached relation fingerprints identically
+        body = "\n".join(recipe_lines)
+        fp = re.sub(r"\(\d+\)|#\d+|Statistics\([^)]*\)", "", body)
+        rt: Counter[str] = Counter()
+        for sm in re.finditer(r"Scan parquet[^(\n]*\((\d+)\)", body):
+            rt[id_to_table.get(sm.group(1), "?")] += 1
+        if rt:
+            recipes.setdefault(fp, rt)
+        recipe_depth, recipe_lines = None, []
+
+    for line in tree.splitlines():
+        m = re.match(r"^[\s:|+*-]*", line)
+        depth = m.end()
+        name = line[depth:]
+        if not name:
+            continue
+        if recipe_depth is not None:
+            if depth > recipe_depth:
+                recipe_lines.append(name)
+                continue
+            _close_recipe()
+        if name.startswith("InMemoryRelation"):
+            recipe_depth = depth
+            recipe_lines = []
+            continue
+        sm = re.match(r"Scan parquet[^(\n]*\((\d+)\)", name)
+        if sm:
+            direct[id_to_table.get(sm.group(1), "?")] += 1
+    _close_recipe()
+    return direct, recipes
+
+
 # Back-compat alias (previous name counted raw substring occurrences).
 count_exchanges = count_shuffles

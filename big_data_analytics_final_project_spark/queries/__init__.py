@@ -50,83 +50,70 @@ class QuerySpec:
 # slots, heaviest/flagship shapes first, which smooths the next
 # round's forced load.
 #
-# Round-13 instance — STEADY-STATE ROTATION + QUEUE DRAIN. The
-# manifest's forced set is the r10-green staleness sweep (44 names
-# minus the 5 newly CONSTANT_INPUT-exempt gen_* fixtures = 39) plus
-# `corpus_bpe_merges` (its r12 row was `no_oracle`, graded nothing,
-# so it never went green) and the THREE r13 registrations
-# (corpus_bpe_encode — the graded BPE twin, r12 verdict #2 —
-# customer_k_anonymity and orders_profile_drift, both authored r11).
-# Backfill is NOT the alphabetical oldest-green default: 6 of the 8
-# slots go to the r11-green queries whose SHARED OPERATOR modules
-# changed in r12 without a post-change driver row (the r12 ADVICE's
-# fingerprint-gate blind spot — closed structurally for future rounds
-# by the format-2 transitive fingerprints, closed manually here for
-# the r12 debt): dedup.py's positional filter (dedup_jaccard_pairs,
-# dedup_overlap_pairs), components/checkpoints block hygiene
-# (dedup_incremental, dedup_semantic_clusters), and the
-# pagerank/triangles materialize default (part_pagerank,
-# part_triangle_count); the last 2 take the oldest-green default.
+# Round-14 instance — ROTATION WINDOW + SCAN-HYGIENE RE-GRADES. The
+# forced set (48) is the r11-green staleness sweep (the 42 names the
+# manifest flagged entering r14) plus the fingerprint-forced edits of
+# this round's plan-hygiene work: the four drained rescans
+# (customer_cohort_setops, weekly_retention, clicks_before_purchase,
+# doc_top_keywords), the two r13-ADVICE equivalence fixes
+# (dominant_part_suppliers decimal window accumulator,
+# conversion_funnel's count-the-aggregate oracle), and the round's one
+# new registration (corpus_overlap_kmv — the r13 queue item). The 2
+# backfill slots take the oldest-green (r12) heavy shapes to smooth
+# r15's forced load.
 GRADING_PRIORITY: tuple[str, ...] = (
-    # -- staleness sweep: latest green row is r10 (43 entries) plus
-    #    corpus_bpe_merges (registered r12; its row graded nothing)
-    "corpus_bpe_merges",
-    "customer_order_history",
-    "customers_without_orders",
-    "dedup_clusters",
-    "dedup_fuzzy_pairs",
-    "dedup_simhash",
-    "discount_revenue_delta",
-    "doc_dedup_survivors",
-    "doc_quality_score",
-    "doc_repetition_stats",
-    "doc_unigram_entropy",
-    "doc_weighted_sample",
-    "dominant_part_suppliers",
-    "embedding_kmeans",
-    "events_hypertable_rollup",
-    "events_json_roundtrip",
-    "events_rowkey_export",
-    "events_sessionized",
-    "important_part_share",
-    "join_key_skew_report",
-    "json_ingest_roundtrip",
-    "json_ingest_with_errors",
-    "knn_bruteforce",
-    "media_avi_frames",
-    "media_feature_knn",
-    "media_frame_sample",
-    "media_png_dims",
-    "media_wav_rms",
-    "min_cost_supplier",
-    "nation_market_share",
-    "pricing_summary",
-    "product_profit_by_nation",
-    "purchase_last_click",
-    "report_csv_roundtrip",
-    "revenue_by_brand",
-    "session_stats_per_user",
-    "user_freq_cms",
-    "user_spend_trend",
-    "waiting_supplier",
-    # -- new registrations this round (fingerprint-forced)
-    "corpus_bpe_encode",
-    "customer_k_anonymity",
-    "orders_profile_drift",
-    # -- backfill: r11-green dependents of r12-changed operators
-    "dedup_incremental",
-    "dedup_jaccard_pairs",
-    "dedup_overlap_pairs",
-    "dedup_semantic_clusters",
-    "part_pagerank",
-    "part_triangle_count",
-    # -- oldest-green (r11) backfill
-    "also_bought_pairs",
-    # -- fingerprint-forced: conversion_funnel's session-2 rewrite
-    #    (frontier materialization, 5→3 events scans) replaced the
-    #    concurrent_sessions_peak backfill slot; that r11-green name
-    #    rotates back in r14 (simulate headroom covers it)
+    # -- forced: stale (r11-green) + new/changed this round --
+    "clicks_before_purchase",
+    "concurrent_sessions_peak",
     "conversion_funnel",
+    "corpus_bigram_topk",
+    "corpus_bpe_merges",
+    "corpus_curation_report",
+    "corpus_overlap_kmv",
+    "corpus_pack_bins",
+    "corpus_vocab_topk",
+    "customer_cohort_setops",
+    "customer_order_distribution",
+    "customer_spend_deciles",
+    "customer_status_scd2",
+    "daily_active_users",
+    "daily_active_users_approx",
+    "dedup_exact",
+    "doc_bpe_token_stats",
+    "doc_fingerprint",
+    "doc_lang_id",
+    "doc_pii_scrub",
+    "doc_sample_stratified",
+    "doc_top_keywords",
+    "dominant_part_suppliers",
+    "embedding_near_dup",
+    "engagement_spend_correlation",
+    "engagement_vs_spend",
+    "event_type_pivot",
+    "events_gap_filled_hourly",
+    "events_props_parse",
+    "events_sliding_2h",
+    "events_tumbling_hourly",
+    "international_revenue",
+    "media_png_pixels",
+    "nested_order_items",
+    "order_cart_map",
+    "order_price_quantiles_approx",
+    "order_totals_reconciliation",
+    "orders_status_priority_cube",
+    "purchase_last_click_matched",
+    "referential_integrity_audit",
+    "segment_counts",
+    "top_order_per_customer",
+    "top_spenders",
+    "user_event_runs",
+    "user_events_lookup",
+    "user_rolling_7d_spend",
+    "weekly_retention",
+    "zone_roundtrip_daily",
+    # -- oldest-green (r12) backfill --
+    "ann_hyperplane_lsh",
+    "bloom_pruned_revenue",
     # ---- driver's 50-entry window ends here ----
 )
 

@@ -578,22 +578,58 @@ ORDER BY r_name, n_name
 """
 
 
-def customer_cohort_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+def customer_cohort_setops(
+    spark: SparkSession, sf_dir: str, materialize: bool | None = None
+) -> DataFrame:
     """Relational set operations (capability upgrade — SURVEY.md §2.8:
     the reference has no UNION/INTERSECT/EXCEPT): 1995-vs-1996 buyer
-    cohorts via intersect / subtract, tagged and unioned."""
+    cohorts via intersect / subtract, tagged and unioned.
+
+    Scale: each year's DISTINCT buyer list is eagerly checkpointed
+    before the set algebra — the three INTERSECT/EXCEPT branches each
+    consume both lists, and per-branch optimization defeats exchange
+    reuse, so without the checkpoint the executed plan re-read the
+    year-filtered fact five times (the r13 scan audit's find; at
+    100 TB that is 5 fact scans for a customer-cardinality result).
+    Checkpointed, orders is scanned exactly twice (once per disjoint
+    year filter); the lists and the result are customer-sized. The
+    pre-`distinct` is semantics-free — INTERSECT/EXCEPT are set ops
+    already — and dedups each list once instead of inside every
+    branch. `lazy_results()` keeps the declarative plan for tooling."""
+    from ..operators.checkpoints import (
+        resolve_materialize,
+        unpersist_local_checkpoint,
+    )
+
+    mat = resolve_materialize(materialize)
     orders = load_table(spark, sf_dir, "orders")
-    y95 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey")
-    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    y95 = (
+        orders.filter(F.year("o_orderdate") == 1995)
+        .select("o_custkey")
+        .distinct()
+    )
+    y96 = (
+        orders.filter(F.year("o_orderdate") == 1996)
+        .select("o_custkey")
+        .distinct()
+    )
+    if mat:
+        y95 = y95.localCheckpoint(eager=True)
+        y96 = y96.localCheckpoint(eager=True)
     both = y95.intersect(y96).withColumn("cohort", F.lit("both"))
     only95 = y95.subtract(y96).withColumn("cohort", F.lit("only_1995"))
     only96 = y96.subtract(y95).withColumn("cohort", F.lit("only_1996"))
-    return (
+    out = (
         both.unionByName(only95)
         .unionByName(only96)
         .select("cohort", "o_custkey")
         .orderBy("cohort", "o_custkey")
     )
+    if mat:
+        out = out.localCheckpoint(eager=True)
+        unpersist_local_checkpoint(y95)
+        unpersist_local_checkpoint(y96)
+    return out
 
 
 CUSTOMER_COHORT_SETOPS_SQL = """
@@ -2055,7 +2091,10 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     by_part = Window.partitionBy("l_partkey")
     dominant = (
-        ps.withColumn("total", F.sum("qty").over(by_part))
+        ps.withColumn(
+            "total",
+            F.sum(F.col("qty").cast(DEC)).over(by_part).cast("double"),
+        )
         .withColumn("nsupp", F.count(F.lit(1)).over(by_part))
         .filter(
             F.col("qty") > F.lit(3.0) * F.col("total") / F.col("nsupp")

@@ -19,7 +19,7 @@ broadcast back — no driver round-trip, no collect.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import (
@@ -136,10 +136,12 @@ def conversion_funnel(
     purchased = first_after(
         "purchase", clicked, "first_click", "first_purchase"
     )
-    # count(first_*): never null (a min over the stage's non-null ts),
-    # so == count(1) — but keeping the aggregate column referenced
-    # stops the optimizer from specializing the count branch's subtree
-    # (it stays reusable under lazy plan tooling too)
+    # count(first_*): keeping the aggregate column referenced stops
+    # the optimizer from specializing the count branch's subtree (it
+    # stays reusable under lazy plan tooling too); the oracle counts
+    # the same aggregate column, so a user whose stage events all
+    # carry NULL ts drops on BOTH sides — structural equivalence, not
+    # a data-property assumption (r13 ADVICE)
     out = (
         viewed.agg(F.count("first_view").alias("n_viewed"))
         .crossJoin(clicked.agg(F.count("first_click").alias("n_clicked")))
@@ -171,9 +173,9 @@ p AS (
   WHERE e.event_type = 'purchase' AND e.ts > c.first_click
   GROUP BY e.user_id
 )
-SELECT (SELECT count(*) FROM v) AS n_viewed,
-       (SELECT count(*) FROM c) AS n_clicked,
-       (SELECT count(*) FROM p) AS n_purchased
+SELECT (SELECT count(first_view) FROM v) AS n_viewed,
+       (SELECT count(first_click) FROM c) AS n_clicked,
+       (SELECT count(first_purchase) FROM p) AS n_purchased
 """
 
 
@@ -182,19 +184,25 @@ def weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted in every later week they return — the (cohort_week,
     week_offset, n_users) triangle every analytics store ships.
 
-    Scale: two aggregations over the log (first-seen per user,
-    distinct user-weeks) and one user-keyed join — no per-cohort
-    scans; cohort count never touches the fan-out."""
+    Scale: ONE aggregation over the log (distinct user-weeks), then
+    the cohort week as a MIN window over that distinct relation —
+    min(distinct weeks) == min(all weeks) per user, so the first-seen
+    aggregate needs no second pass over the fan-out (the r13 scan
+    audit measured 2 events scans for the two-aggregate form; this
+    one scans events once). The window partitions by user over a
+    user-week-cardinality frame — orders of magnitude under the raw
+    log — and rides the same user_id shuffle the distinct already
+    established."""
     events = load_table(spark, sf_dir, "events")
     week = F.to_date(F.date_trunc("week", F.col("ts")))
-    first_seen = events.groupBy("user_id").agg(
-        F.min(week).alias("cohort_week")
-    )
     activity = events.select(
         "user_id", week.alias("week")
     ).distinct()
+    by_user = Window.partitionBy("user_id")
     return (
-        activity.join(first_seen, "user_id")
+        activity.withColumn(
+            "cohort_week", F.min("week").over(by_user)
+        )
         .groupBy(
             "cohort_week",
             F.floor(

@@ -483,15 +483,23 @@ def doc_top_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     everywhere. Ranking (the thing keyword extraction is for) is
     preserved for any monotone idf.
 
-    Scale: one (doc, term) pre-aggregate (map-side combinable), a
-    shuffle join against the per-term df table, a scalar N attach, and
-    a per-document window — nothing global, nothing quadratic. The df
-    table is the CORPUS VOCABULARY — unbounded cardinality (typos,
-    numbers, unicode junk run to billions of distinct tokens at
-    100 TB), so it must NEVER carry a forced broadcast hint; the
-    (term)-keyed shuffle join is correct at any scale, and AQE may
-    still choose broadcast from runtime stats when the vocab is small.
-    The one-row n_docs attach stays broadcast."""
+    Scale: one (doc, term) pre-aggregate (map-side combinable), the
+    per-term df as a COUNT WINDOW over that aggregate, a scalar N
+    attach, and a per-document window — nothing global, nothing
+    quadratic. The window form replaced the r13 df-table join-back:
+    the join's build side re-aggregated the same (doc, term) subtree,
+    and per-branch pruning defeated exchange reuse, so the executed
+    plan read documents three times (the r13 scan audit's find); the
+    window rides one (term)-keyed shuffle of the aggregate instead.
+    This is also why df must never be a forced-broadcast table: the
+    vocabulary is unbounded at 100 TB (typos, numbers, unicode junk),
+    and a term-partitioned window has no build side at all. Two
+    documents scans remain: the token explode and the zero-column
+    n_docs count — the count scan reads no data pages (footer-stats
+    class), and folding N into the chain would mean either a global
+    single-partition window or materializing the corpus-sized
+    (doc, term) relation, both worse at scale than a metadata-grade
+    second scan."""
     docs = load_table(spark, sf_dir, "documents")
     terms = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("term")
@@ -499,10 +507,12 @@ def doc_top_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc_term = terms.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    df_tbl = per_doc_term.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    from pyspark.sql import Window
+
+    by_term = Window.partitionBy("term")
     scored = (
-        per_doc_term.join(df_tbl, "term")
+        per_doc_term.withColumn("df", F.count(F.lit(1)).over(by_term))
         .join(F.broadcast(n_docs))
         .withColumn(
             "score",
@@ -510,7 +520,6 @@ def doc_top_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.col("n_docs").cast("double") / F.col("df").cast("double")),
         )
     )
-    from pyspark.sql import Window
 
     w = Window.partitionBy("doc_id").orderBy(
         F.col("score").desc(), F.col("term")
@@ -1475,11 +1484,10 @@ QUERIES: dict[str, QuerySpec] = {
     # registered r13: the GRADED encode twin under the frozen merge
     # list (r12 verdict #2 option (a)) —
     "corpus_bpe_encode": QuerySpec(corpus_bpe_encode, CORPUS_BPE_ENCODE_SQL),
-    # r14 queue (COVERAGE.md; the r13 window is full at 50 and the
-    # manifest's steady-state budget is 1/round): the KMV source-
-    # overlap matrix, authored + parity-tested r13 at both scales
-    # (tests/test_kmv.py) —
-    # "corpus_overlap_kmv": QuerySpec(
-    #     corpus_overlap_kmv, CORPUS_OVERLAP_KMV_SQL
-    # ),
+    # registered r14 (the round's 1-slot rotation budget; authored +
+    # parity-tested r13 at both scales, tests/test_kmv.py): the KMV
+    # source-overlap matrix —
+    "corpus_overlap_kmv": QuerySpec(
+        corpus_overlap_kmv, CORPUS_OVERLAP_KMV_SQL
+    ),
 }

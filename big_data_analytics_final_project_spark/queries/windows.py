@@ -277,18 +277,37 @@ def purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
-def clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+def clicks_before_purchase(
+    spark: SparkSession, sf_dir: str, materialize: bool | None = None
+) -> DataFrame:
     """Range join (operators/rangejoin.py): for every purchase, how many
     clicks the same user made in the hour before it ([ts−1h, ts)).
     Capability upgrade — the reference has no interval join (SURVEY.md
     §2.4). The binned equi-join keeps the plan shuffle-partitionable;
     the oracle is DuckDB's declarative non-equi join over the same
     window — differential proof the binning loses/duplicates nothing.
-    """
+
+    Scale: the purchase subset has TWO consumers (the interval-join
+    probe and the zero-click left-join re-attach), and per-branch
+    pruning defeated exchange reuse — the r13 scan audit measured 3
+    events scans. Under `materialize` (the default posture) the
+    purchase subset is eagerly checkpointed — purchases are a thin
+    filtered slice of the log, orders of magnitude under the click
+    fan-out — so events is scanned exactly twice (disjoint purchase /
+    click pushed filters). `lazy_results()` keeps the declarative
+    plan for tooling."""
+    from ..operators.checkpoints import (
+        resolve_materialize,
+        unpersist_local_checkpoint,
+    )
+
+    mat = resolve_materialize(materialize)
     events = load_table(spark, sf_dir, "events")
     purchases = events.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", "event_id"
     )
+    if mat:
+        purchases = purchases.localCheckpoint(eager=True)
     clicks = events.filter(F.col("event_type") == "click").select("user_id", "ts")
     matched = interval_join(
         purchases,
@@ -301,7 +320,7 @@ def clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = matched.groupBy("event_id").agg(
         F.count(F.lit(1)).alias("n_clicks_1h")
     )
-    return (
+    out = (
         purchases.join(counts, "event_id", "left")
         .select(
             "event_id",
@@ -311,6 +330,10 @@ def clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+    if mat:
+        out = out.localCheckpoint(eager=True)
+        unpersist_local_checkpoint(purchases)
+    return out
 
 
 CLICKS_BEFORE_PURCHASE_SQL = """

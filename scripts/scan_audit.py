@@ -10,13 +10,21 @@ which at 100 TB means re-reading the corpus once per consumer. The
 r13 session-2 finds were exactly this class: conversion_funnel at 5
 events scans, the composed rolling-quantile rollup at 3.
 
-Method: collect at the given SF, take executedPlan().toString(), cut
-at the "== Initial Plan ==" reprint, count FileScan-per-table. A
-query is REPORTED (not failed) when some table scans more than once —
-several multi-scans are inherent (self-join sides, TPC-H Q21's
-EXISTS branches, per-FK-edge pruned key scans) and carry a reasoned
-entry in the BASELINE dict below; anything NOT covered is new signal
-for the next round's plan work.
+Method (r14, closing the r13 materialization blind spot): build the
+query and collect it inside `plans.executed_scan_counts`, which sweeps
+the SQL status store for EVERY execution the call fired — the final
+collect AND the construction-time jobs (eager checkpoints, operator-
+internal model collects) that a final-plan-only audit could not see —
+and sums AQE-final FileScan-per-table across them. A query is
+REPORTED (not failed) when some table scans more than once — several
+multi-scans are inherent (self-join sides, TPC-H Q21's EXISTS
+branches, per-FK-edge pruned key scans, persist-fill + post-release
+passes) and carry a reasoned entry in the BASELINE below; anything
+NOT covered is new signal for the next round's plan work.
+
+Known overcount: a `.persist()`ed subtree reprints its FileScan in
+every consumer execution's plan description even though the cache
+serves the reads — entries for the persisting operators say so.
 
     python scripts/scan_audit.py [sf_dir] [query ...] [--json PATH]
 """
@@ -28,185 +36,241 @@ import os
 import re
 import sys
 import time
-from collections import Counter
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# table -> max expected executed scans, with the reason. Anything over
-# its entry (default 1) is flagged as NEW.
-BASELINE: dict[str, dict[str, tuple[int, str]]] = {
-    "dedup_jaccard_pairs": {
+# table -> max expected TOTAL executed scans across all of the query's
+# jobs, with the reason. Anything over its entry (default 1) is
+# flagged as NEW. Built from pairs with a duplicate-key guard: a dict
+# literal silently keeps the last duplicate (the r13 verdict's find —
+# two `customer_cohort_setops` entries, the first dead).
+_BASELINE_ITEMS: list[tuple[str, dict[str, tuple[int, str]]]] = [
+    ("dedup_jaccard_pairs", {
         "documents": (2, "self-join sides; materializing is corpus-sized")
-    },
-    "dedup_jaccard_collapsed": {
+    }),
+    ("dedup_jaccard_collapsed", {
         "documents": (3, "collapse consumed by both self-join sides")
-    },
-    "dedup_overlap_pairs": {
+    }),
+    ("dedup_overlap_pairs", {
         "documents": (3, "same self-join shape as the jaccard family")
-    },
-    "dedup_fuzzy_pairs": {
+    }),
+    ("dedup_fuzzy_pairs", {
         "documents": (3, "length-banded self-join sides")
-    },
-    "also_bought_pairs": {
+    }),
+    ("also_bought_pairs", {
         "orders": (2, "pair self-join sides over the basket relation")
-    },
-    "pairs_via_hof": {
+    }),
+    ("pairs_via_hof", {
         "orders": (2, "twin of also_bought_pairs")
-    },
-    "waiting_supplier": {
+    }),
+    ("waiting_supplier", {
         "lineitem": (3, "TPC-H Q21 EXISTS / NOT EXISTS branches"),
         "orders": (2, "status filter branch + count branch"),
-    },
-    "referential_integrity_audit": {
+    }),
+    ("referential_integrity_audit", {
         "lineitem": (3, "one pruned key-column scan per FK edge"),
         "orders": (3, "parent for lineitem + child for customer + count"),
         "customer": (2, "parent key + child count"),
         "part": (2, "parent key + child count"),
         "supplier": (2, "parent key + child count"),
         "events": (2, "user-FK child + count"),
-    },
-    "engagement_vs_spend": {
+    }),
+    ("engagement_vs_spend", {
         "events": (2, "sessions and engagement branches prune differently"),
         "orders": (2, "spend branch + buyer-flag branch"),
-    },
-    "engagement_spend_correlation": {
+    }),
+    ("engagement_spend_correlation", {
         "events": (2, "same two event branches as engagement_vs_spend"),
         "orders": (2, "same two order branches"),
-    },
-    "customer_cohort_setops": {
-        "orders": (2, "the two cohort sides of the set algebra"),
-        "customer": (2, "each cohort side joins the dim"),
-    },
-    "customers_without_orders": {
+    }),
+    ("customer_cohort_setops", {
+        "orders": (2, "one scan per disjoint year filter; the distinct "
+                      "buyer lists are checkpointed before the set "
+                      "algebra (r14 fix — was 5: each INTERSECT/EXCEPT "
+                      "branch re-read a year-filtered key list)"),
+    }),
+    ("customers_without_orders", {
         "orders": (2, "anti-join probe + count branch")
-    },
-    "doc_lm_perplexity": {
-        "documents": (4, "vocab fit, bigram agg, scoring pass, doc-id "
-                         "list; AQE reuses the rest (BENCH_COUNTER r13)")
-    },
-    "corpus_bpe_merges": {
+    }),
+    ("doc_lm_perplexity", {
+        "documents": (5, "vocab fit, bigram agg, scoring pass, doc-id "
+                         "list (AQE reuses the rest — BENCH_COUNTER "
+                         "r13) + the construction-time vocab COLLECT "
+                         "execution the r14 all-executions sweep made "
+                         "visible; fit+score is inherently multi-pass "
+                         "and caching the tokenized corpus would be "
+                         "corpus-sized")
+    }),
+    ("corpus_bpe_merges", {
         "documents": (2, "word-count base + the encode-side rescan")
-    },
-    "corpus_bpe_encode": {
+    }),
+    ("corpus_bpe_encode", {
         "documents": (2, "encode fold + the ordered output projection")
-    },
+    }),
     # --- triaged r13 session 2 (first full-registry run) ---
-    "lineitem_profile": {
+    ("lineitem_profile", {
         "lineitem": (12, "the documented profile design: one stats scan "
                          "+ one PRUNED single-column scan per profiled "
                          "column beats a multi-distinct Expand")
-    },
-    "orders_profile_drift": {
+    }),
+    ("orders_profile_drift", {
         "orders": (12, "lineitem_profile's design over both drift zones")
-    },
-    "customer_cohort_setops": {
-        "orders": (6, "set-algebra capability demo (§2.8): each "
-                      "INTERSECT/EXCEPT branch re-reads a pruned "
-                      "year-filtered key list; r14 candidate: "
-                      "checkpoint the two year lists")
-    },
-    "nation_market_share": {
+    }),
+    ("nation_market_share", {
         "nation": (2, "25-row dim joined on customer and supplier sides")
-    },
-    "purchase_last_click": {
+    }),
+    ("purchase_last_click", {
         "events": (2, "purchases and clicks carry DISJOINT pushed "
                       "event_type filters — a union scan reads the "
                       "same bytes")
-    },
-    "purchase_last_click_matched": {
+    }),
+    ("purchase_last_click_matched", {
         "events": (2, "same disjoint purchase/click branches")
-    },
-    "weekly_retention": {
-        "events": (2, "first-seen and activity aggregates prune "
-                      "differently; r14 candidate: cohort via window "
-                      "over the distinct-activity relation")
-    },
-    "clicks_before_purchase": {
-        "events": (3, "purchase side consumed twice (interval join + "
-                      "zero-click re-attach) + the click side; r14 "
-                      "candidate: checkpoint the purchase subset")
-    },
-    "events_gap_filled_hourly": {
+    }),
+    # weekly_retention: no entry — r14 rewrote the cohort aggregate
+    # as a MIN window over the distinct-activity relation (was 2
+    # events scans; now the default 1).
+    ("clicks_before_purchase", {
+        "events": (2, "disjoint purchase/click pushed filters; the "
+                      "doubly-consumed purchase subset is checkpointed "
+                      "(r14 fix — was 3)")
+    }),
+    ("events_gap_filled_hourly", {
         "events": (2, "hour-spine min/max (footer-stats cheap) + the "
                       "hourly aggregate")
-    },
-    "segment_value_psi": {
+    }),
+    ("segment_value_psi", {
         "events": (2, "reference vs current period, disjoint date "
                       "filters")
-    },
-    "customer_spend_deciles": {
+    }),
+    ("customer_spend_deciles", {
         "orders": (2, "two-level global-rank scheme (operators/"
                       "ranks.py): rank-count pass + ranking pass")
-    },
-    "order_price_quantiles_approx": {
+    }),
+    ("order_price_quantiles_approx", {
         "orders": (2, "exact envelope + sketch — the acceptance-check "
                       "design")
-    },
-    "dormant_high_value_customers": {
+    }),
+    ("dormant_high_value_customers", {
         "customer": (2, "high-value and dormant cohort branches")
-    },
-    "small_order_revenue": {
+    }),
+    ("small_order_revenue", {
         "lineitem": (2, "TPC-H Q17's correlated avg-quantity subquery")
-    },
-    "top_supplier_by_revenue": {
+    }),
+    ("top_supplier_by_revenue", {
         "lineitem": (2, "TPC-H Q15's max-revenue subquery")
-    },
-    "knn_bruteforce": {
+    }),
+    ("knn_bruteforce", {
         "embeddings": (2, "query-set and corpus sides of the cosine "
                           "join read the same table")
-    },
-    "media_feature_knn": {
+    }),
+    ("media_feature_knn", {
         "documents": (2, "query/corpus sides of the feature kNN")
-    },
-    "embedding_near_dup": {
+    }),
+    ("embedding_near_dup", {
         "embeddings": (3, "bucket fit + both self-join sides")
-    },
-    "ann_ivf": {
+    }),
+    ("ann_ivf", {
         "embeddings": (3, "centroid-fit pass + assignment + query probe")
-    },
-    "ann_hyperplane_lsh": {
+    }),
+    ("ann_hyperplane_lsh", {
         "embeddings": (3, "plane fit + bucket assignment + query probe")
-    },
-    "embedding_scalar_quantize": {
+    }),
+    ("embedding_scalar_quantize", {
         "embeddings": (2, "min/max fit pass + the quantize pass")
-    },
-    "doc_ngram_contamination": {
+    }),
+    ("doc_ngram_contamination", {
         "documents": (2, "train vs eval split, disjoint filters")
-    },
-    "doc_top_keywords": {
-        "documents": (3, "tf, df, and N aggregates; r14 candidate: "
-                         "N via window over the df relation")
-    },
-    "corpus_mix_plan": {
+    }),
+    ("doc_top_keywords", {
+        "documents": (2, "token explode + the zero-column n_docs "
+                         "count (footer-stats class); df rides a "
+                         "window now, not a re-aggregated subtree "
+                         "(r14 fix — was 3)")
+    }),
+    ("corpus_mix_plan", {
         "documents": (2, "per-source stats + corpus totals")
-    },
-    "corpus_curation_report": {
-        "documents": (4, "the capstone UNIONs four report sections, "
-                         "each its own pruned aggregate")
-    },
-    "frequent_items_mg": {
+    }),
+    ("frequent_items_mg", {
         "documents": (4, "acceptance judge: exact aggregate + total + "
                          "sketch, consumed by two acceptance branches; "
                          "the exact side exists only to GRADE the "
                          "sketch — production is the sketch alone")
-    },
-    "join_size_cms": {
+    }),
+    ("join_size_cms", {
         "orders": (2, "CMS build + the exact join-size envelope the "
                       "acceptance grade needs"),
         "lineitem": (2, "same per-side build + envelope"),
-    },
-    "bloom_pruned_revenue": {
+    }),
+    ("bloom_pruned_revenue", {
         "orders": (2, "p90 cutoff quantile + the bloom build — both "
                       "on the build side")
-    },
-    "user_freq_cms": {
+    }),
+    ("user_freq_cms", {
         "events": (2, "sketch build + the distinct-key probe relation")
-    },
-    "dedup_incremental": {
+    }),
+    ("dedup_incremental", {
         "documents": (2, "old-zone vs new-batch split, disjoint "
                          "filters")
-    },
-}
+    }),
+    # --- entries below exist only under the r14 all-executions sweep
+    #     (construction-time jobs were invisible to the r13 audit) ---
+    ("conversion_funnel", {
+        "events": (3, "one pushed-filter scan per funnel stage, each "
+                      "inside its frontier checkpoint (the r13 fix's "
+                      "contract; was 5 un-materialized)")
+    }),
+    ("embedding_kmeans", {
+        "embeddings": (2, "persist-fill on the seed collect + the "
+                          "post-release final assignment; Lloyd's "
+                          "rounds read the cache (plan reprints of "
+                          "the cached subtree may overcount)")
+    }),
+    ("doc_weighted_sample", {
+        "documents": (2, "the checkpointed race frame + the winner "
+                         "join-back (r13 fix's contract)")
+    }),
+    ("doc_dedup_survivors", {
+        "documents": (2, "LSH candidate build + the survivor "
+                         "anti-join re-attach of the full collection")
+    }),
+    ("dedup_semantic_clusters", {
+        "embeddings": (3, "embedding_near_dup's bucket-fit + both "
+                          "self-join sides, composed; the component "
+                          "loop itself runs on checkpointed pairs")
+    }),
+    ("corpus_curation_report", {
+        "documents": (5, "four report sections, each a different "
+                         "doc-level feature derivation, the survivors "
+                         "section itself two scans (LSH build + "
+                         "anti-join re-attach); r15 candidate: one "
+                         "feature pass — project text once into "
+                         "(quality, lang, minhash sig, strat key), "
+                         "checkpoint the doc-cardinality feature "
+                         "frame, run gates + LSH + components off it "
+                         "(documents scans 5 → 1)")
+    }),
+    ("zone_roundtrip_daily", {
+        "events": (3, "footer-cheap max-day probe + bulk load + the "
+                      "checkpointed upsert delta (r14 fix — was 5: "
+                      "the merge consumed the un-materialized delta "
+                      "three times)"),
+        "_nontable": (3, "the write path's own reads: existing-zone "
+                         "merge, staging re-read, final zone "
+                         "read-back — delta-bounded, never "
+                         "corpus-sized"),
+    }),
+]
+
+
+BASELINE: dict[str, dict[str, tuple[int, str]]] = {}
+for _name, _entry in _BASELINE_ITEMS:
+    if _name in BASELINE:
+        raise AssertionError(
+            f"duplicate BASELINE entry for {_name!r} — merge them "
+            "(a dict literal would silently drop the first)"
+        )
+    BASELINE[_name] = _entry
 
 
 def main() -> int:
@@ -229,14 +293,28 @@ def main() -> int:
         return 2
     names = [n for n in sorted(specs) if not only or n in only]
 
-    spark = get_session(app_name="scan-audit")
+    from big_data_analytics_final_project_spark.plans import (
+        executed_scan_counts,
+    )
+
+    spark = get_session(
+        app_name="scan-audit",
+        # one audit run fires hundreds of executions; don't let the
+        # status store evict entries mid-sweep
+        extra_conf={"spark.sql.ui.retainedExecutions": "5000"},
+    )
     t0 = time.time()
     report: dict[str, dict] = {}
     new_flags: list[str] = []
     for name in names:
         try:
-            df = specs[name].fn(spark, sf_dir)
-            df.collect()
+
+            def _run(_name=name):
+                df = specs[_name].fn(spark, sf_dir)
+                df.collect()
+                return df
+
+            df, tables = executed_scan_counts(spark, _run)
             plan = (
                 df._jdf.queryExecution()
                 .executedPlan()
@@ -248,11 +326,6 @@ def main() -> int:
             new_flags.append(name)
             print(f"ERR   {name}")
             continue
-        tables: Counter[str] = Counter()
-        for line in plan.splitlines():
-            if "FileScan parquet" in line:
-                m = re.search(r"(\w+)\.parquet", line)
-                tables[m.group(1) if m else "?"] += 1
         reused = len(re.findall(r"ReusedExchange", plan))
         over = {
             t: c

@@ -647,3 +647,155 @@ def test_conversion_funnel_scans_log_once_per_stage(spark):
     # identical relation either way (the lazy twin is what the plan
     # tooling and the DuckDB oracle see)
     assert lazy.collect() == out.collect()
+
+
+def test_cohort_setops_scans_orders_twice_total(spark):
+    """r14 rescan drain: the three INTERSECT/EXCEPT branches each
+    consumed both year key-lists, and per-branch specialization
+    defeated exchange reuse — the r13 scan audit measured FIVE orders
+    scans. Pin the materialized contract: the distinct year lists are
+    checkpointed (one orders scan per disjoint year filter, two
+    total), the result plan reads no parquet, and the list blocks are
+    freed. The lazy twin must stay row-identical — the checkpoint is
+    a physical re-plan, not a re-definition."""
+    from big_data_analytics_final_project_spark.operators.checkpoints import (
+        lazy_results,
+    )
+    from big_data_analytics_final_project_spark.plans import (
+        executed_scan_counts,
+    )
+    from big_data_analytics_final_project_spark.queries.batch import (
+        customer_cohort_setops,
+    )
+
+    from .conftest import SF_SMOKE, require_classic
+
+    require_classic(spark)
+    spark.catalog.clearCache()
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    def _run():
+        df = customer_cohort_setops(spark, SF_SMOKE)
+        df.collect()
+        return df
+
+    out, scans = executed_scan_counts(spark, _run)
+    assert scans == {"orders": 2}, dict(scans)
+    plan = (
+        out._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "Scan parquet" not in plan, plan
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert after - before <= 1  # year lists freed, result kept
+    with lazy_results():
+        lazy = customer_cohort_setops(spark, SF_SMOKE)
+    assert lazy.collect() == out.collect()
+
+
+def test_clicks_before_purchase_scans_events_twice_total(spark):
+    """r14 rescan drain: the purchase subset is doubly consumed
+    (interval-join probe + zero-click left-join re-attach); without
+    the checkpoint the executed plan read events three times. Pin:
+    two events scans total (disjoint purchase/click pushed filters),
+    lazy twin row-identical."""
+    from big_data_analytics_final_project_spark.operators.checkpoints import (
+        lazy_results,
+    )
+    from big_data_analytics_final_project_spark.plans import (
+        executed_scan_counts,
+    )
+    from big_data_analytics_final_project_spark.queries.windows import (
+        clicks_before_purchase,
+    )
+
+    from .conftest import SF_SMOKE, require_classic
+
+    require_classic(spark)
+    spark.catalog.clearCache()
+
+    def _run():
+        df = clicks_before_purchase(spark, SF_SMOKE)
+        df.collect()
+        return df
+
+    out, scans = executed_scan_counts(spark, _run)
+    assert scans == {"events": 2}, dict(scans)
+    with lazy_results():
+        lazy = clicks_before_purchase(spark, SF_SMOKE)
+    assert lazy.collect() == out.collect()
+
+
+def test_weekly_retention_single_events_scan(spark):
+    """r14 rescan drain: the cohort week rides a MIN window over the
+    distinct-activity relation (min over distinct user-weeks == min
+    over all events per user), so the two-aggregate form's second
+    events scan is gone — declaratively, no checkpoint needed."""
+    df = _df(spark, "weekly_retention")
+    assert count_scans(df) == 1
+
+
+def test_doc_top_keywords_two_documents_scans(spark):
+    """r14 rescan drain: per-term df is a count window over the
+    (doc, term) aggregate instead of a joined-back re-aggregation of
+    the same subtree — documents scans drop 3 → 2 (token explode +
+    the zero-column n_docs count)."""
+    df = _df(spark, "doc_top_keywords")
+    assert count_scans(df) == 2
+
+
+def test_executed_scan_counts_sees_checkpoint_stages(spark):
+    """The audit helper itself: a final-plan-only audit reports ZERO
+    scans for conversion_funnel (every fact scan happens inside the
+    frontier checkpoints — the r13 blind spot); the all-executions
+    sweep must see exactly one events scan per funnel stage."""
+    from big_data_analytics_final_project_spark.plans import (
+        executed_scan_counts,
+    )
+    from big_data_analytics_final_project_spark.queries.integrated import (
+        conversion_funnel,
+    )
+
+    from .conftest import SF_SMOKE, require_classic
+
+    require_classic(spark)
+    spark.catalog.clearCache()
+
+    def _run():
+        df = conversion_funnel(spark, SF_SMOKE)
+        df.collect()
+        return df
+
+    _, scans = executed_scan_counts(spark, _run)
+    assert scans == {"events": 3}, dict(scans)
+
+
+def test_executed_scan_counts_cache_fill_counted_once(spark):
+    """A persisted subtree's parquet read must count exactly once (the
+    fill) even though every consumer execution reprints the cache's
+    recipe — and must not be dropped entirely (the naive fix of
+    skipping InMemoryRelation subtrees undercounted the fill)."""
+    from big_data_analytics_final_project_spark.plans import (
+        executed_scan_counts,
+    )
+    from big_data_analytics_final_project_spark.sources import load_table
+
+    from .conftest import SF_SMOKE, require_classic
+
+    require_classic(spark)
+    spark.catalog.clearCache()
+
+    def _run():
+        base = load_table(spark, SF_SMOKE, "nation").persist()
+        try:
+            base.count()          # fills the cache (1 parquet read)
+            base.groupBy("n_regionkey").count().collect()  # cache hit
+            base.select("n_name").collect()                # cache hit
+        finally:
+            base.unpersist()
+        return None
+
+    _, scans = executed_scan_counts(spark, _run)
+    assert scans == {"nation": 1}, dict(scans)
