@@ -7,13 +7,19 @@ end-to-end run a training-data team would actually execute:
     (marker-token ID) → deterministic stratified sampling → final
     per-(lang, source) corpus report.
 
-Composition is by JOINING the existing queries' outputs on doc_id —
-each stage keeps its own tested semantics, and the DuckDB twin chains
-the same stages as CTEs (the recursive-closure block is shared with
-`doc_dedup_survivors`). At 100 TB every stage is the already-audited
-scale shape: the dedup labels side is candidate-sized (broadcastable
-anti-join), the text gates are single-scan projections, the sample is
-a pushed hash predicate, and the report is one small aggregation.
+Every doc-level feature (quality score, language prediction, sample
+membership, MinHash signature) is computed in ONE projection over ONE
+corpus scan and checkpointed as a doc-cardinality feature frame — the
+way a production pipeline amortizes the text pass — while each stage's
+SEMANTICS stay pinned to its standalone registered query by the DuckDB
+twin, which chains the stage queries as CTEs verbatim (the
+recursive-closure block is shared with `doc_dedup_survivors`). At
+100 TB every stage is the already-audited scale shape: the dedup
+labels side is candidate-sized (broadcastable anti-join), the gates
+are filters over the checkpointed feature frame, the sample is a pure
+hash predicate, and the report is one small aggregation; only the
+exact-Jaccard verify re-reads the corpus (its shingle sets are
+corpus-sized — the dedup family's documented trade).
 """
 
 from __future__ import annotations
@@ -26,43 +32,214 @@ from pyspark.sql import functions as F
 from ..functions.numeric import exact_sum, exact_sum_sql
 from ..sources import load_table
 from . import QuerySpec
-from .dedup import doc_dedup_survivors_q
 from .text import (
     DOC_LANG_ID_SQL,
     DOC_QUALITY_SCORE_SQL,
     DOC_SAMPLE_STRATIFIED_SQL,
-    doc_lang_id,
-    doc_quality_score,
-    doc_sample_stratified,
 )
 
 QUALITY_GATE = 0.73  # ~median at sf0.01: keeps the gate non-trivial
 
 
-def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _seed_hash(seed: int):
+    """One-argument HOF lambda hashing a shingle under `seed` — a
+    default-arg lambda (``lambda t, s=seed: ...``) would present two
+    parameters and PySpark would bind the second to the ELEMENT INDEX
+    (the (element, index) HOF form), not the seed."""
+    return lambda t: F.md5(F.concat(F.lit(f"{seed}:"), t))
+
+
+def corpus_curation_report(
+    spark: SparkSession, sf_dir: str, materialize: bool | None = None
+) -> DataFrame:
     """Survivors ∩ quality ∩ language ∩ sample → per-(lang, source)
     doc counts and exact mean quality. The gates compare doubles that
     both engines compute from identical expressions, so the filter
     boundary is deterministic; the mean routes through the decimal
-    accumulator like every other measure."""
-    surv = doc_dedup_survivors_q(spark, sf_dir).select(
-        "doc_id", "lang", "source"
+    accumulator like every other measure.
+
+    Scale (r14 rewrite): the r13 form composed the four stage QUERIES
+    by joining their outputs, and each stage re-derived its features
+    from text — five documents scans in the executed plan (the r14
+    all-executions audit's find). This form computes every doc-level
+    feature in ONE projection over ONE corpus scan — quality score,
+    language prediction, the sample-membership hash flag, and the
+    MinHash signature (per-row array_min over the shingle HOFs: the
+    lexicographic min per seed is the same value the exploded groupBy
+    in operators/dedup.minhash_signatures produces, with no shuffle)
+    — and eagerly checkpoints the doc-cardinality feature frame
+    (scalars + N_BANDS band keys per doc; the corpus text stays on
+    disk). The LSH band self-join, the dedup gates, and the final
+    report all run off the checkpoint. Only the exact-Jaccard verify
+    re-attaches the shingle SETS (corpus-sized, never materialized —
+    the dedup family's documented trade), so the floor is three
+    documents scans: the feature pass + the two verify sides. Stage
+    semantics are pinned to their standalone queries (doc_quality_
+    score, doc_lang_id, doc_sample_stratified, doc_dedup_survivors)
+    by the shared DuckDB oracle, which still chains the stage CTEs
+    verbatim. `lazy_results()` keeps the declarative plan for
+    tooling."""
+    from ..functions.text import (
+        LANG_MARKERS,
+        alpha_ratio,
+        shingles3_from_tokens,
+        stopword_ratio,
+        tokens,
     )
-    quality = doc_quality_score(spark, sf_dir).select(
-        "doc_id", "quality_score"
+    from ..operators.checkpoints import (
+        resolve_materialize,
+        unpersist_local_checkpoint,
     )
-    langp = doc_lang_id(spark, sf_dir).select("doc_id", "lang_pred")
-    sampled = doc_sample_stratified(spark, sf_dir).select("doc_id")
-    kept = (
-        surv.join(quality, "doc_id")
-        .join(langp, "doc_id")
-        .join(sampled, "doc_id")
-        .filter(
-            (F.col("quality_score") >= QUALITY_GATE)
-            & (F.col("lang_pred") != "und")
+    from ..operators.components import connected_components
+    from ..operators.dedup import N_BANDS, N_SEEDS, _shingle_sets
+    from .dedup import MINHASH_THRESHOLD
+
+    mat = resolve_materialize(materialize)
+    docs = load_table(spark, sf_dir, "documents")
+
+    # ---- the ONE feature pass ----
+    # staging discipline (doc_repetition_stats / shingles3_from_tokens):
+    # toks and terms are bound as projection aliases before any lambda
+    # references them, else Catalyst re-inlines tokenization per element.
+    # Fan out narrow scans before the per-row md5 work, exactly like
+    # operators/dedup._shingle_sets.
+    n = spark.sparkContext.defaultParallelism
+    base = docs.select("doc_id", "lang", "source", "text")
+    if base.rdd.getNumPartitions() < n:
+        base = base.repartition(n, F.col("doc_id"))
+    staged = base.select(
+        "doc_id", "lang", "source", "text", tokens(F.col("text")).alias("toks")
+    )
+    with_terms = staged.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        "toks",
+        F.array_distinct(shingles3_from_tokens(F.col("toks"))).alias("terms"),
+    )
+    # quality — the exact expression doc_quality_score grades
+    n_tok = F.size(F.col("toks"))
+    length_score = F.when((n_tok >= 20) & (n_tok <= 5000), F.lit(1.0)).otherwise(
+        F.lit(0.5)
+    )
+    quality = (
+        length_score * 0.4
+        + alpha_ratio(F.col("text")) * 0.4
+        + stopword_ratio(F.col("text")) * 0.2
+    )
+    # language — doc_lang_id's marker argmax with the same struct
+    # tie-break (score desc, lexicographically largest lang)
+    toks_d = F.array_distinct(F.col("toks"))
+    lang_pairs = F.array(
+        *[
+            F.struct(
+                F.size(F.filter(toks_d, lambda x: x.isin(*marks))).alias(
+                    "score"
+                ),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, marks in LANG_MARKERS.items()
+        ]
+    )
+    best = F.array_max(lang_pairs)
+    lang_pred = (
+        F.when(best.getField("score") > 0, best.getField("lang"))
+        .otherwise(F.lit("und"))
+    )
+    # sample membership — doc_sample_stratified's pure hash predicate
+    u32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":sample"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    frac = F.when(F.col("lang") == "en", F.lit(0.5)).otherwise(F.lit(0.2))
+    keep_sample = u32 < frac * F.lit(4294967296.0)
+    # per-row MinHash: min over the doc's shingles per seed — value-
+    # identical to the exploded groupBy (min is min), shuffle-free
+    mh = [
+        F.array_min(
+            F.transform(
+                F.col("terms"),
+                _seed_hash(s),
+            )
+        ).alias(f"mh{s}")
+        for s in range(N_SEEDS)
+    ]
+    feat = with_terms.select(
+        "doc_id",
+        "lang",
+        "source",
+        quality.alias("quality_score"),
+        lang_pred.alias("lang_pred"),
+        keep_sample.alias("keep_sample"),
+        *mh,
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        "quality_score",
+        "lang_pred",
+        "keep_sample",
+        F.array(
+            *[
+                F.concat(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))
+                for b in range(N_BANDS)
+            ]
+        ).alias("bands"),
+    )
+    if mat:
+        feat = feat.localCheckpoint(eager=True)
+
+    # ---- LSH candidates off the checkpoint (zero corpus scans) ----
+    # a shingle-less doc has NULL band keys (the exploded-groupBy form
+    # simply omits it); the equi-join drops NULLs either way
+    bands_long = feat.select(
+        "doc_id", F.posexplode("bands").alias("band_idx", "band_key")
+    ).filter(F.col("band_key").isNotNull())
+    cands = (
+        bands_long.alias("a")
+        .join(bands_long.alias("b"), ["band_idx", "band_key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
+        .dropDuplicates()
     )
-    return (
+    # ---- exact-Jaccard verify: the two corpus-sized set attaches ----
+    sets = _shingle_sets(docs, "text", "doc_id")
+    sets_a = sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("terms").alias("terms_a")
+    )
+    sets_b = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("terms").alias("terms_b")
+    )
+    n_common = F.size(F.array_intersect(F.col("terms_a"), F.col("terms_b")))
+    pairs = (
+        cands.join(sets_a, "doc_a")
+        .join(sets_b, "doc_b")
+        .withColumn(
+            "jaccard",
+            n_common.cast("double")
+            / (F.size("terms_a") + F.size("terms_b") - n_common),
+        )
+        .filter(F.col("jaccard") >= MINHASH_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    labels = connected_components(pairs, "doc_a", "doc_b")
+    losers = labels.filter(F.col("node") != F.col("label")).select(
+        F.col("node").alias("doc_id")
+    )
+    kept = feat.join(losers, "doc_id", "left_anti").filter(
+        (F.col("quality_score") >= QUALITY_GATE)
+        & (F.col("lang_pred") != "und")
+        & F.col("keep_sample")
+    )
+    out = (
         kept.groupBy("lang", "source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -73,6 +250,10 @@ def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+    if mat:
+        out = out.localCheckpoint(eager=True)
+        unpersist_local_checkpoint(feat)
+    return out
 
 
 def _strip_order(sql: str) -> str:

@@ -240,15 +240,13 @@ _BASELINE_ITEMS: list[tuple[str, dict[str, tuple[int, str]]]] = [
                           "loop itself runs on checkpointed pairs")
     }),
     ("corpus_curation_report", {
-        "documents": (5, "four report sections, each a different "
-                         "doc-level feature derivation, the survivors "
-                         "section itself two scans (LSH build + "
-                         "anti-join re-attach); r15 candidate: one "
-                         "feature pass — project text once into "
-                         "(quality, lang, minhash sig, strat key), "
-                         "checkpoint the doc-cardinality feature "
-                         "frame, run gates + LSH + components off it "
-                         "(documents scans 5 → 1)")
+        "documents": (3, "one checkpointed feature pass (quality + "
+                         "lang + sample flag + minhash bands in a "
+                         "single projection — r14 rewrite; was 5: "
+                         "each composed stage re-derived its features "
+                         "from text) + the two exact-jaccard verify "
+                         "set sides, which ReusedExchange usually "
+                         "collapses to one (measured 2)")
     }),
     ("zone_roundtrip_daily", {
         "events": (3, "footer-cheap max-day probe + bulk load + the "

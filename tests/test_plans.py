@@ -799,3 +799,39 @@ def test_executed_scan_counts_cache_fill_counted_once(spark):
 
     _, scans = executed_scan_counts(spark, _run)
     assert scans == {"nation": 1}, dict(scans)
+
+
+def test_curation_capstone_one_feature_pass(spark):
+    """r14 rewrite: the capstone derives every doc-level feature in
+    one checkpointed pass; only the exact-jaccard verify re-attaches
+    the corpus-sized shingle sets (ReusedExchange usually collapses
+    its two sides). Pin ≤3 documents scans total (was 5 composed),
+    and the lazy twin row-identical — the feature pass is a physical
+    re-plan of the same staged semantics."""
+    from big_data_analytics_final_project_spark.operators.checkpoints import (
+        lazy_results,
+    )
+    from big_data_analytics_final_project_spark.plans import (
+        executed_scan_counts,
+    )
+    from big_data_analytics_final_project_spark.queries.curation import (
+        corpus_curation_report,
+    )
+
+    from .conftest import SF_SMOKE, require_classic
+
+    require_classic(spark)
+    spark.catalog.clearCache()
+
+    def _run():
+        df = corpus_curation_report(spark, SF_SMOKE)
+        df.collect()
+        return df
+
+    out, scans = executed_scan_counts(spark, _run)
+    assert set(scans) == {"documents"} and scans["documents"] <= 3, dict(
+        scans
+    )
+    with lazy_results():
+        lazy = corpus_curation_report(spark, SF_SMOKE)
+    assert lazy.collect() == out.collect()
