@@ -314,6 +314,10 @@ HEADLINE = [
     "corpus_bpe_encode",
     "customer_k_anonymity",
     "orders_profile_drift",
+    # added r14 (totals not comparable to BENCH_r13 on this line): the
+    # round's registration — per-source KMV bottom-k sketches folded
+    # map-side, the ≤k-row shuffle, and the pairwise overlap matrix
+    "corpus_overlap_kmv",
 ]
 
 
