@@ -357,10 +357,78 @@ ORDER BY user_id
 """
 
 
+def zone_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout (sinks.zorder_frame — the OPTIMIZE ZORDER BY
+    shape) under the oracle: lay a lineitem projection out as a
+    Morton-clustered zone on (l_shipdate, l_extendedprice), read it
+    back through a TWO-dimensional range predicate, and aggregate
+    revenue per return flag. The hash match against the same
+    aggregate computed directly on the source proves the rank →
+    interleave → range-partition → sort → write → read cycle loses,
+    duplicates, and retypes nothing; the pruning PAYOFF (a band
+    predicate on either single dimension touches a bounded fraction
+    of the files) is pinned separately by tests/test_plans.py's
+    z-order fixtures, because file-count pruning is a physical
+    property the value hash cannot see.
+
+    Scale: the layout pass is the two-level distributed ranking per z
+    column (operators/ranks.py — never a single-task window over the
+    zone being laid out), one range partitioning on the curve cell,
+    and a sorted write; the read-back is a plain pruned parquet scan.
+    At 100 TB this is the nightly OPTIMIZE job plus the dashboard
+    query it accelerates."""
+    from ..sinks import zorder_zone
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_extendedprice", "l_discount", "l_returnflag"
+    )
+    zone = _scratch_zone("zorder", sf_dir)
+    zorder_zone(li, zone, ["l_shipdate", "l_extendedprice"], num_files=16)
+    back = spark.read.parquet(zone)
+    lo = F.to_timestamp(F.lit("1995-01-01 00:00:00"))
+    hi = F.to_timestamp(F.lit("1996-01-01 00:00:00"))
+    return (
+        back.filter(
+            (F.col("l_shipdate") >= lo)
+            & (F.col("l_shipdate") < hi)
+            & (F.col("l_extendedprice") >= 20000.0)
+            & (F.col("l_extendedprice") <= 40000.0)
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ZONE_ZORDER_PRUNE_SQL = """
+SELECT l_returnflag,
+       count(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+  AND l_extendedprice BETWEEN 20000.0 AND 40000.0
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "zone_roundtrip_daily": QuerySpec(
         zone_roundtrip_daily, ZONE_ROUNDTRIP_DAILY_SQL
     ),
+    # r16 queue (the r15 slot is events_rolling_value_quantiles —
+    # COVERAGE.md; budget 1 registration/round): the z-order layout
+    # path under the oracle, authored + parity-tested r14 —
+    # "zone_zorder_prune": QuerySpec(
+    #     zone_zorder_prune, ZONE_ZORDER_PRUNE_SQL
+    # ),
     "events_jsonl_source_scan": QuerySpec(
         events_jsonl_source_scan, EVENTS_JSONL_SOURCE_SCAN_SQL
     ),

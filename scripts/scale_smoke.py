@@ -135,6 +135,9 @@ def main() -> int:
         corpus_overlap_kmv,
         doc_lm_perplexity,
     )
+    from big_data_analytics_final_project_spark.queries.maintenance import (
+        zone_zorder_prune,
+    )
     from big_data_analytics_final_project_spark.queries.windows import (
         join_size_cms,
     )
@@ -153,6 +156,7 @@ def main() -> int:
         "events_rolling_value_quantiles": QuerySpec(
             events_rolling_value_quantiles
         ),
+        "zone_zorder_prune": QuerySpec(zone_zorder_prune),
     }
     specs = {**all_queries(), **BENCH_VARIANTS, **unregistered}
     names = args.queries or HEADLINE

@@ -507,3 +507,32 @@ def test_orc_zone_roundtrip_matches_parquet(spark, tmp_root):
     assert got_orc == got_pq and len(got_orc) == 150
     with pytest.raises(ValueError):
         write_zone(df, f"{tmp_root}/zone_bad", format="avro")
+
+
+def test_zone_zorder_prune_matches_oracle(spark):
+    """The r16-queued graded surface at the registry bar: the z-order
+    write -> 2-D-band read-back -> aggregate cycle must hash-match the
+    same aggregate computed directly on the source at BOTH grading
+    scales, with every return flag present (non-degeneracy: a band
+    that selects nothing would grade an empty relation)."""
+    import duckdb
+
+    from big_data_analytics_final_project_spark.queries.maintenance import (
+        ZONE_ZORDER_PRUNE_SQL,
+        zone_zorder_prune,
+    )
+
+    from .conftest import SF_CORRECT, SF_SMOKE
+    from .parity import compare
+
+    for sf in (SF_SMOKE, SF_CORRECT):
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'"
+        )
+        res = zone_zorder_prune(spark, sf)
+        compare(res, con.sql(ZONE_ZORDER_PRUNE_SQL))
+        con.close()
+        rows = res.collect()
+        assert len(rows) == 3  # A, N, R all selected by the band
+        assert all(r["n_items"] > 0 and r["revenue"] > 0 for r in rows)
