@@ -1255,7 +1255,95 @@ ORDER BY item
 """
 
 
+def purchase_pit_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct dimension join — the feature-store
+    training-data-assembly shape: each purchase event picks up the
+    order-status SCD2 VERSION (customer_status_scd2) that was valid at
+    the event's own timestamp, never a later one. This is the
+    composition that prevents feature leakage when assembling labeled
+    training rows from a slowly-changing dimension: a model trained on
+    tomorrow's status for today's label is silently contaminated.
+
+    SCD2 intervals are contiguous per key (each valid_to is the next
+    valid_from; the last is open), so interval membership equals the
+    AS-OF rule "latest version with valid_from <= ts" — one user-keyed
+    union+window pass (operators/asof.py), no per-row interval probe,
+    no join fan-out. Versions sharing a valid_from date (two attribute
+    changes the same day) collapse to the highest version: the earlier
+    one's interval [d, d) is empty, so it was never observable at any
+    timestamp — the struct-max dedup encodes exactly that.
+
+    Scale: the dimension side is version-cardinality (bounded by the
+    order stream's change count), the event side streams through one
+    (user_id)-keyed shuffle shared with the as-of window; events whose
+    user has no order history keep NULL features (left semantics) —
+    at 100 TB this is the nightly label-join over the feature store."""
+    scd2 = customer_status_scd2(spark, sf_dir)
+    dim = (
+        scd2.groupBy("o_custkey", "valid_from")
+        .agg(
+            F.max(
+                F.struct("version", "o_orderstatus", "o_orderpriority")
+            ).alias("m")
+        )
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("valid_from").alias("ts"),
+            F.col("m.version").alias("status_version"),
+            F.col("m.o_orderstatus").alias("order_status"),
+            F.col("m.o_orderpriority").alias("order_priority"),
+        )
+    )
+    purchases = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select("user_id", "ts", "event_id")
+    out = asof_join(
+        purchases,
+        dim,
+        on=["user_id"],
+        ts_col="ts",
+        payload_cols=["status_version", "order_status", "order_priority"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_status_version").alias("status_version"),
+        F.col("asof_order_status").alias("order_status"),
+        F.col("asof_order_priority").alias("order_priority"),
+    ).orderBy("event_id")
+
+
+PURCHASE_PIT_ORDER_STATUS_SQL = f"""
+WITH scd2 AS (
+{CUSTOMER_STATUS_SCD2_SQL}
+),
+dim AS (
+  SELECT o_custkey AS user_id, valid_from AS ts,
+         max(version) AS status_version,
+         arg_max(o_orderstatus, version) AS order_status,
+         arg_max(o_orderpriority, version) AS order_priority
+  FROM scd2 GROUP BY o_custkey, valid_from
+),
+purchases AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts,
+       d.status_version, d.order_status, d.order_priority
+FROM purchases p ASOF LEFT JOIN dim d
+  ON p.user_id = d.user_id AND p.ts >= d.ts
+ORDER BY p.event_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    # r17 queue (r15 = events_rolling_value_quantiles, r16 =
+    # zone_zorder_prune — COVERAGE.md; budget 1 registration/round):
+    # the point-in-time SCD2 feature join, authored + parity-tested
+    # r14 (tests/test_scd2.py) —
+    # "purchase_pit_order_status": QuerySpec(
+    #     purchase_pit_order_status, PURCHASE_PIT_ORDER_STATUS_SQL
+    # ),
     "top_order_per_customer": QuerySpec(
         top_order_per_customer, TOP_ORDER_PER_CUSTOMER_SQL
     ),

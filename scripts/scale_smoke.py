@@ -140,6 +140,7 @@ def main() -> int:
     )
     from big_data_analytics_final_project_spark.queries.windows import (
         join_size_cms,
+        purchase_pit_order_status,
     )
 
     # authored-but-unregistered r12/r13 queue (COVERAGE.md) —
@@ -157,6 +158,7 @@ def main() -> int:
             events_rolling_value_quantiles
         ),
         "zone_zorder_prune": QuerySpec(zone_zorder_prune),
+        "purchase_pit_order_status": QuerySpec(purchase_pit_order_status),
     }
     specs = {**all_queries(), **BENCH_VARIANTS, **unregistered}
     names = args.queries or HEADLINE

@@ -136,3 +136,48 @@ def test_scd2_single_shuffle_for_the_heavy_pass(spark):
     )
     out = scd2_collapse(df, ["key"], "ts", ["attr"])
     assert count_shuffles(out) <= 2
+
+
+def test_purchase_pit_order_status_matches_oracle(spark):
+    """The r17-queued graded surface at the registry bar: the
+    as-of/SCD2 point-in-time join must hash-match DuckDB's native
+    ASOF LEFT JOIN over the same version CTE at BOTH grading scales,
+    with both matched and never-ordered (NULL-feature) purchases
+    present — a vacuous all-NULL or all-matched relation would grade
+    nothing."""
+    import duckdb
+
+    from big_data_analytics_final_project_spark.queries.windows import (
+        PURCHASE_PIT_ORDER_STATUS_SQL,
+        purchase_pit_order_status,
+    )
+
+    from .conftest import SF_CORRECT, SF_SMOKE
+    from .parity import compare
+
+    for sf in (SF_SMOKE, SF_CORRECT):
+        con = duckdb.connect()
+        for t in ("events", "orders"):
+            con.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'"
+            )
+        res = purchase_pit_order_status(spark, sf)
+        compare(res, con.sql(PURCHASE_PIT_ORDER_STATUS_SQL))
+        con.close()
+        rows = res.collect()
+        n_matched = sum(1 for r in rows if r["status_version"] is not None)
+        assert 0 < n_matched  # PIT matches exist
+        # leakage check on the Spark side: every attached version was
+        # valid AT OR BEFORE the event (the property the join exists
+        # to guarantee) — recompute valid_from per (user, version)
+        scd2 = {
+            (r["o_custkey"], r["version"]): r["valid_from"]
+            for r in __import__(
+                "big_data_analytics_final_project_spark.queries.windows",
+                fromlist=["customer_status_scd2"],
+            ).customer_status_scd2(spark, sf).collect()
+        }
+        for r in rows:
+            if r["status_version"] is not None:
+                vf = scd2[(r["user_id"], r["status_version"])]
+                assert vf <= r["ts"], (r, vf)
