@@ -72,9 +72,17 @@ def count_broadcast_hints(df: DataFrame) -> int:
     return len(re.findall(r"ResolvedHint \(strategy=broadcast\)", analyzed))
 
 
-def executed_scan_counts(spark, run):
+def executed_scan_counts(spark, run, extras=None):
     """Per-table parquet FileScan counts across EVERY SQL execution
     fired by ``run()`` — construction-time materializations included.
+
+    ``extras``, if a dict, additionally receives exact EXECUTED node
+    counts summed the same dedup-safe way (AQE-final trees only,
+    cached recipes once): ``shuffles`` (Exchange nodes — the count
+    PLANS.md's static census can't see inside checkpoint stages) and
+    ``broadcasts`` (BroadcastExchange nodes). Informational trend
+    data — no baselines; the per-operator shuffle bounds live in
+    tests/test_plans.py.
 
     The final DataFrame's executed plan is blind to work done while
     the query was BUILT: under the eager-checkpoint idiom
@@ -109,18 +117,26 @@ def executed_scan_counts(spark, run):
 
         _t.sleep(1.0)
     tables: Counter[str] = Counter()
+    xch: Counter[str] = Counter()
     seen_recipes: set[str] = set()
     lst = store.executionsList()
     for i in range(lst.size()):
         e = lst.apply(i)
         if e.executionId() in before:
             continue
-        direct, recipes = _desc_scan_tables(e.physicalPlanDescription())
+        direct, d_xch, recipes = _desc_scan_tables(
+            e.physicalPlanDescription()
+        )
         tables.update(direct)
-        for fp, rtables in recipes.items():
-            if fp not in seen_recipes:  # the cache fill — reads once
+        xch.update(d_xch)
+        for fp, (rtables, r_xch) in recipes.items():
+            if fp not in seen_recipes:  # the cache fill — runs once
                 seen_recipes.add(fp)
                 tables.update(rtables)
+                xch.update(r_xch)
+    if extras is not None:
+        extras["shuffles"] = xch["shuffle"]
+        extras["broadcasts"] = xch["broadcast"]
     return result, tables
 
 
@@ -129,7 +145,7 @@ def _desc_scan_tables(desc: str):
     a tree section with ``Scan parquet (n)`` nodes and a detail
     section mapping ``(n) Scan parquet`` to its Location).
 
-    Returns ``(direct, recipes)``:
+    Returns ``(direct, direct_xch, recipes)``:
 
     - ``direct``: Counter of tables scanned by the execution itself —
       scan nodes in the AQE-FINAL tree (the ``== Initial Plan ==``
@@ -137,12 +153,17 @@ def _desc_scan_tables(desc: str):
       ReusedQueryStage/ReusedExchange is not re-printed there, so
       runtime-reused scans are naturally excluded), EXCLUDING nodes
       nested under an ``InMemoryRelation``.
-    - ``recipes``: normalized-fingerprint -> Counter of tables for
-      each ``InMemoryRelation`` subtree. That subtree is the cache's
-      recipe, reprinted in EVERY consumer's plan; the parquet read
-      happens exactly once — whichever execution fills the cache — so
-      the caller counts each distinct recipe once across the query's
-      executions.
+    - ``direct_xch``: Counter with keys ``shuffle`` / ``broadcast`` —
+      executed Exchange / BroadcastExchange nodes under the same
+      exclusion rules (ShuffleQueryStage/AQEShuffleRead wrappers and
+      ReusedExchange references are not counted; each physical
+      exchange prints exactly one ``Exchange`` node).
+    - ``recipes``: normalized-fingerprint -> (tables, xch) per
+      ``InMemoryRelation`` subtree. That subtree is the cache's
+      recipe, reprinted in EVERY consumer's plan; its reads and
+      exchanges run exactly once — whichever execution fills the
+      cache — so the caller counts each distinct recipe once across
+      the query's executions.
 
     The detail section (which lives BELOW the initial-plan reprint,
     so it is parsed from the full text) resolves each node id to its
@@ -160,9 +181,16 @@ def _desc_scan_tables(desc: str):
         # suffixes that would make baselines unstable
         id_to_table[m.group(1)] = loc.group(1) if loc else "_nontable"
 
+    def _tally_exchange(name: str, ctr: "Counter[str]") -> None:
+        if name.startswith("BroadcastExchange"):
+            ctr["broadcast"] += 1
+        elif name.startswith("Exchange"):
+            ctr["shuffle"] += 1
+
     tree = desc.split("== Initial Plan ==")[0]
     direct: Counter[str] = Counter()
-    recipes: dict[str, Counter[str]] = {}
+    direct_xch: Counter[str] = Counter()
+    recipes: dict[str, tuple[Counter[str], Counter[str]]] = {}
     recipe_depth: int | None = None
     recipe_lines: list[str] = []
 
@@ -175,10 +203,13 @@ def _desc_scan_tables(desc: str):
         body = "\n".join(recipe_lines)
         fp = re.sub(r"\(\d+\)|#\d+|Statistics\([^)]*\)", "", body)
         rt: Counter[str] = Counter()
+        rx: Counter[str] = Counter()
         for sm in re.finditer(r"Scan parquet[^(\n]*\((\d+)\)", body):
             rt[id_to_table.get(sm.group(1), "?")] += 1
-        if rt:
-            recipes.setdefault(fp, rt)
+        for ln in recipe_lines:
+            _tally_exchange(ln, rx)
+        if rt or rx:
+            recipes.setdefault(fp, (rt, rx))
         recipe_depth, recipe_lines = None, []
 
     for line in tree.splitlines():
@@ -199,8 +230,9 @@ def _desc_scan_tables(desc: str):
         sm = re.match(r"Scan parquet[^(\n]*\((\d+)\)", name)
         if sm:
             direct[id_to_table.get(sm.group(1), "?")] += 1
+        _tally_exchange(name, direct_xch)
     _close_recipe()
-    return direct, recipes
+    return direct, direct_xch, recipes
 
 
 # Back-compat alias (previous name counted raw substring occurrences).

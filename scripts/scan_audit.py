@@ -305,6 +305,7 @@ def main() -> int:
     report: dict[str, dict] = {}
     new_flags: list[str] = []
     for name in names:
+        extras: dict = {}
         try:
 
             def _run(_name=name):
@@ -312,7 +313,7 @@ def main() -> int:
                 df.collect()
                 return df
 
-            df, tables = executed_scan_counts(spark, _run)
+            df, tables = executed_scan_counts(spark, _run, extras=extras)
             plan = (
                 df._jdf.queryExecution()
                 .executedPlan()
@@ -332,6 +333,12 @@ def main() -> int:
         }
         report[name] = {
             "scans": dict(tables),
+            # executed exchange nodes across ALL the query's jobs —
+            # trend data (round-over-round shuffle-count drift on a
+            # rewrite shows here even when scans stay flat); the
+            # per-operator shuffle BOUNDS live in tests/test_plans.py
+            "shuffles": extras.get("shuffles", 0),
+            "broadcasts": extras.get("broadcasts", 0),
             "reused_exchanges": reused,
             "over_baseline": over,
         }
