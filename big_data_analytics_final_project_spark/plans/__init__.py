@@ -119,16 +119,18 @@ def executed_scan_counts(spark, run, extras=None):
     tables: Counter[str] = Counter()
     xch: Counter[str] = Counter()
     seen_recipes: set[str] = set()
+    all_flags: set[str] = set()
     lst = store.executionsList()
     for i in range(lst.size()):
         e = lst.apply(i)
         if e.executionId() in before:
             continue
-        direct, d_xch, recipes = _desc_scan_tables(
+        direct, d_xch, recipes, flags = _desc_scan_tables(
             e.physicalPlanDescription()
         )
         tables.update(direct)
         xch.update(d_xch)
+        all_flags.update(flags)
         for fp, (rtables, r_xch) in recipes.items():
             if fp not in seen_recipes:  # the cache fill — runs once
                 seen_recipes.add(fp)
@@ -137,6 +139,8 @@ def executed_scan_counts(spark, run, extras=None):
     if extras is not None:
         extras["shuffles"] = xch["shuffle"]
         extras["broadcasts"] = xch["broadcast"]
+        if all_flags:
+            extras["parse_flags"] = sorted(all_flags)
     return result, tables
 
 
@@ -145,7 +149,7 @@ def _desc_scan_tables(desc: str):
     a tree section with ``Scan parquet (n)`` nodes and a detail
     section mapping ``(n) Scan parquet`` to its Location).
 
-    Returns ``(direct, direct_xch, recipes)``:
+    Returns ``(direct, direct_xch, recipes, flags)``:
 
     - ``direct``: Counter of tables scanned by the execution itself —
       scan nodes in the AQE-FINAL tree (the ``== Initial Plan ==``
@@ -163,7 +167,13 @@ def _desc_scan_tables(desc: str):
       recipe, reprinted in EVERY consumer's plan; its reads and
       exchanges run exactly once — whichever execution fills the
       cache — so the caller counts each distinct recipe once across
-      the query's executions.
+      the query's executions. Known limit: a frame UNPERSISTED and
+      RE-persisted with a structurally identical plan fingerprints
+      the same and its refill is counted once — none of the engine's
+      iterative operators do that (kmeans re-derives from literal
+      centroids; components/pagerank persist loop-invariants ONCE and
+      iterate on checkpoints), and a future one should persist
+      distinct stages, not churn one cache.
 
     The detail section (which lives BELOW the initial-plan reprint,
     so it is parsed from the full text) resolves each node id to its
@@ -174,12 +184,25 @@ def _desc_scan_tables(desc: str):
     for m in re.finditer(
         r"^\((\d+)\) Scan parquet", desc, flags=re.M
     ):
-        window = desc[m.end() : m.end() + 600]
-        loc = re.search(r"Location:.*?(\w+)\.parquet", window)
+        # search the scan's WHOLE detail block (up to the next node
+        # header), not a fixed char window — a wide Output column
+        # list must not push the Location line out of reach — and
+        # attribute by the path's LAST segment, not the first
+        # '.parquet' substring anywhere in it (r14 self-review #3)
+        rest = desc[m.end() :]
+        nxt = re.search(r"^\(\d+\) ", rest, flags=re.M)
+        block = rest[: nxt.start()] if nxt else rest
+        loc = re.search(r"Location:[^\[\n]*\[([^\]\n]*)", block)
+        table = "_nontable"
+        if loc:
+            first_path = loc.group(1).split(",")[0].strip()
+            base = first_path.rstrip("/").rsplit("/", 1)[-1]
+            if base.endswith(".parquet"):
+                table = base[: -len(".parquet")]
         # scans of non-table paths (scratch zones, staging dirs) are
         # grouped under one label — their paths carry run-specific
         # suffixes that would make baselines unstable
-        id_to_table[m.group(1)] = loc.group(1) if loc else "_nontable"
+        id_to_table[m.group(1)] = table
 
     def _tally_exchange(name: str, ctr: "Counter[str]") -> None:
         if name.startswith("BroadcastExchange"):
@@ -187,52 +210,113 @@ def _desc_scan_tables(desc: str):
         elif name.startswith("Exchange"):
             ctr["shuffle"] += 1
 
-    tree = desc.split("== Initial Plan ==")[0]
     direct: Counter[str] = Counter()
     direct_xch: Counter[str] = Counter()
     recipes: dict[str, tuple[Counter[str], Counter[str]]] = {}
-    recipe_depth: int | None = None
-    recipe_lines: list[str] = []
+    # A description holds SEVERAL executed trees — the main plan,
+    # then the main DETAIL section, then one "Subquery:N ..." tree +
+    # detail section per subquery — and both ``== Initial Plan ==``
+    # reprints and ``InMemoryRelation`` cache recipes appear as
+    # indented subtrees. The walk is a depth-stack over the TREE
+    # regions:
+    #
+    # - an Initial-Plan marker at depth d skips lines at depth >= d
+    #   (its children print AT the marker's depth) until a REAL line
+    #   strictly shallower — those nodes did not execute;
+    # - an InMemoryRelation at depth d opens a recipe capturing its
+    #   subtree, EXCLUDING nested Initial subtrees and nested
+    #   recipes; a closed child recipe folds its fingerprint into the
+    #   parent's body, so same-shaped per-iteration caches with
+    #   different chain depths fingerprint apart while reprints of
+    #   one cache in later executions still collapse;
+    # - a node-detail header ("(n) Name" at column 0) enters detail
+    #   mode — detail bodies REPRINT cached plans and must not be
+    #   walked — until the next column-0 "Subquery:" tree header;
+    #   a header hosting a ReusedSubquery stays in detail mode (its
+    #   tree is a reprint of an already-counted subquery);
+    # - PATHOLOGY STOP: deep cache chains (persisted frames built on
+    #   persisted frames — part_pagerank, part_triangle_count) make
+    #   the printer OUTDENT a nested adaptive cached plan's Final /
+    #   Initial markers past their context, which no indentation
+    #   walk can scope. On a marker strictly shallower than the
+    #   enclosing skip/recipe, parsing of this description STOPS and
+    #   the counts so far return with the ``nested_adaptive`` flag —
+    #   conservative and deterministic (same plan text → same count),
+    #   never silently wrong. Ground truth for the two known cases is
+    #   byte-counter-measured and recorded in their audit baselines.
+    skip_depths: list[int] = []
+    open_recipes: list[tuple[int, list[str]]] = []
+    flags: set[str] = set()
+    in_details = False
 
-    def _close_recipe():
-        nonlocal recipe_depth, recipe_lines
-        if recipe_depth is None:
-            return
-        # node ids / expr ids / runtime stats vary per reprint — strip
-        # them so the same cached relation fingerprints identically
-        body = "\n".join(recipe_lines)
+    def _close_one_recipe() -> None:
+        depth, lines = open_recipes.pop()
+        body = "\n".join(lines)
         fp = re.sub(r"\(\d+\)|#\d+|Statistics\([^)]*\)", "", body)
         rt: Counter[str] = Counter()
         rx: Counter[str] = Counter()
         for sm in re.finditer(r"Scan parquet[^(\n]*\((\d+)\)", body):
             rt[id_to_table.get(sm.group(1), "?")] += 1
-        for ln in recipe_lines:
+        for ln in lines:
             _tally_exchange(ln, rx)
-        if rt or rx:
-            recipes.setdefault(fp, (rt, rx))
-        recipe_depth, recipe_lines = None, []
+        recipes.setdefault(fp, (rt, rx))
+        if open_recipes:  # fold into the parent for distinctness
+            open_recipes[-1][1].append(f"<recipe:{hash(fp) & 0xFFFFFFFF}>")
 
-    for line in tree.splitlines():
+    for line in desc.splitlines():
+        if in_details:
+            if line.startswith("Subquery:"):
+                if "ReusedSubquery" not in line:
+                    in_details = False
+            continue
+        if re.match(r"\(\d+\) ", line):
+            in_details = True
+            while open_recipes:
+                _close_one_recipe()
+            skip_depths.clear()
+            continue
+        if line.startswith("Subquery:") and "ReusedSubquery" in line:
+            in_details = True
+            continue
         m = re.match(r"^[\s:|+*-]*", line)
         depth = m.end()
         name = line[depth:]
         if not name:
             continue
-        if recipe_depth is not None:
-            if depth > recipe_depth:
-                recipe_lines.append(name)
-                continue
-            _close_recipe()
+        is_marker = name.startswith(
+            ("== Initial Plan ==", "== Final Plan ==")
+        )
+        if is_marker:
+            if (skip_depths and depth < skip_depths[-1]) or (
+                open_recipes and depth < open_recipes[-1][0]
+            ):
+                flags.add("nested_adaptive")
+                break
+            if name.startswith("== Initial Plan =="):
+                skip_depths.append(depth)
+            continue
+        # the Initial-Plan pseudo-node prints its children at the
+        # SAME depth as the marker text, so the region ends only at
+        # a STRICTLY shallower REAL line
+        while skip_depths and depth < skip_depths[-1]:
+            skip_depths.pop()
+        while open_recipes and depth <= open_recipes[-1][0]:
+            _close_one_recipe()
+        if skip_depths:
+            continue
         if name.startswith("InMemoryRelation"):
-            recipe_depth = depth
-            recipe_lines = []
+            open_recipes.append((depth, []))
+            continue
+        if open_recipes:
+            open_recipes[-1][1].append(name)
             continue
         sm = re.match(r"Scan parquet[^(\n]*\((\d+)\)", name)
         if sm:
             direct[id_to_table.get(sm.group(1), "?")] += 1
         _tally_exchange(name, direct_xch)
-    _close_recipe()
-    return direct, direct_xch, recipes
+    while open_recipes:
+        _close_one_recipe()
+    return direct, direct_xch, recipes, flags
 
 
 # Back-compat alias (previous name counted raw substring occurrences).

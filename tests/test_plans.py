@@ -835,3 +835,33 @@ def test_curation_capstone_one_feature_pass(spark):
     with lazy_results():
         lazy = corpus_curation_report(spark, SF_SMOKE)
     assert lazy.collect() == out.collect()
+
+
+def test_executed_scan_counts_sees_subquery_scans(spark):
+    """A scalar subquery's plan lives in the description's
+    '===== Subqueries =====' section, AFTER the main plan's
+    Initial-Plan reprint — a sweep that cuts at the first marker
+    reports only the outer scan (r14 self-review). Both the outer
+    scan and the subquery's scan must count."""
+    from big_data_analytics_final_project_spark.plans import (
+        executed_scan_counts,
+    )
+
+    from .conftest import SF_SMOKE, require_classic
+
+    require_classic(spark)
+    spark.catalog.clearCache()
+    spark.read.parquet(f"{SF_SMOKE}/nation.parquet").createOrReplaceTempView(
+        "_sq_nation"
+    )
+
+    def _run():
+        df = spark.sql(
+            "SELECT n_name FROM _sq_nation "
+            "WHERE n_regionkey > (SELECT avg(n_regionkey) FROM _sq_nation)"
+        )
+        df.collect()
+        return df
+
+    _, scans = executed_scan_counts(spark, _run)
+    assert scans == {"nation": 2}, dict(scans)
