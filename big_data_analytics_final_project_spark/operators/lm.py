@@ -22,19 +22,24 @@ per-doc sum is an exact BIGINT and the only double is the final
 division — bit-identical across engines and partitionings, the same
 contract `doc_unigram_entropy` grades under.
 
-Scale shape: two corpus scans train the model (vocab top-V =
-hash agg + TakeOrdered; bigram counts = one hash agg over the
-exploded-bigram stream with map-side combine); scoring is one more
-scan whose joins are all model-sized — vocab (V+1 rows) and unigram
-counts broadcast outright, bigram counts (≤ distinct observed pairs,
-≤ V'^2 but sparse in practice) joined on (w1, w2); then one per-doc
-hash agg. No UDFs anywhere — tokenization is the codegen'd
-`functions/text.py tokens` expression.
+Scale shape: `lm_train_score` (the production entry) tokenizes the
+corpus ONCE into an eagerly-checkpointed (doc_id, token-array) frame
+— token-cardinality, no raw text column — and every model pass
+(vocab top-V, mapped-bigram hash agg, scoring, the zero-bigram doc
+re-attach) re-derives from that checkpoint, so the corpus parquet is
+scanned exactly once and the regex tokenizer runs exactly once per
+document (r14 verdict #2: the previous form paid 5 corpus scans).
+The compositional halves (`lm_train` / `lm_score` on separate
+frames) stay checkpoint-free. Scoring joins are all model-sized —
+vocab (V+1 rows) and unigram counts broadcast outright, bigram
+counts (≤ distinct observed pairs, ≤ V'^2 but sparse in practice)
+joined on (w1, w2); then one per-doc hash agg. No UDFs anywhere —
+tokenization is the codegen'd `functions/text.py tokens` expression.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
@@ -43,16 +48,22 @@ from ..queries.text import _QLOG_LUT, _qlog2_nano_col
 UNK = "<unk>"
 
 
-def _doc_bigrams(
+def _staged_tokens(
     docs: DataFrame, doc_id_col: str, text_col: str
 ) -> DataFrame:
-    """(doc_id, w1, w2) — one row per bigram position. Stages the token
-    array as a projection alias first (Catalyst does no CSE across
-    lambda boundaries — the round-4 cubic-blowup lesson)."""
-    staged = docs.select(
+    """(doc_id, _toks) — the tokenized corpus, text column dropped.
+    Binding the token array as a projection alias BEFORE any lambda
+    references it is load-bearing (Catalyst does no CSE across lambda
+    boundaries — the round-4 cubic-blowup lesson)."""
+    return docs.select(
         F.col(doc_id_col).alias("doc_id"),
         tokens(F.col(text_col)).alias("_toks"),
     )
+
+
+def _staged_bigrams(staged: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2) — one row per bigram position, derived from a
+    `_staged_tokens` frame (array ops only; never re-tokenizes)."""
     n_t = F.size(F.col("_toks"))
     pairs = F.when(
         n_t >= 2,
@@ -67,6 +78,15 @@ def _doc_bigrams(
     return staged.select(
         "doc_id", F.explode(pairs).alias("_bg")
     ).select("doc_id", F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+
+
+def _doc_bigrams(
+    docs: DataFrame, doc_id_col: str, text_col: str
+) -> DataFrame:
+    """(doc_id, w1, w2) straight from a raw document frame — the
+    checkpoint-free path used by the compositional `lm_train` /
+    `lm_score` halves."""
+    return _staged_bigrams(_staged_tokens(docs, doc_id_col, text_col))
 
 
 def lm_train(
@@ -87,6 +107,14 @@ def lm_train(
     Σ P(w2|w1) over the smoothed event space is exactly 1 per context.
     """
     bg = _doc_bigrams(docs, doc_id_col, text_col)
+    return _fit_from_bigrams(docs.sparkSession, bg, vocab_k)
+
+
+def _fit_from_bigrams(
+    spark, bg: DataFrame, vocab_k: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """`lm_train`'s model fit, parameterized on the bigram relation so
+    `lm_train_score` can hand in a checkpoint-derived one."""
     # Materialize the vocab ONCE: the top-V plan is a corpus-wide
     # bigram explode + hash agg, and the fitted vocab is consumed 4+
     # times downstream (two mapping broadcasts here, two more plus a
@@ -103,7 +131,7 @@ def lm_train(
         .select("token")
         .collect()
     )
-    vocab = docs.sparkSession.createDataFrame(
+    vocab = spark.createDataFrame(
         [(r["token"],) for r in vocab_rows], "token: string"
     )
     v1 = vocab.select(F.col("token").alias("w1"), F.lit(True).alias("_kv1"))
@@ -154,10 +182,25 @@ def lm_score(
     count (and the two mapping broadcasts below) never re-touch the
     corpus.
     """
-    spark = docs.sparkSession
+    return _score_staged(
+        _staged_tokens(docs, doc_id_col, text_col), vocab, unigrams, bigrams
+    )
+
+
+def _score_staged(
+    staged: DataFrame,
+    vocab: DataFrame,
+    unigrams: DataFrame,
+    bigrams: DataFrame,
+) -> DataFrame:
+    """`lm_score` over a `_staged_tokens` frame — both the bigram
+    stream and the zero-bigram doc re-attach derive from `staged`, so
+    a caller that checkpointed it (lm_train_score) pays zero further
+    corpus scans here."""
+    spark = staged.sparkSession
     lut_df = spark.createDataFrame([(_QLOG_LUT,)], "_lut: array<bigint>")
     v_prime = vocab.count() + 1  # realized |vocab| + 1 for <unk>
-    bg = _doc_bigrams(docs, doc_id_col, text_col)
+    bg = _staged_bigrams(staged)
     v1 = vocab.select(F.col("token").alias("w1"), F.lit(True).alias("_kv1"))
     v2 = vocab.select(F.col("token").alias("w2"), F.lit(True).alias("_kv2"))
     mapped = (
@@ -194,7 +237,7 @@ def lm_score(
         F.sum("_nll_nano").alias("nll_nanobits_total"),
     )
     # re-attach zero-bigram docs (< 2 tokens) with NULL score
-    all_docs = docs.select(F.col(doc_id_col).alias("doc_id")).distinct()
+    all_docs = staged.select("doc_id").distinct()
     return all_docs.join(scored, "doc_id", "left").select(
         "doc_id",
         F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
@@ -212,8 +255,31 @@ def lm_train_score(
     doc_id_col: str = "doc_id",
     text_col: str = "text",
     vocab_k: int = 2048,
+    materialize: bool | None = None,
 ) -> DataFrame:
     """Train on the corpus and score every document against it — the
-    self-perplexity ranking CCNet uses for quality bucketing."""
-    vocab, unigrams, bigrams = lm_train(docs, doc_id_col, text_col, vocab_k)
-    return lm_score(docs, doc_id_col, text_col, vocab, unigrams, bigrams)
+    self-perplexity ranking CCNet uses for quality bucketing.
+
+    One corpus scan (r14 verdict #2, formerly 5): the tokenized
+    (doc_id, token-array) frame — token-cardinality, the raw text
+    column already dropped — is eagerly ``localCheckpoint``-ed, and
+    the vocab fit, the mapped-bigram count, the scoring pass, and the
+    zero-bigram doc re-attach all re-derive from the checkpoint with
+    array ops only. The result is checkpointed too, so the staging
+    blocks are freed immediately (operators/checkpoints.py hygiene);
+    plan tooling flips ``materialize`` off via ``lazy_results`` to
+    see the real join/agg shapes."""
+    from .checkpoints import resolve_materialize, unpersist_local_checkpoint
+
+    mat = resolve_materialize(materialize)
+    staged = _staged_tokens(docs, doc_id_col, text_col)
+    if mat:
+        staged = staged.localCheckpoint(eager=True)
+    vocab, unigrams, bigrams = _fit_from_bigrams(
+        docs.sparkSession, _staged_bigrams(staged), vocab_k
+    )
+    out = _score_staged(staged, vocab, unigrams, bigrams)
+    if mat:
+        out = out.localCheckpoint(eager=True)
+        unpersist_local_checkpoint(staged)
+    return out

@@ -8,6 +8,7 @@ instead of eyeballing `.explain` output.
 
 from __future__ import annotations
 
+import hashlib
 import io
 import re
 from contextlib import redirect_stdout
@@ -79,10 +80,25 @@ def executed_scan_counts(spark, run, extras=None):
     ``extras``, if a dict, additionally receives exact EXECUTED node
     counts summed the same dedup-safe way (AQE-final trees only,
     cached recipes once): ``shuffles`` (Exchange nodes — the count
-    PLANS.md's static census can't see inside checkpoint stages) and
-    ``broadcasts`` (BroadcastExchange nodes). Informational trend
-    data — no baselines; the per-operator shuffle bounds live in
-    tests/test_plans.py.
+    PLANS.md's static census can't see inside checkpoint stages),
+    ``broadcasts`` (BroadcastExchange nodes), and
+    ``reused_exchanges`` (ReusedExchange / ReusedQueryStage reference
+    nodes — each marks a shuffle or broadcast the engine SKIPPED by
+    reusing an earlier stage's output; counted across the swept
+    descriptions, not the final frame's plan, which under the
+    materialize-by-default posture is a post-checkpoint RDD scan
+    that always reads 0 — r14 advice #1).
+
+    CONCURRENCY / RETENTION CONTRACT: the sweep attributes every
+    execution that STARTS on this session after ``run`` begins — the
+    caller must hold the session exclusively (no parallel test runner
+    sharing it), or foreign executions inflate the counts. And the
+    status store retains only ``spark.sql.ui.retainedExecutions``
+    entries (default 1000); a ``run`` that fires more executions than
+    the limit silently undercounts — when the store is within 10% of
+    the limit this function adds a ``retention_near_limit`` parse
+    flag so the caller sees the risk instead of a quietly-low number
+    (scripts/scan_audit.py raises the limit to 5000).
 
     The final DataFrame's executed plan is blind to work done while
     the query was BUILT: under the eager-checkpoint idiom
@@ -136,9 +152,16 @@ def executed_scan_counts(spark, run, extras=None):
                 seen_recipes.add(fp)
                 tables.update(rtables)
                 xch.update(r_xch)
+    try:
+        retained = int(spark.conf.get("spark.sql.ui.retainedExecutions"))
+    except Exception:  # pragma: no cover — conf not readable
+        retained = 1000
+    if lst.size() >= retained * 0.9:
+        all_flags.add("retention_near_limit")
     if extras is not None:
         extras["shuffles"] = xch["shuffle"]
         extras["broadcasts"] = xch["broadcast"]
+        extras["reused_exchanges"] = xch["reused"]
         if all_flags:
             extras["parse_flags"] = sorted(all_flags)
     return result, tables
@@ -204,11 +227,24 @@ def _desc_scan_tables(desc: str):
         # suffixes that would make baselines unstable
         id_to_table[m.group(1)] = table
 
+    flags: set[str] = set()
+    # Guard the formatted-explain assumption (r14 advice #2): the
+    # session pins spark.sql.ui.explainMode=formatted, but if a
+    # caller's session didn't, the description carries scan nodes
+    # with NO numbered detail headers and every scan would silently
+    # attribute to '?'. Flag it instead.
+    if not id_to_table and "Scan parquet" in desc:
+        flags.add("no_detail_headers")
+
     def _tally_exchange(name: str, ctr: "Counter[str]") -> None:
         if name.startswith("BroadcastExchange"):
             ctr["broadcast"] += 1
         elif name.startswith("Exchange"):
             ctr["shuffle"] += 1
+        elif name.startswith(("ReusedExchange", "ReusedQueryStage")):
+            # a reference to an earlier stage's output — a shuffle or
+            # broadcast the engine did NOT re-run
+            ctr["reused"] += 1
 
     direct: Counter[str] = Counter()
     direct_xch: Counter[str] = Counter()
@@ -246,7 +282,6 @@ def _desc_scan_tables(desc: str):
     #   byte-counter-measured and recorded in their audit baselines.
     skip_depths: list[int] = []
     open_recipes: list[tuple[int, list[str]]] = []
-    flags: set[str] = set()
     in_details = False
 
     def _close_one_recipe() -> None:
@@ -261,7 +296,11 @@ def _desc_scan_tables(desc: str):
             _tally_exchange(ln, rx)
         recipes.setdefault(fp, (rt, rx))
         if open_recipes:  # fold into the parent for distinctness
-            open_recipes[-1][1].append(f"<recipe:{hash(fp) & 0xFFFFFFFF}>")
+            # content hash, NOT built-in hash(): the latter is
+            # PYTHONHASHSEED-randomized, so parent fingerprints would
+            # only be stable within one process (r14 advice #4)
+            digest = hashlib.md5(fp.encode()).hexdigest()[:8]
+            open_recipes[-1][1].append(f"<recipe:{digest}>")
 
     for line in desc.splitlines():
         if in_details:

@@ -185,7 +185,7 @@ COLLECT_ALLOW: dict[tuple[str, str], str] = {
         " surface the loader's ingest/skip counters, the reference's"
         " load-telemetry contract"
     ),
-    ("operators/lm.py", "lm_train"): (
+    ("operators/lm.py", "_fit_from_bigrams"): (
         "the fitted vocab (<= vocab_k rows of one string — model-"
         "sized, never data-sized) is collected once and rebuilt as a"
         " LOCAL relation so its 4+ downstream consumers (mapping"

@@ -50,70 +50,67 @@ class QuerySpec:
 # slots, heaviest/flagship shapes first, which smooths the next
 # round's forced load.
 #
-# Round-14 instance — ROTATION WINDOW + SCAN-HYGIENE RE-GRADES. The
-# forced set (48) is the r11-green staleness sweep (the 42 names the
-# manifest flagged entering r14) plus the fingerprint-forced edits of
-# this round's plan-hygiene work: the four drained rescans
-# (customer_cohort_setops, weekly_retention, clicks_before_purchase,
-# doc_top_keywords), the two r13-ADVICE equivalence fixes
-# (dominant_part_suppliers decimal window accumulator,
-# conversion_funnel's count-the-aggregate oracle), and the round's one
-# new registration (corpus_overlap_kmv — the r13 queue item). The 2
-# backfill slots take the oldest-green (r12) heavy shapes to smooth
-# r15's forced load.
+# Round-15 instance — ROTATION WINDOW + SCAN-ALLOWANCE ATTACK. The
+# forced set (46) is the staleness sweep the manifest flagged entering
+# r15 (44 names) plus this round's fingerprint-forced edits: the
+# doc_lm_perplexity single-checkpointed-token-pass rewrite (documents
+# 5->1 executed scans, the registry's largest allowance drained) and
+# the round's one new registration (events_rolling_value_quantiles —
+# the r13-authored rolling histogram-quantile monitor anchor, the r15
+# queue slot). The 4 backfill slots take the oldest-green names.
 GRADING_PRIORITY: tuple[str, ...] = (
-    # -- forced: stale (r11-green) + new/changed this round --
-    "clicks_before_purchase",
-    "concurrent_sessions_peak",
-    "conversion_funnel",
-    "corpus_bigram_topk",
+    # -- forced: stale + new/changed this round --
+    "ann_ivf",
+    "binary_meta",
     "corpus_bpe_merges",
-    "corpus_curation_report",
-    "corpus_overlap_kmv",
-    "corpus_pack_bins",
-    "corpus_vocab_topk",
-    "customer_cohort_setops",
-    "customer_order_distribution",
-    "customer_spend_deciles",
-    "customer_status_scd2",
-    "daily_active_users",
-    "daily_active_users_approx",
-    "dedup_exact",
-    "doc_bpe_token_stats",
-    "doc_fingerprint",
-    "doc_lang_id",
-    "doc_pii_scrub",
-    "doc_sample_stratified",
-    "doc_top_keywords",
-    "dominant_part_suppliers",
-    "embedding_near_dup",
-    "engagement_spend_correlation",
-    "engagement_vs_spend",
-    "event_type_pivot",
-    "events_gap_filled_hourly",
-    "events_props_parse",
-    "events_sliding_2h",
-    "events_tumbling_hourly",
-    "international_revenue",
-    "media_png_pixels",
-    "nested_order_items",
-    "order_cart_map",
-    "order_price_quantiles_approx",
-    "order_totals_reconciliation",
-    "orders_status_priority_cube",
-    "purchase_last_click_matched",
-    "referential_integrity_audit",
-    "segment_counts",
-    "top_order_per_customer",
-    "top_spenders",
-    "user_event_runs",
-    "user_events_lookup",
-    "user_rolling_7d_spend",
-    "weekly_retention",
-    "zone_roundtrip_daily",
-    # -- oldest-green (r12) backfill --
-    "ann_hyperplane_lsh",
-    "bloom_pruned_revenue",
+    "corpus_mix_plan",
+    "corpus_split_assign",
+    "dedup_minhash_lsh",
+    "doc_chunk_windows",
+    "doc_length_histogram",
+    "doc_lm_perplexity",
+    "doc_ngram_contamination",
+    "doc_token_stats",
+    "doc_winnowing_fingerprint",
+    "dormant_high_value_customers",
+    "embedding_random_projection",
+    "embedding_scalar_quantize",
+    "events_hourly_anomaly",
+    "events_jsonl_source_scan",
+    "events_rolling_value_quantiles",
+    "frequent_items_mg",
+    "join_size_cms",
+    "large_volume_customers",
+    "late_shipments_by_priority",
+    "lineitem_profile",
+    "media_gif_pixels",
+    "media_wav_meta",
+    "nation_trade_volume",
+    "order_item_stats",
+    "order_priority_returns",
+    "orders_grouping_sets",
+    "product_popularity",
+    "promo_disjunctive_revenue",
+    "promo_revenue_share",
+    "regional_supplier_volume",
+    "returned_item_customers",
+    "revenue_rollup",
+    "segment_purchasing_power",
+    "segment_value_psi",
+    "shipping_priority",
+    "small_order_revenue",
+    "supplier_count_by_part",
+    "top_customers_top5",
+    "top_event_type_per_user",
+    "top_orders_lateral",
+    "top_supplier_by_revenue",
+    "user_engagement",
+    "user_spend",
+    # -- oldest-green backfill --
+    "also_bought_pairs",
+    "corpus_bpe_encode",
+    "customer_k_anonymity",
+    "customer_order_history",
     # ---- driver's 50-entry window ends here ----
 )
 

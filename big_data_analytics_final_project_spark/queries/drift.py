@@ -661,11 +661,11 @@ QUERIES: dict[str, QuerySpec] = {
     "join_key_skew_report": QuerySpec(
         join_key_skew_report, JOIN_KEY_SKEW_REPORT_SQL
     ),
-    # r14/r15 queue (COVERAGE.md; the r13 window is full at 50 and
-    # the manifest's steady-state budget is 1/round): the rolling
-    # histogram-quantile monitor's graded batch anchor, authored +
-    # parity-tested r13 at both scales (tests/test_histogram_rollup.py) —
-    # "events_rolling_value_quantiles": QuerySpec(
-    #     events_rolling_value_quantiles, EVENTS_ROLLING_VALUE_QUANTILES_SQL
-    # ),
+    # registered r15 (authored + parity-tested r13 at both scales,
+    # tests/test_histogram_rollup.py; held in the queue until the
+    # rotation budget opened a slot): the rolling histogram-quantile
+    # monitor's graded batch anchor —
+    "events_rolling_value_quantiles": QuerySpec(
+        events_rolling_value_quantiles, EVENTS_ROLLING_VALUE_QUANTILES_SQL
+    ),
 }

@@ -1155,8 +1155,10 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     match bit-for-bit, the same contract `doc_unigram_entropy` grades
     under.
 
-    Scale: train = two corpus scans (top-V hash agg + TakeOrdered;
-    mapped-bigram hash agg), score = one more scan whose joins are
+    Scale: ONE corpus scan (r15 — formerly 5): lm_train_score
+    eagerly checkpoints the tokenized (doc_id, token-array) frame and
+    the vocab fit, bigram counts, scoring pass, and zero-bigram-doc
+    re-attach all re-derive from it with array ops; scoring joins are
     all MODEL-sized (vocab is collected and local; unigrams
     broadcast); nothing corpus×corpus."""
     from ..operators.lm import lm_train_score

@@ -34,6 +34,12 @@ _BASE_CONF = {
     # cannot map; read them as raw nanos and convert in the loader.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.optimizer.nestedSchemaPruning.enabled": "true",
+    # The executed-scan audit (plans/executed_scan_counts) parses the
+    # SQL status store's physicalPlanDescription, whose layout follows
+    # this mode — the parser needs formatted's numbered detail headers
+    # to resolve scan nodes to tables (r14 advice: a simple/extended
+    # mode would silently attribute every scan to '?').
+    "spark.sql.ui.explainMode": "formatted",
     # InferFiltersFromGenerate turns every explode(f(x)) into a pushed
     # Filter(size(f(x))>0) that re-inlines f — for computed arrays
     # (shingles, band keys) that doubles the most expensive expression

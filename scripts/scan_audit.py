@@ -33,7 +33,6 @@ from __future__ import annotations
 
 import json
 import os
-import re
 import sys
 import time
 
@@ -92,15 +91,11 @@ _BASELINE_ITEMS: list[tuple[str, dict[str, tuple[int, str]]]] = [
     ("customers_without_orders", {
         "orders": (2, "anti-join probe + count branch")
     }),
-    ("doc_lm_perplexity", {
-        "documents": (5, "vocab fit, bigram agg, scoring pass, doc-id "
-                         "list (AQE reuses the rest — BENCH_COUNTER "
-                         "r13) + the construction-time vocab COLLECT "
-                         "execution the r14 all-executions sweep made "
-                         "visible; fit+score is inherently multi-pass "
-                         "and caching the tokenized corpus would be "
-                         "corpus-sized")
-    }),
+    # doc_lm_perplexity: no entry — r15 rewrote lm_train_score around
+    # one eagerly-checkpointed tokenized (doc_id, token-array) frame
+    # (token-cardinality, text column dropped); vocab fit, bigram agg,
+    # scoring, and the doc-id re-attach all read the checkpoint, so
+    # the corpus parquet is scanned once (was 5).
     ("corpus_bpe_merges", {
         "documents": (2, "word-count base + the encode-side rescan")
     }),
@@ -224,7 +219,11 @@ _BASELINE_ITEMS: list[tuple[str, dict[str, tuple[int, str]]]] = [
         "embeddings": (2, "persist-fill on the seed collect + the "
                           "post-release final assignment; Lloyd's "
                           "rounds read the cache (plan reprints of "
-                          "the cached subtree may overcount)")
+                          "the cached subtree may overcount); "
+                          "byte-counter steady state is 3 footer "
+                          "opens (seed collect + fill + final) — "
+                          "re-measured every pytest run by "
+                          "tests/test_scan_bytes.py")
     }),
     ("doc_weighted_sample", {
         "documents": (2, "the checkpointed race frame + the winner "
@@ -233,9 +232,12 @@ _BASELINE_ITEMS: list[tuple[str, dict[str, tuple[int, str]]]] = [
     ("part_pagerank", {
         "lineitem": (2, "edge persist fill + the final labeled "
                         "output pass; Hadoop-FS byte-counter ground "
-                        "truth is exactly 2 footer opens (COVERAGE "
-                        "r14) — the parse_flags note applies, the "
-                        "count happens to parse exactly here")
+                        "truth is exactly 2 footer opens — "
+                        "re-measured every pytest run by "
+                        "tests/test_scan_bytes.py (was a one-time "
+                        "COVERAGE r14 note); the parse_flags note "
+                        "applies, the count happens to parse exactly "
+                        "here")
     }),
     ("part_triangle_count", {
         "lineitem": (1, "byte-counter ground truth: ONE lineitem "
@@ -243,7 +245,8 @@ _BASELINE_ITEMS: list[tuple[str, dict[str, tuple[int, str]]]] = [
                         "self-join's sides inside the persist fill; "
                         "the text parser truncates at this query's "
                         "nested-adaptive cache chain (parse_flags) "
-                        "and may report fewer")
+                        "and may report fewer; re-measured every "
+                        "pytest run by tests/test_scan_bytes.py")
     }),
     ("doc_dedup_survivors", {
         "documents": (2, "LSH candidate build + the survivor "
@@ -286,6 +289,58 @@ for _name, _entry in _BASELINE_ITEMS:
     BASELINE[_name] = _entry
 
 
+# --- executed-shuffle trend gate (r14 verdict #4) -------------------
+# The audit records executed Exchange counts per query; this gate
+# compares them round-over-round against the newest same-sf
+# SCANS_r{N}.json in the repo root, so a rewrite that trades a scan
+# for extra shuffles can't pass silently. A query whose shuffle count
+# is EXPECTED to move this round gets an entry here (the reason is
+# the audit trail); anything else that grows is flagged in the JSON's
+# `shuffle_over` list. New registrations have no prior and simply
+# seed next round's baseline.
+_SHUFFLE_REBASELINE: dict[str, str] = {
+    # (empty this round: the r15 doc_lm_perplexity rewrite cut
+    # documents scans 5->1 with executed shuffles measured FLAT at 9,
+    # so no rebaseline was needed)
+}
+
+
+def _prior_shuffles(sf_dir: str) -> tuple[str | None, dict[str, int]]:
+    """(filename, {query: executed shuffles}) from the newest
+    SCANS_r{N}.json recorded at the SAME sf_dir — cross-scale AQE
+    choices differ, so only same-scale rounds are comparable."""
+    import glob
+    import re as _re
+
+    best: tuple[int, str] | None = None
+    for path in glob.glob(
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "SCANS_r*.json")
+    ):
+        m = _re.search(r"SCANS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except Exception:  # noqa: BLE001 — unreadable prior is no prior
+            continue
+        if data.get("sf_dir") != sf_dir:
+            continue
+        rnd = int(m.group(1))
+        if best is None or rnd > best[0]:
+            best = (rnd, path)
+    if best is None:
+        return None, {}
+    with open(best[1]) as f:
+        data = json.load(f)
+    return os.path.basename(best[1]), {
+        n: q["shuffles"]
+        for n, q in data.get("queries", {}).items()
+        if isinstance(q.get("shuffles"), int)
+    }
+
+
 def main() -> int:
     argv = sys.argv[1:]
     json_out = None
@@ -317,8 +372,10 @@ def main() -> int:
         extra_conf={"spark.sql.ui.retainedExecutions": "5000"},
     )
     t0 = time.time()
+    prior_file, prior_shuffles = _prior_shuffles(sf_dir)
     report: dict[str, dict] = {}
     new_flags: list[str] = []
+    shuffle_flags: list[str] = []
     for name in names:
         extras: dict = {}
         try:
@@ -328,19 +385,16 @@ def main() -> int:
                 df.collect()
                 return df
 
-            df, tables = executed_scan_counts(spark, _run, extras=extras)
-            plan = (
-                df._jdf.queryExecution()
-                .executedPlan()
-                .toString()
-                .split("== Initial Plan ==")[0]
-            )
+            _, tables = executed_scan_counts(spark, _run, extras=extras)
         except Exception as exc:  # noqa: BLE001 — report every query
             report[name] = {"error": str(exc).splitlines()[:1]}
             new_flags.append(name)
             print(f"ERR   {name}")
             continue
-        reused = len(re.findall(r"ReusedExchange", plan))
+        # from the swept executions, NOT the final frame's executedPlan
+        # — under materialize-by-default that plan is a post-checkpoint
+        # RDD scan and read 0 for every checkpointed query (r14 advice)
+        reused = extras.get("reused_exchanges", 0)
         over = {
             t: c
             for t, c in tables.items()
@@ -362,9 +416,22 @@ def main() -> int:
             # past text-parseability; counts are conservative
             # truncations — the baseline reason records ground truth
             report[name]["parse_flags"] = extras["parse_flags"]
+        cur_sh = report[name]["shuffles"]
+        prior_sh = prior_shuffles.get(name)
+        sh_over = prior_sh is not None and cur_sh > prior_sh
+        if sh_over and name in _SHUFFLE_REBASELINE:
+            report[name]["shuffle_rebaselined"] = _SHUFFLE_REBASELINE[name]
+            sh_over = False
+        if sh_over:
+            report[name]["shuffle_over"] = {
+                "prior": prior_sh, "current": cur_sh
+            }
+            shuffle_flags.append(name)
         if over:
             new_flags.append(name)
             print(f"NEW   {name}: {over} (scans={dict(tables)})")
+        elif sh_over:
+            print(f"SHUF  {name}: {prior_sh} -> {cur_sh} executed shuffles")
         else:
             print(f"ok    {name}")
     spark.stop()
@@ -373,10 +440,16 @@ def main() -> int:
         f"\n{len(new_flags)} over-baseline: {new_flags} "
         f"({time.time() - t0:.0f}s)"
     )
+    print(
+        f"{len(shuffle_flags)} shuffle regressions vs "
+        f"{prior_file or 'no prior'}: {shuffle_flags}"
+    )
     if json_out:
         with open(json_out, "w") as f:
             json.dump(
                 {"sf_dir": sf_dir, "over_baseline": new_flags,
+                 "shuffle_prior": prior_file,
+                 "shuffle_over": shuffle_flags,
                  "queries": report},
                 f, indent=1, sort_keys=True,
             )

@@ -196,3 +196,21 @@ def test_real_documents_smoke(spark):
     assert all(r.avg_nll_bits is not None and r.avg_nll_bits >= 0 for r in scored)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def test_lm_train_score_lazy_twin_row_identical(spark):
+    """The r15 single-checkpointed-token-pass posture (lm_train_score
+    materialize=True, documents scanned ONCE) must be value-identical
+    to the lazy multi-scan shape plan tooling sees (lazy_results) —
+    the same differential pin the curation capstone carries. Sorted
+    collect compare: any drift the checkpoint introduces breaks here
+    before it reaches the oracle gate."""
+    from big_data_analytics_final_project_spark.operators.checkpoints import (
+        lazy_results,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    mat = lm_train_score(docs, vocab_k=64).orderBy("doc_id").collect()
+    with lazy_results():
+        lazy = lm_train_score(docs, vocab_k=64).orderBy("doc_id").collect()
+    assert mat == lazy
