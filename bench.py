@@ -318,6 +318,11 @@ HEADLINE = [
     # round's registration — per-source KMV bottom-k sketches folded
     # map-side, the ≤k-row shuffle, and the pairwise overlap matrix
     "corpus_overlap_kmv",
+    # added r15 (totals not comparable to BENCH_r14 on this line): the
+    # round's registration — per-day fixed-edge histogram sketches,
+    # the 7-day fan-out, and the closed-form quantile walk, all on
+    # day×bin-sized frames
+    "events_rolling_value_quantiles",
 ]
 
 

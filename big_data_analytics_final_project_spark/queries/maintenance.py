@@ -419,10 +419,93 @@ ORDER BY l_returnflag
 """
 
 
+def zone_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (sinks.compact_zone — previously
+    test-only, COVERAGE §2.1 "Exercised by: —") under the oracle:
+    land events as a deliberately FRAGMENTED day-partitioned zone
+    (12 files per day — the micro-batch-sink accretion pattern),
+    compact it layout-preservingly to one target file per partition,
+    read the compacted zone back and aggregate per event type. The
+    hash match against the same aggregate computed directly on the
+    parquet source proves the repartition → spread → rewrite cycle
+    loses, duplicates, and retypes nothing; the file-count reduction
+    itself is asserted inline (a physical guard the value hash cannot
+    see — the test suite pins the sizing math separately in
+    tests/test_sinks_sources.py).
+
+    Scale: compaction reads the fragmented zone once, shuffles once
+    on (partition value, hash spreader), and writes sorted
+    target-sized files; never in place, so a failed run leaves the
+    source zone intact. At 100 TB this is the standing maintenance
+    job that keeps scan task counts proportional to bytes, not to
+    trigger history."""
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    frag = _scratch_zone("compact_src", sf_dir)
+    (
+        events.repartition(12, "event_id")
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(frag)
+    )
+    dst = _scratch_zone("compact_dst", sf_dir)
+    from ..sinks import compact_zone
+
+    compact_zone(frag, spark, dst, num_files=1, partition_by=["day"])
+
+    def _n_files(root: str) -> int:
+        return sum(
+            1
+            for r, _, fs in os.walk(root)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    n_frag, n_dst = _n_files(frag), _n_files(dst)
+    if n_dst >= n_frag:
+        raise AssertionError(
+            f"compaction did not reduce files: {n_frag} -> {n_dst}"
+        )
+    back = spark.read.parquet(dst)
+    # two-phase distinct (pre-aggregate per (event_type, day)) — same
+    # Expand-avoidance as zone_roundtrip_daily
+    return (
+        back.groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col("value").cast(DEC)).alias("_v"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("_n").alias("n_events"),
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("_v").cast("double").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ZONE_COMPACTION_ROUNDTRIP_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       count(DISTINCT CAST(ts AS DATE)) AS n_days,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "zone_roundtrip_daily": QuerySpec(
         zone_roundtrip_daily, ZONE_ROUNDTRIP_DAILY_SQL
     ),
+    # r18 queue (COVERAGE.md; budget 1 registration/round): the
+    # small-file compaction path under the oracle, authored r15 —
+    # "zone_compaction_roundtrip": QuerySpec(
+    #     zone_compaction_roundtrip, ZONE_COMPACTION_ROUNDTRIP_SQL
+    # ),
     # r16 queue (the r15 slot is events_rolling_value_quantiles —
     # COVERAGE.md; budget 1 registration/round): the z-order layout
     # path under the oracle, authored + parity-tested r14 —

@@ -304,11 +304,30 @@ _SHUFFLE_REBASELINE: dict[str, str] = {
     # so no rebaseline was needed)
 }
 
+# name -> (allowance, reason): queries whose EXECUTED shuffle count is
+# AQE-nondeterministic run-to-run on identical data (a borderline join
+# flips broadcast <-> shuffle: -1 BroadcastExchange, +2 Exchange).
+# Entries require a measured multi-run investigation, not a guess —
+# the default for every other query is exact (0 jitter).
+_SHUFFLE_JITTER: dict[str, tuple[int, str]] = {
+    "dedup_semantic_clusters": (
+        3,
+        "measured r15: 5 audit runs on identical sf0.001 data gave "
+        "49/50/50/50/51 shuffles with broadcasts 20-22 — one "
+        "borderline join inside the component loop flips under AQE",
+    ),
+}
 
-def _prior_shuffles(sf_dir: str) -> tuple[str | None, dict[str, int]]:
+
+def _prior_shuffles(
+    sf_dir: str, exclude_round: int | None = None
+) -> tuple[str | None, dict[str, int]]:
     """(filename, {query: executed shuffles}) from the newest
     SCANS_r{N}.json recorded at the SAME sf_dir — cross-scale AQE
-    choices differ, so only same-scale rounds are comparable."""
+    choices differ, so only same-scale rounds are comparable.
+    ``exclude_round`` drops the round currently being WRITTEN, so a
+    re-run within one round still compares against the previous
+    round's artifact instead of its own first sweep."""
     import glob
     import re as _re
 
@@ -318,7 +337,8 @@ def _prior_shuffles(sf_dir: str) -> tuple[str | None, dict[str, int]]:
             os.path.abspath(__file__))), "SCANS_r*.json")
     ):
         m = _re.search(r"SCANS_r(\d+)\.json$", path)
-        if not m:
+        if not m or (exclude_round is not None
+                     and int(m.group(1)) >= exclude_round):
             continue
         try:
             with open(path) as f:
@@ -372,7 +392,14 @@ def main() -> int:
         extra_conf={"spark.sql.ui.retainedExecutions": "5000"},
     )
     t0 = time.time()
-    prior_file, prior_shuffles = _prior_shuffles(sf_dir)
+    exclude = None
+    if json_out:
+        import re as _re
+
+        m = _re.search(r"SCANS_r(\d+)\.json$", json_out)
+        if m:
+            exclude = int(m.group(1))
+    prior_file, prior_shuffles = _prior_shuffles(sf_dir, exclude)
     report: dict[str, dict] = {}
     new_flags: list[str] = []
     shuffle_flags: list[str] = []
@@ -418,7 +445,8 @@ def main() -> int:
             report[name]["parse_flags"] = extras["parse_flags"]
         cur_sh = report[name]["shuffles"]
         prior_sh = prior_shuffles.get(name)
-        sh_over = prior_sh is not None and cur_sh > prior_sh
+        jitter = _SHUFFLE_JITTER.get(name, (0, ""))[0]
+        sh_over = prior_sh is not None and cur_sh > prior_sh + jitter
         if sh_over and name in _SHUFFLE_REBASELINE:
             report[name]["shuffle_rebaselined"] = _SHUFFLE_REBASELINE[name]
             sh_over = False

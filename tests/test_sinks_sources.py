@@ -536,3 +536,32 @@ def test_zone_zorder_prune_matches_oracle(spark):
         rows = res.collect()
         assert len(rows) == 3  # A, N, R all selected by the band
         assert all(r["n_items"] > 0 and r["revenue"] > 0 for r in rows)
+
+
+def test_zone_compaction_roundtrip_matches_oracle(spark):
+    """The r18-queued graded surface at the registry bar: fragment ->
+    compact_zone -> read-back -> aggregate must hash-match the same
+    aggregate computed directly on the parquet source at BOTH grading
+    scales (the query itself asserts the file count actually shrank,
+    so a silently non-compacting rewrite fails before the compare)."""
+    import duckdb
+
+    from big_data_analytics_final_project_spark.queries.maintenance import (
+        ZONE_COMPACTION_ROUNDTRIP_SQL,
+        zone_compaction_roundtrip,
+    )
+
+    from .conftest import SF_CORRECT, SF_SMOKE
+    from .parity import compare
+
+    for sf in (SF_SMOKE, SF_CORRECT):
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'"
+        )
+        res = zone_compaction_roundtrip(spark, sf)
+        compare(res, con.sql(ZONE_COMPACTION_ROUNDTRIP_SQL))
+        con.close()
+        rows = res.collect()
+        assert len(rows) >= 3  # every event type survives the cycle
+        assert all(r["n_events"] > 0 and r["n_days"] > 0 for r in rows)
