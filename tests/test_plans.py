@@ -865,3 +865,57 @@ def test_executed_scan_counts_sees_subquery_scans(spark):
 
     _, scans = executed_scan_counts(spark, _run)
     assert scans == {"nation": 2}, dict(scans)
+
+
+def test_executed_scan_counts_reports_reused_exchanges(spark):
+    """A ReusedExchange/ReusedQueryStage reference marks a shuffle or
+    broadcast the engine SKIPPED by reusing an earlier stage's output.
+    The r15 audit counts them from the swept execution descriptions
+    (the final frame's executedPlan reads 0 for every checkpointed
+    query — r14 advice #1): a self-union of one aggregate must report
+    at least one reused reference and fewer executed shuffles than
+    the no-reuse plan would carry."""
+    from big_data_analytics_final_project_spark.plans import (
+        executed_scan_counts,
+    )
+
+    from .conftest import SF_SMOKE, require_classic
+
+    require_classic(spark)
+    spark.catalog.clearCache()
+    nation = spark.read.parquet(f"{SF_SMOKE}/nation.parquet")
+    agg = nation.groupBy("n_regionkey").count()
+
+    extras: dict = {}
+
+    def _run():
+        df = agg.union(agg)
+        df.collect()
+        return df
+
+    _, scans = executed_scan_counts(spark, _run, extras=extras)
+    assert extras["reused_exchanges"] >= 1, extras
+    # the reused branch must not double-count its shuffle or its scan
+    assert extras["shuffles"] == 1, extras
+    assert scans == {"nation": 1}, dict(scans)
+
+
+def test_desc_scan_tables_flags_missing_detail_headers():
+    """If a session runs with a non-formatted explain mode the plan
+    description carries scan nodes but NO numbered '(n) Scan parquet'
+    detail headers — every scan would silently attribute to '?'. The
+    parser must flag it (the session pins explainMode=formatted; this
+    is the belt-and-braces for foreign sessions)."""
+    from big_data_analytics_final_project_spark.plans import (
+        _desc_scan_tables,
+    )
+
+    simple_mode = (
+        "== Physical Plan ==\n"
+        "*(1) ColumnarToRow\n"
+        "+- FileScan parquet [n_name] Batched: true, "
+        "Location: InMemoryFileIndex(1 paths)"
+        "[file:/x/nation.parquet]\n"
+    )
+    direct, _, _, flags = _desc_scan_tables(simple_mode)
+    assert "no_detail_headers" in flags, flags
