@@ -497,10 +497,108 @@ ORDER BY event_type
 """
 
 
+def bucketed_segment_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-bucketed co-located join (sinks.write_bucketed_table —
+    previously pytest-only) under the oracle: persist customer and
+    orders as 8-bucket tables on the join key (custkey), join them
+    WITHOUT a runtime shuffle (the bucketing IS the shuffle, paid
+    once at ingest), roll spend up per market segment, and hash-match
+    the same aggregate computed directly on the parquet source. The
+    co-location is asserted inline: the static plan must carry a
+    SortMergeJoin and at most TWO exchanges — the segment rollup's
+    hash exchange and the final ORDER BY's range exchange; the join
+    sides and the per-(segment, custkey) pre-aggregate ride the
+    bucket partitioning (HashPartitioning(custkey) satisfies the
+    clustered distribution on its superset key set), so the join
+    itself adds NONE. A `merge` hint pins the SMJ so the tiny
+    grading-scale side can't demote the plan to a broadcast and mask
+    a co-location regression.
+
+    Scale: at 100 TB this layout is the difference between
+    re-shuffling the fact table on every custkey join and reading
+    both sides pre-partitioned+pre-sorted; the one remaining exchange
+    moves segment-cardinality rows. Scratch: external bucketed tables
+    (metadata in the session's in-memory catalog, files in the
+    process-scoped scratch zone), names unique per (sf, process) so
+    concurrent harnesses never collide."""
+    from ..plans import count_shuffles, physical_plan
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    tbl_c = f"bdafp_cust_bkt_{tag}_{_RUN_TOKEN}"
+    tbl_o = f"bdafp_ord_bkt_{tag}_{_RUN_TOKEN}"
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    for df, tbl, key in ((cust, tbl_c, "c_custkey"), (orders, tbl_o, "o_custkey")):
+        (
+            df.write.format("parquet")
+            .mode("overwrite")
+            .option("path", _scratch_zone(tbl, sf_dir))
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(tbl)
+        )
+    joined = spark.table(tbl_c).join(
+        spark.table(tbl_o).hint("merge"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    out = (
+        joined.groupBy("c_mktsegment", "c_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col("o_totalprice").cast(DEC)).alias("_v"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("_n").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("_v").cast("double").alias("sum_spent"),
+        )
+        .orderBy("c_mktsegment")
+    )
+    plan = physical_plan(out)
+    if "SortMergeJoin" not in plan:
+        raise AssertionError(f"bucketed join did not plan as SMJ:\n{plan}")
+    n_xch = count_shuffles(out)
+    if n_xch > 2:
+        raise AssertionError(
+            f"co-location lost: {n_xch} exchanges (expected <=2 — the "
+            f"segment rollup + the ORDER BY range exchange; the join "
+            f"and the per-custkey pre-aggregate must add none):\n{plan}"
+        )
+    return out
+
+
+BUCKETED_SEGMENT_SPEND_SQL = """
+WITH per_cust AS (
+  SELECT c_mktsegment, c_custkey,
+         count(*) AS n,
+         SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS v
+  FROM customer JOIN orders ON o_custkey = c_custkey
+  GROUP BY 1, 2
+)
+SELECT c_mktsegment,
+       CAST(SUM(n) AS BIGINT) AS n_orders,
+       count(*) AS n_customers,
+       CAST(SUM(v) AS DOUBLE) AS sum_spent
+FROM per_cust
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "zone_roundtrip_daily": QuerySpec(
         zone_roundtrip_daily, ZONE_ROUNDTRIP_DAILY_SQL
     ),
+    # r19 queue (COVERAGE.md; budget 1 registration/round): the
+    # bucketed co-located join layout under the oracle, authored r15 —
+    # "bucketed_segment_spend": QuerySpec(
+    #     bucketed_segment_spend, BUCKETED_SEGMENT_SPEND_SQL
+    # ),
     # r18 queue (COVERAGE.md; budget 1 registration/round): the
     # small-file compaction path under the oracle, authored r15 —
     # "zone_compaction_roundtrip": QuerySpec(

@@ -136,6 +136,7 @@ def main() -> int:
         doc_lm_perplexity,
     )
     from big_data_analytics_final_project_spark.queries.maintenance import (
+        bucketed_segment_spend,
         zone_compaction_roundtrip,
         zone_zorder_prune,
     )
@@ -161,6 +162,7 @@ def main() -> int:
         "zone_zorder_prune": QuerySpec(zone_zorder_prune),
         "purchase_pit_order_status": QuerySpec(purchase_pit_order_status),
         "zone_compaction_roundtrip": QuerySpec(zone_compaction_roundtrip),
+        "bucketed_segment_spend": QuerySpec(bucketed_segment_spend),
     }
     specs = {**all_queries(), **BENCH_VARIANTS, **unregistered}
     names = args.queries or HEADLINE

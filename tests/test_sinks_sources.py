@@ -565,3 +565,31 @@ def test_zone_compaction_roundtrip_matches_oracle(spark):
         rows = res.collect()
         assert len(rows) >= 3  # every event type survives the cycle
         assert all(r["n_events"] > 0 and r["n_days"] > 0 for r in rows)
+
+
+def test_bucketed_segment_spend_matches_oracle(spark):
+    """The r19-queued graded surface at the registry bar: the
+    bucketed-ingest -> merge-hinted co-located join -> segment rollup
+    must hash-match the direct-on-source aggregate at BOTH grading
+    scales (the query itself asserts SMJ + <=1 exchange inline, so a
+    lost co-location fails before the compare)."""
+    import duckdb
+
+    from big_data_analytics_final_project_spark.queries.maintenance import (
+        BUCKETED_SEGMENT_SPEND_SQL,
+        bucketed_segment_spend,
+    )
+
+    from .conftest import SF_CORRECT, SF_SMOKE
+    from .parity import compare
+
+    for sf in (SF_SMOKE, SF_CORRECT):
+        con = duckdb.connect()
+        for t in ("customer", "orders"):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+        res = bucketed_segment_spend(spark, sf)
+        compare(res, con.sql(BUCKETED_SEGMENT_SPEND_SQL))
+        con.close()
+        rows = res.collect()
+        assert len(rows) == 5  # every TPC-H market segment buys
+        assert all(r["n_orders"] >= r["n_customers"] > 0 for r in rows)
