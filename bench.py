@@ -323,6 +323,11 @@ HEADLINE = [
     # the 7-day fan-out, and the closed-form quantile walk, all on
     # day×bin-sized frames
     "events_rolling_value_quantiles",
+    # added r16 (totals not comparable to BENCH_r15 on this line): the
+    # round's registration — the z-order layout pass (two-level rank
+    # per z column, Morton interleave, range-partitioned sorted write)
+    # plus the 2-D band-predicate read-back it accelerates
+    "zone_zorder_prune",
 ]
 
 

@@ -438,6 +438,7 @@ def overlap_coeff_pairs(
     threshold: float = 0.6,
     text_col: str = "text",
     id_col: str = "doc_id",
+    materialize: bool | None = None,
 ) -> DataFrame:
     """Exact overlap-coefficient near-dup pairs:
     |A∩B| / min(|A|, |B|) ≥ threshold over distinct 3-shingle sets.
@@ -464,8 +465,27 @@ def overlap_coeff_pairs(
     nothing — and the B-side bound 1 + |B| − j ≥ t·|A| needs a second
     rank window over the big side's full postings for little return
     (prefix terms are globally rare, so they rank early in B too and
-    the bound almost always passes with |B| ≥ |A|)."""
+    the bound almost always passes with |B| ≥ |A|).
+
+    One corpus scan (r16, formerly 3 — the same drain that took
+    `lm_train_score` 5→1): the distinct-shingle-set frame is eagerly
+    ``localCheckpoint``-ed once, and the inverted index (both join
+    sides) plus the two verification set re-attaches all re-derive
+    from the checkpoint with array ops only, so the documents parquet
+    is scanned exactly once and the shingling regex runs exactly once
+    per document. At 100 TB the trade is one shingle-set-cardinality
+    checkpoint write against two extra corpus scans + re-shinglings.
+    The result is checkpointed too, freeing the staging blocks
+    immediately (operators/checkpoints.py hygiene); plan tooling flips
+    ``materialize`` off via ``lazy_results`` to see the real
+    join/aggregate shapes, and the lazy twin is pinned row-identical
+    in tests/test_dedup_drain.py."""
+    from .checkpoints import resolve_materialize, unpersist_local_checkpoint
+
+    mat = resolve_materialize(materialize)
     sets = _shingle_sets(docs, text_col, id_col)
+    if mat:
+        sets = sets.localCheckpoint(eager=True)
     inv = sets.select(
         "doc_id", F.size("terms").alias("sz"), F.explode("terms").alias("term")
     )
@@ -519,7 +539,7 @@ def overlap_coeff_pairs(
     )
     # re-emit id-ordered (doc_a < doc_b) with sizes tracking their doc
     swap = F.col("doc_small") > F.col("doc_big")
-    return (
+    out = (
         verified.select(
             F.when(swap, F.col("doc_big")).otherwise(F.col("doc_small")).alias("doc_a"),
             F.when(swap, F.col("doc_small")).otherwise(F.col("doc_big")).alias("doc_b"),
@@ -530,6 +550,10 @@ def overlap_coeff_pairs(
         )
         .orderBy("doc_a", "doc_b")
     )
+    if mat:
+        out = out.localCheckpoint(eager=True)
+        unpersist_local_checkpoint(sets)
+    return out
 
 
 def overlap_coeff_pairs_sql(threshold: float = 0.6) -> str:

@@ -136,11 +136,13 @@ def executed_scan_counts(spark, run, extras=None):
     xch: Counter[str] = Counter()
     seen_recipes: set[str] = set()
     all_flags: set[str] = set()
+    n_new = 0
     lst = store.executionsList()
     for i in range(lst.size()):
         e = lst.apply(i)
         if e.executionId() in before:
             continue
+        n_new += 1
         direct, d_xch, recipes, flags = _desc_scan_tables(
             e.physicalPlanDescription()
         )
@@ -156,7 +158,18 @@ def executed_scan_counts(spark, run, extras=None):
         retained = int(spark.conf.get("spark.sql.ui.retainedExecutions"))
     except Exception:  # pragma: no cover — conf not readable
         retained = 1000
-    if lst.size() >= retained * 0.9:
+    # Flag on THIS RUN's execution count, not the store's total size
+    # (r15 ADVICE): the store is session-cumulative, so on a long
+    # shared audit session every late query would trip a total-size
+    # check even though its own executions are fully retained. The
+    # risk the flag guards — this run's early executions evicted
+    # before the sweep — arises only when the run ITSELF fires close
+    # to the limit. Eviction drops oldest first, so with
+    # n_new < retained the run's executions all survive; n_new is
+    # itself an undercount once eviction has eaten this run's oldest,
+    # but any such run necessarily fired > retained executions and
+    # still trips the 0.9 threshold.
+    if n_new >= retained * 0.9:
         all_flags.add("retention_near_limit")
     if extras is not None:
         extras["shuffles"] = xch["shuffle"]

@@ -50,67 +50,71 @@ class QuerySpec:
 # slots, heaviest/flagship shapes first, which smooths the next
 # round's forced load.
 #
-# Round-15 instance — ROTATION WINDOW + SCAN-ALLOWANCE ATTACK. The
-# forced set (46) is the staleness sweep the manifest flagged entering
-# r15 (44 names) plus this round's fingerprint-forced edits: the
-# doc_lm_perplexity single-checkpointed-token-pass rewrite (documents
-# 5->1 executed scans, the registry's largest allowance drained) and
-# the round's one new registration (events_rolling_value_quantiles —
-# the r13-authored rolling histogram-quantile monitor anchor, the r15
-# queue slot). The 4 backfill slots take the oldest-green names.
+# Round-16 instance — ROTATION WINDOW + THE DEDUP SCAN-ALLOWANCE
+# DRAIN. The forced set (49) is the staleness sweep the manifest
+# flagged entering r16 (the r13-green names aging out) plus this
+# round's fingerprint-forced edits: the operators/dedup.py
+# checkpoint-the-staged-frame drain (dedup_overlap_pairs and
+# dedup_fuzzy_pairs 3->1 executed documents scans — the
+# lm_train_score pattern; the format-2 deep fingerprints cascade the
+# whole dedup family into the window, which is exactly why the drain
+# was scheduled WITH this rotation) and the round's one new
+# registration (zone_zorder_prune — the z-order layout path, the r16
+# queue slot, authored+parity-tested r14). The 1 remaining slot takes
+# the oldest-green backfill name.
 GRADING_PRIORITY: tuple[str, ...] = (
     # -- forced: stale + new/changed this round --
-    "ann_ivf",
-    "binary_meta",
     "corpus_bpe_merges",
-    "corpus_mix_plan",
-    "corpus_split_assign",
+    "corpus_curation_report",
+    "customers_without_orders",
+    "dedup_clusters",
+    "dedup_exact",
+    "dedup_fuzzy_pairs",
+    "dedup_incremental",
+    "dedup_jaccard_collapsed",
+    "dedup_jaccard_pairs",
     "dedup_minhash_lsh",
-    "doc_chunk_windows",
-    "doc_length_histogram",
-    "doc_lm_perplexity",
-    "doc_ngram_contamination",
-    "doc_token_stats",
-    "doc_winnowing_fingerprint",
-    "dormant_high_value_customers",
-    "embedding_random_projection",
-    "embedding_scalar_quantize",
-    "events_hourly_anomaly",
-    "events_jsonl_source_scan",
-    "events_rolling_value_quantiles",
-    "frequent_items_mg",
-    "join_size_cms",
-    "large_volume_customers",
-    "late_shipments_by_priority",
-    "lineitem_profile",
-    "media_gif_pixels",
-    "media_wav_meta",
-    "nation_trade_volume",
-    "order_item_stats",
-    "order_priority_returns",
-    "orders_grouping_sets",
-    "product_popularity",
-    "promo_disjunctive_revenue",
-    "promo_revenue_share",
-    "regional_supplier_volume",
-    "returned_item_customers",
-    "revenue_rollup",
-    "segment_purchasing_power",
-    "segment_value_psi",
-    "shipping_priority",
-    "small_order_revenue",
-    "supplier_count_by_part",
-    "top_customers_top5",
-    "top_event_type_per_user",
-    "top_orders_lateral",
-    "top_supplier_by_revenue",
-    "user_engagement",
-    "user_spend",
+    "dedup_overlap_pairs",
+    "dedup_semantic_clusters",
+    "dedup_simhash",
+    "discount_revenue_delta",
+    "doc_dedup_survivors",
+    "doc_quality_score",
+    "doc_repetition_stats",
+    "doc_unigram_entropy",
+    "doc_weighted_sample",
+    "embedding_kmeans",
+    "events_hypertable_rollup",
+    "events_json_roundtrip",
+    "events_rowkey_export",
+    "events_sessionized",
+    "important_part_share",
+    "join_key_skew_report",
+    "json_ingest_roundtrip",
+    "json_ingest_with_errors",
+    "knn_bruteforce",
+    "media_avi_frames",
+    "media_feature_knn",
+    "media_frame_sample",
+    "media_png_dims",
+    "media_wav_rms",
+    "min_cost_supplier",
+    "nation_market_share",
+    "orders_profile_drift",
+    "part_pagerank",
+    "part_triangle_count",
+    "pricing_summary",
+    "product_profit_by_nation",
+    "purchase_last_click",
+    "report_csv_roundtrip",
+    "revenue_by_brand",
+    "session_stats_per_user",
+    "user_freq_cms",
+    "user_spend_trend",
+    "waiting_supplier",
+    "zone_zorder_prune",
     # -- oldest-green backfill --
-    "also_bought_pairs",
-    "corpus_bpe_encode",
-    "customer_k_anonymity",
-    "customer_order_history",
+    "ann_hyperplane_lsh",
     # ---- driver's 50-entry window ends here ----
 )
 

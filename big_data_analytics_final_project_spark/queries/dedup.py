@@ -89,7 +89,9 @@ def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_fuzzy_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_fuzzy_pairs_q(
+    spark: SparkSession, sf_dir: str, materialize: bool | None = None
+) -> DataFrame:
     """Edit-distance near-dup pairs, prefix-blocked: docs sharing the
     first 12 normalized characters are candidates; a pair survives if
     the Levenshtein distance of their 48-char normalized prefixes is
@@ -101,12 +103,30 @@ def dedup_fuzzy_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     collisions, never N²; Levenshtein (O(len²) per pair) runs only
     inside blocks, on bounded 48-char slices. Documents differing in
     their first 12 chars are out of scope BY DESIGN (the standard
-    blocking trade-off; rotate block keys for higher recall)."""
-    from ..functions.text import norm_text
+    blocking trade-off; rotate block keys for higher recall).
 
+    One corpus scan (r16, formerly 3 — the lm_train_score drain
+    pattern): the (doc_id, 48-char slice) frame — raw text already
+    dropped, so it is 48 bytes/doc — is eagerly localCheckpoint-ed
+    once and BOTH self-join sides derive from the checkpoint, so the
+    documents parquet is scanned exactly once and the normalization
+    regex runs exactly once per document. The result is checkpointed
+    too, freeing the staging blocks immediately
+    (operators/checkpoints.py hygiene); plan tooling flips
+    `materialize` off via `lazy_results`, and the lazy twin is pinned
+    row-identical in tests/test_dedup_drain.py."""
+    from ..functions.text import norm_text
+    from ..operators.checkpoints import (
+        resolve_materialize,
+        unpersist_local_checkpoint,
+    )
+
+    mat = resolve_materialize(materialize)
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.substring(norm_text(F.col("text")), 1, 48).alias("slice")
     )
+    if mat:
+        docs = docs.localCheckpoint(eager=True)
     a = docs.select(
         F.col("doc_id").alias("doc_a"),
         F.col("slice").alias("slice_a"),
@@ -117,7 +137,7 @@ def dedup_fuzzy_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("slice").alias("slice_b"),
         F.substring("slice", 1, 12).alias("block"),
     )
-    return (
+    out = (
         a.join(b, "block")
         .where(F.col("doc_a") < F.col("doc_b"))
         .withColumn(
@@ -128,6 +148,10 @@ def dedup_fuzzy_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "edit_dist")
         .orderBy("doc_a", "doc_b")
     )
+    if mat:
+        out = out.localCheckpoint(eager=True)
+        unpersist_local_checkpoint(docs)
+    return out
 
 
 def _fuzzy_pairs_sql() -> str:

@@ -439,8 +439,15 @@ def zone_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     source zone intact. At 100 TB this is the standing maintenance
     job that keeps scan task counts proportional to bytes, not to
     trigger history."""
-    events = load_table(spark, sf_dir, "events").withColumn(
-        "day", F.to_date("ts")
+    # NULL-ts guard on BOTH sides (r15 ADVICE): a NULL day would land
+    # in __HIVE_DEFAULT_PARTITION__ and count as an n_days group that
+    # the oracle's count(DISTINCT CAST(ts AS DATE)) excludes — filter
+    # it out here and in the SQL so the equivalence doesn't depend on
+    # the generator never producing NULL timestamps.
+    events = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .withColumn("day", F.to_date("ts"))
     )
     frag = _scratch_zone("compact_src", sf_dir)
     (
@@ -492,6 +499,7 @@ SELECT event_type,
        count(DISTINCT CAST(ts AS DATE)) AS n_days,
        CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY event_type
 ORDER BY event_type
 """
@@ -604,12 +612,12 @@ QUERIES: dict[str, QuerySpec] = {
     # "zone_compaction_roundtrip": QuerySpec(
     #     zone_compaction_roundtrip, ZONE_COMPACTION_ROUNDTRIP_SQL
     # ),
-    # r16 queue (the r15 slot is events_rolling_value_quantiles —
-    # COVERAGE.md; budget 1 registration/round): the z-order layout
-    # path under the oracle, authored + parity-tested r14 —
-    # "zone_zorder_prune": QuerySpec(
-    #     zone_zorder_prune, ZONE_ZORDER_PRUNE_SQL
-    # ),
+    # registered r16 (authored + parity-tested r14; held by the
+    # 1-registration/round rotation budget): the z-order layout path
+    # under the oracle.
+    "zone_zorder_prune": QuerySpec(
+        zone_zorder_prune, ZONE_ZORDER_PRUNE_SQL
+    ),
     "events_jsonl_source_scan": QuerySpec(
         events_jsonl_source_scan, EVENTS_JSONL_SOURCE_SCAN_SQL
     ),

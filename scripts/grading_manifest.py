@@ -491,7 +491,20 @@ def main() -> int:
     # count round N+1's forced set (entries whose latest green would be
     # 2+ rounds old) plus a NEW_BUDGET allowance for next round's
     # new/changed queries; it must fit the window.
-    NEW_BUDGET = 5
+    #
+    # NEW_BUDGET history: 5 through r15 (the r12 era registered five
+    # queries in one round). Entering r16 the rotating set reached 143
+    # of the 150 = 3x50 steady-state ceiling, and the registration
+    # policy has been 1/round since r12 (queries/__init__.py capacity
+    # note) — a 5-slot allowance now fails every round on arithmetic
+    # alone (46 forced entering r17 is the cadence working as designed,
+    # not a scheduling hole). The allowance therefore matches the
+    # policy: 1 new registration. Fingerprint-forced EDITS get no
+    # reserved slack by design — operator-module edits must be
+    # scheduled WITH the window whose forced set already contains
+    # their dependents (the r15/r16 dedup-drain practice); query-local
+    # edits force only themselves and fit the same way.
+    NEW_BUDGET = 1
     simulated = dict(latest)
     for n in window:
         simulated[n] = max(simulated.get(n, 0), prep_round)
@@ -531,7 +544,12 @@ def main() -> int:
     #    recovery at rate 0 that carries the overflow, and report how
     #    many rounds until the forced set fits a window again. A debt
     #    that clears is a schedule, not a failure.
-    HORIZON = 8  # r13..r20 — the project's full remaining schedule
+    # The project's full remaining schedule (r20 is the final round):
+    # replaying PAST the last real round would demand capacity for
+    # rounds that will never run (the fixed 8 set at r13 began failing
+    # the moment the rotating set crossed 150 - 8 even though every
+    # real remaining round fits).
+    HORIZON = max(3, 21 - prep_round)
     fresh_state = {n: prep_round - 1 for n in rotating}
     capacity_rate = None
     for new_rate in range(NEW_BUDGET, -1, -1):

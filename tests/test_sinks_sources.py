@@ -571,8 +571,10 @@ def test_bucketed_segment_spend_matches_oracle(spark):
     """The r19-queued graded surface at the registry bar: the
     bucketed-ingest -> merge-hinted co-located join -> segment rollup
     must hash-match the direct-on-source aggregate at BOTH grading
-    scales (the query itself asserts SMJ + <=1 exchange inline, so a
-    lost co-location fails before the compare)."""
+    scales (the query itself asserts SMJ + <=2 exchanges inline — the
+    segment rollup's hash exchange and the final ORDER BY's range
+    exchange; the join adds none — so a lost co-location fails before
+    the compare)."""
     import duckdb
 
     from big_data_analytics_final_project_spark.queries.maintenance import (
