@@ -268,6 +268,20 @@ _BASELINE_ITEMS: list[tuple[str, dict[str, tuple[int, str]]]] = [
                          "set sides, which ReusedExchange usually "
                          "collapses to one (measured 2)")
     }),
+    ("zone_zorder_prune", {
+        "lineitem": (4, "the layout pass's designed shape (registered "
+                        "r16): one column-less count for the rank "
+                        "scaling + one pruned ranking/offsets pass "
+                        "per z column (the 32-row offsets BROADCAST "
+                        "job re-derives its range exchange in its own "
+                        "execution, where stage reuse cannot reach) + "
+                        "the write pass itself, whose in-job counts "
+                        "branches DO collapse (the 2 reused_exchanges "
+                        "measured). The nightly-OPTIMIZE class: "
+                        "scan-bounded, one range+one hash exchange "
+                        "per z column, never single-task"),
+        # the zone read-back is the _nontable scan (default 1)
+    }),
     ("zone_roundtrip_daily", {
         "events": (3, "footer-cheap max-day probe + bulk load + the "
                       "checkpointed upsert delta (r14 fix — was 5: "
