@@ -505,6 +505,68 @@ ORDER BY event_type
 """
 
 
+def zone_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC zone roundtrip (sinks.write_zone(format="orc") — previously
+    pytest-only, COVERAGE §2.1 bloom row "roundtrip equality
+    test-pinned") under the oracle: land a lineitem projection as an
+    ORC zone partitioned on l_returnflag and sorted within partitions
+    on l_shipdate, read it back through a ship-date band predicate,
+    and aggregate revenue per (returnflag, linestatus). The hash match
+    against the same aggregate computed directly on the parquet source
+    proves the cross-format write → partition → sort → read cycle
+    loses, duplicates, and retypes nothing — the one-argument swap an
+    ORC-standardized lake actually performs. The band predicate rides
+    the within-partition sort: ORC carries the same stripe-level
+    min/max machinery parquet does, so the read-back is a pruned scan,
+    not a full one.
+
+    Scale: the write is one partitioned sorted pass (3 partition
+    values; the sort key spreads stripes), the read-back a
+    predicate-pruned columnar scan — the same nightly-land shape as
+    zone_roundtrip_daily, exercised through the second builtin
+    columnar format. At 100 TB this is format portability under the
+    value-equality bar, not a new algorithm."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_shipdate",
+        "l_extendedprice", "l_discount",
+    )
+    zone = _scratch_zone("orc_zone", sf_dir)
+    write_zone(
+        li,
+        zone,
+        partition_by=["l_returnflag"],
+        sort_within_partitions=["l_shipdate"],
+        format="orc",
+    )
+    back = spark.read.orc(zone)
+    lo = F.to_timestamp(F.lit("1994-01-01 00:00:00"))
+    hi = F.to_timestamp(F.lit("1996-01-01 00:00:00"))
+    return (
+        back.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+            ),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ZONE_ORC_ROUNDTRIP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
 def bucketed_segment_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-bucketed co-located join (sinks.write_bucketed_table —
     previously pytest-only) under the oracle: persist customer and
@@ -611,6 +673,11 @@ QUERIES: dict[str, QuerySpec] = {
     # small-file compaction path under the oracle, authored r15 —
     # "zone_compaction_roundtrip": QuerySpec(
     #     zone_compaction_roundtrip, ZONE_COMPACTION_ROUNDTRIP_SQL
+    # ),
+    # r20 queue (COVERAGE.md; budget 1 registration/round): the ORC
+    # zone roundtrip under the oracle, authored r16 —
+    # "zone_orc_roundtrip": QuerySpec(
+    #     zone_orc_roundtrip, ZONE_ORC_ROUNDTRIP_SQL
     # ),
     # registered r16 (authored + parity-tested r14; held by the
     # 1-registration/round rotation budget): the z-order layout path

@@ -138,6 +138,7 @@ def main() -> int:
     from big_data_analytics_final_project_spark.queries.maintenance import (
         bucketed_segment_spend,
         zone_compaction_roundtrip,
+        zone_orc_roundtrip,
         zone_zorder_prune,
     )
     from big_data_analytics_final_project_spark.queries.windows import (
@@ -163,6 +164,7 @@ def main() -> int:
         "purchase_pit_order_status": QuerySpec(purchase_pit_order_status),
         "zone_compaction_roundtrip": QuerySpec(zone_compaction_roundtrip),
         "bucketed_segment_spend": QuerySpec(bucketed_segment_spend),
+        "zone_orc_roundtrip": QuerySpec(zone_orc_roundtrip),
     }
     specs = {**all_queries(), **BENCH_VARIANTS, **unregistered}
     names = args.queries or HEADLINE

@@ -595,3 +595,34 @@ def test_bucketed_segment_spend_matches_oracle(spark):
         rows = res.collect()
         assert len(rows) == 5  # every TPC-H market segment buys
         assert all(r["n_orders"] >= r["n_customers"] > 0 for r in rows)
+
+
+def test_zone_orc_roundtrip_matches_oracle(spark):
+    """The r20-queued graded surface at the registry bar: the ORC zone
+    write -> partition -> sort-within -> band-predicate read-back ->
+    aggregate must hash-match the direct-on-parquet-source aggregate
+    at BOTH grading scales (sinks.write_zone(format='orc') was
+    previously pinned only by the format-equality unit test above)."""
+    import duckdb
+
+    from big_data_analytics_final_project_spark.queries.maintenance import (
+        ZONE_ORC_ROUNDTRIP_SQL,
+        zone_orc_roundtrip,
+    )
+
+    from .conftest import SF_CORRECT, SF_SMOKE
+    from .parity import compare
+
+    for sf in (SF_SMOKE, SF_CORRECT):
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'"
+        )
+        res = zone_orc_roundtrip(spark, sf)
+        compare(res, con.sql(ZONE_ORC_ROUNDTRIP_SQL))
+        con.close()
+        rows = res.collect()
+        # the band predicate keeps every (returnflag, linestatus) combo
+        # populated at both grading scales
+        assert len(rows) >= 3
+        assert all(r["n_items"] > 0 and r["revenue"] > 0 for r in rows)
