@@ -377,6 +377,24 @@ def _prior_shuffles(
     }
 
 
+def _current_prep_round() -> int | None:
+    """The round currently being prepared: max recorded CORRECTNESS
+    round + 1 — the same derivation scripts/grading_manifest.py uses.
+    The shuffle trend gate excludes any SCANS artifact from this round
+    so a mid-round re-run compares against the PREVIOUS round's state,
+    never its own first sweep. None before the first graded round."""
+    import glob as _glob
+    import re as _re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds = [
+        int(m.group(1))
+        for p in _glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+        if (m := _re.search(r"r(\d+)\.json$", p))
+    ]
+    return max(rounds) + 1 if rounds else None
+
+
 def main() -> int:
     argv = sys.argv[1:]
     json_out = None
@@ -420,21 +438,8 @@ def main() -> int:
         # in-progress round from (r15 ADVICE: a custom -o name or a
         # no-JSON ad-hoc run would otherwise compare against the
         # artifact THIS round already committed, flagging its own
-        # expected shuffle moves as regressions). The round being
-        # prepared is max(CORRECTNESS round)+1 — the same derivation
-        # scripts/grading_manifest.py uses — so exclude any same-round
-        # artifact.
-        import glob as _glob
-        import re as _re
-
-        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        rounds = [
-            int(m.group(1))
-            for p in _glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
-            if (m := _re.search(r"r(\d+)\.json$", p))
-        ]
-        if rounds:
-            exclude = max(rounds) + 1
+        # expected shuffle moves as regressions).
+        exclude = _current_prep_round()
     prior_file, prior_shuffles = _prior_shuffles(sf_dir, exclude)
     report: dict[str, dict] = {}
     new_flags: list[str] = []

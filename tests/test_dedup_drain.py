@@ -39,3 +39,63 @@ def test_fuzzy_lazy_twin_row_identical(spark):
         lazy = dedup_fuzzy_pairs_q(spark, SF_SMOKE).collect()
     assert sorted(map(tuple, mat)) == sorted(map(tuple, lazy))
     assert mat, "empty relation would make the pin vacuous"
+
+
+def test_overlap_executed_scans_is_one(spark):
+    """The r16 drain's physical contract, pinned per pytest run (not
+    just per round-end audit): the materialized overlap operator reads
+    the documents parquet exactly ONCE across ALL its executions —
+    checkpoint fill included — and the result plan reads no parquet."""
+    from big_data_analytics_final_project_spark.plans import (
+        executed_scan_counts,
+    )
+
+    from .conftest import require_classic
+
+    require_classic(spark)
+    spark.catalog.clearCache()
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+    def _run():
+        df = overlap_coeff_pairs(docs, threshold=OVERLAP_THRESHOLD)
+        df.collect()
+        return df
+
+    out, scans = executed_scan_counts(spark, _run)
+    assert scans == {"documents": 1}, dict(scans)
+    plan = (
+        out._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "Scan parquet" not in plan, plan
+
+
+def test_fuzzy_executed_scans_is_one(spark):
+    """Same per-run pin for the fuzzy query's drain: one documents
+    scan total (the slice-frame checkpoint fill), result plan
+    parquet-free."""
+    from big_data_analytics_final_project_spark.plans import (
+        executed_scan_counts,
+    )
+
+    from .conftest import require_classic
+
+    require_classic(spark)
+    spark.catalog.clearCache()
+
+    def _run():
+        df = dedup_fuzzy_pairs_q(spark, SF_SMOKE)
+        df.collect()
+        return df
+
+    out, scans = executed_scan_counts(spark, _run)
+    assert scans == {"documents": 1}, dict(scans)
+    plan = (
+        out._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "Scan parquet" not in plan, plan
