@@ -280,6 +280,7 @@ def jaccard_pairs_collapsed(
     id_col: str = "doc_id",
     use_shingles: bool = False,
     expand: bool = True,
+    materialize: bool | None = None,
 ) -> DataFrame:
     """`jaccard_pairs` with exact duplicates collapsed FIRST — the
     production composition for duplicate-heavy corpora.
@@ -319,7 +320,26 @@ def jaccard_pairs_collapsed(
     the expanded row count exactly.
 
     Same md5-collision assumption as `dedup_exact`.
+
+    Two corpus scans (r16, formerly 3): the collapsed rep frame
+    (distinct texts + copy counts — the relation whose smallness IS
+    this operator's scale story) and, on the expand path, the thin
+    (member_id, hash) mapping are each eagerly
+    ``localCheckpoint``-ed once; the PPJoin candidate generator's
+    three internal set consumers, the within-group machinery, and the
+    expansion joins all re-derive from those checkpoints. Two is the
+    DELIBERATE floor: the only single-scan route would checkpoint the
+    full raw-text column per member (rep and member frames both need
+    md5(text), but only reps needs the text itself), and materializing
+    a 100 TB text column to save one pruned scan inverts the trade
+    every other drain in this module makes. Staging blocks are freed
+    once the result checkpoint lands (operators/checkpoints.py); plan
+    tooling flips ``materialize`` off via ``lazy_results``, and the
+    lazy twin is pinned row-identical in tests/test_dedup_drain.py.
     """
+    from .checkpoints import resolve_materialize, unpersist_local_checkpoint
+
+    mat = resolve_materialize(materialize)
     hashed = docs.select(
         F.col(id_col).alias("member_id"),
         F.col(text_col).alias("_text"),
@@ -330,6 +350,8 @@ def jaccard_pairs_collapsed(
         F.first("_text").alias(text_col),
         F.count(F.lit(1)).alias("n_copies"),
     )
+    if mat:
+        reps = reps.localCheckpoint(eager=True)
     rep_pairs = jaccard_pairs(
         reps.select("doc_id", text_col),
         threshold=threshold,
@@ -386,9 +408,18 @@ def jaccard_pairs_collapsed(
                 .alias("n_pairs"),
             )
         )
-        return cross.unionByName(within).orderBy("doc_a", "doc_b")
+        out = cross.unionByName(within).orderBy("doc_a", "doc_b")
+        if mat:
+            out = out.localCheckpoint(eager=True)
+            unpersist_local_checkpoint(reps)
+        return out
 
+    # the expand path's only other corpus consumer — checkpointed
+    # AFTER the compact branch returns so expand=False stays a
+    # single-fill plan (members is unused there)
     members = hashed.select("member_id", "_h")
+    if mat:
+        members = members.localCheckpoint(eager=True)
     rep_to_h = reps.select(F.col("doc_id").alias("_rid"), "_h")
     # cross-group: rep pair -> every member of A x every member of B;
     # both joins fan out by exactly the rows the output needs
@@ -430,7 +461,12 @@ def jaccard_pairs_collapsed(
             F.lit(1.0).alias("jaccard"),
         )
     )
-    return cross.unionByName(within).orderBy("doc_a", "doc_b")
+    out = cross.unionByName(within).orderBy("doc_a", "doc_b")
+    if mat:
+        out = out.localCheckpoint(eager=True)
+        unpersist_local_checkpoint(reps)
+        unpersist_local_checkpoint(members)
+    return out
 
 
 def overlap_coeff_pairs(

@@ -48,7 +48,15 @@ _BASELINE_ITEMS: list[tuple[str, dict[str, tuple[int, str]]]] = [
         "documents": (2, "self-join sides; materializing is corpus-sized")
     }),
     ("dedup_jaccard_collapsed", {
-        "documents": (3, "collapse consumed by both self-join sides")
+        "documents": (2, "r16 drain (was 3): the collapsed rep frame "
+                         "and the thin (member, hash) mapping are "
+                         "each checkpointed once and feed every "
+                         "downstream consumer. Two is the deliberate "
+                         "floor — the only single-scan route would "
+                         "checkpoint the raw text column per member "
+                         "(both frames need md5(text); only reps "
+                         "needs the text), inverting the trade at "
+                         "100 TB")
     }),
     # dedup_overlap_pairs: no entry — r16 drained its 3-scan allowance
     # (the lm_train_score pattern): the distinct-shingle-set frame is

@@ -99,3 +99,90 @@ def test_fuzzy_executed_scans_is_one(spark):
         .split("== Initial Plan ==")[0]
     )
     assert "Scan parquet" not in plan, plan
+
+
+def test_collapsed_lazy_twin_row_identical(spark):
+    """The r16 collapsed-drain differential: the two-checkpoint
+    materialized posture must be value-identical to the lazy
+    multi-scan shape, on the expand path the registered query runs."""
+    from big_data_analytics_final_project_spark.operators.dedup import (
+        jaccard_pairs_collapsed,
+    )
+    from big_data_analytics_final_project_spark.queries.dedup import (
+        JACCARD_THRESHOLD,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    mat = jaccard_pairs_collapsed(
+        docs, threshold=JACCARD_THRESHOLD, use_shingles=True
+    ).collect()
+    with lazy_results():
+        lazy = jaccard_pairs_collapsed(
+            docs, threshold=JACCARD_THRESHOLD, use_shingles=True
+        ).collect()
+    assert sorted(map(tuple, mat)) == sorted(map(tuple, lazy))
+    assert mat, "empty relation would make the pin vacuous"
+
+
+def test_collapsed_executed_scans_is_two(spark):
+    """The collapsed drain's physical contract, pinned per pytest run:
+    exactly TWO documents reads across all executions (the rep-frame
+    fill + the member-mapping fill — the documented no-raw-text floor)
+    and a parquet-free result plan."""
+    from big_data_analytics_final_project_spark.plans import (
+        executed_scan_counts,
+    )
+    from big_data_analytics_final_project_spark.queries.dedup import (
+        dedup_jaccard_collapsed_q,
+    )
+
+    from .conftest import require_classic
+
+    require_classic(spark)
+    spark.catalog.clearCache()
+
+    def _run():
+        df = dedup_jaccard_collapsed_q(spark, SF_SMOKE)
+        df.collect()
+        return df
+
+    out, scans = executed_scan_counts(spark, _run)
+    assert scans == {"documents": 2}, dict(scans)
+    plan = (
+        out._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "Scan parquet" not in plan, plan
+
+
+def test_collapsed_compact_path_single_fill(spark):
+    """expand=False never builds the member mapping: ONE documents
+    read (the rep-frame fill alone)."""
+    from big_data_analytics_final_project_spark.operators.dedup import (
+        jaccard_pairs_collapsed,
+    )
+    from big_data_analytics_final_project_spark.plans import (
+        executed_scan_counts,
+    )
+    from big_data_analytics_final_project_spark.queries.dedup import (
+        JACCARD_THRESHOLD,
+    )
+
+    from .conftest import require_classic
+
+    require_classic(spark)
+    spark.catalog.clearCache()
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+    def _run():
+        df = jaccard_pairs_collapsed(
+            docs, threshold=JACCARD_THRESHOLD, use_shingles=True,
+            expand=False,
+        )
+        df.collect()
+        return df
+
+    _, scans = executed_scan_counts(spark, _run)
+    assert scans == {"documents": 1}, dict(scans)
