@@ -548,8 +548,11 @@ def main() -> int:
     # replaying PAST the last real round would demand capacity for
     # rounds that will never run (the fixed 8 set at r13 began failing
     # the moment the rotating set crossed 150 - 8 even though every
-    # real remaining round fits).
-    HORIZON = max(3, 21 - prep_round)
+    # real remaining round fits). Floor 1, not 3 (r16 advice): a floor
+    # above the true remainder resurrects exactly the phantom-round
+    # over-demand this clamp exists to remove (prep_round 19 would
+    # replay r21; 20 would replay r21-r22).
+    HORIZON = max(1, 21 - prep_round)
     fresh_state = {n: prep_round - 1 for n in rotating}
     capacity_rate = None
     for new_rate in range(NEW_BUDGET, -1, -1):

@@ -390,7 +390,20 @@ def _current_prep_round() -> int | None:
     round + 1 — the same derivation scripts/grading_manifest.py uses.
     The shuffle trend gate excludes any SCANS artifact from this round
     so a mid-round re-run compares against the PREVIOUS round's state,
-    never its own first sweep. None before the first graded round."""
+    never its own first sweep. None before the first graded round.
+
+    TAIL-WINDOW CAVEAT (r16 advice): in the sliver after
+    CORRECTNESS_rN is recorded but before round N+1's first edit, an
+    ad-hoc (non-canonically-named) run computes prep=N+1 and takes
+    SCANS_rN as its prior — a self-comparison IF one still considers
+    round N open. The states "tail of N" and "start of N+1" are
+    indistinguishable from artifacts alone (both have CORRECTNESS max
+    = SCANS max = N), and any formula that drops SCANS_rN there also
+    drops the legitimate prior at the start of round N+1, so this is
+    documented rather than coded around. The canonical per-round
+    invocation (--json SCANS_r{N}.json) is unaffected: it derives the
+    exclusion from its own output filename, never from this
+    fallback."""
     import glob as _glob
     import re as _re
 

@@ -21,12 +21,28 @@ from scan_audit import _current_prep_round, _prior_shuffles  # noqa: E402
 SF = "/root/testdata/sf0.001"
 
 
-def _rounds(pattern: str) -> list[int]:
-    return sorted(
-        int(m.group(1))
-        for p in glob.glob(os.path.join(REPO, pattern))
-        if (m := re.search(r"r(\d+)\.json$", p))
-    )
+def _rounds(pattern: str, sf_dir: str | None = None) -> list[int]:
+    """Recorded round numbers, optionally restricted to artifacts
+    whose sf_dir field equals `sf_dir` — the selection under test is
+    same-scale-only, so the expectation must be too (r16 advice: an
+    unfiltered expectation breaks the moment any round records a scan
+    audit at a different scale)."""
+    import json
+
+    out = []
+    for p in glob.glob(os.path.join(REPO, pattern)):
+        m = re.search(r"r(\d+)\.json$", p)
+        if not m:
+            continue
+        if sf_dir is not None:
+            try:
+                with open(p) as fh:
+                    if json.load(fh).get("sf_dir") != sf_dir:
+                        continue
+            except (OSError, ValueError):
+                continue
+        out.append(int(m.group(1)))
+    return sorted(out)
 
 
 def test_prep_round_is_one_past_last_graded():
@@ -49,9 +65,9 @@ def test_prior_never_selects_the_in_progress_round():
 
 def test_exclude_round_steps_back_through_history():
     """Excluding round N must select the newest same-sf artifact
-    strictly older than N — pinned on the committed r14/r15/r16
-    artifacts (all at sf0.001)."""
-    scans = _rounds("SCANS_r*.json")
+    strictly older than N — expectation restricted to sf0.001
+    artifacts, matching the selection's own same-scale rule."""
+    scans = _rounds("SCANS_r*.json", sf_dir=SF)
     assert len(scans) >= 2
     newest, second = scans[-1], scans[-2]
     fname, _ = _prior_shuffles(SF, newest + 1)
