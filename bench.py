@@ -72,6 +72,21 @@ PAIRED_QUERIES = [
     "doc_quality_score",
 ]
 
+# Layout-class control (r16 verdict #1 / next-round #4): the write-path
+# queries (z-order today; compaction/ORC when they register) are priced
+# like the layout jobs they are — the most expensive headline entries —
+# and had no interleaved entry to cancel session noise against, so a
+# round-over-round move could not be adjudicated ENVIRONMENT the way
+# segment_value_psi's was. They cannot join PAIRED_QUERIES (the r2
+# pinned commit predates them), so they get their own coprocess pinned
+# at the first commit that contains zone_zorder_prune's registered
+# state (the r16 close). Same interleave, separate `layout_control`
+# key in the JSON line.
+LAYOUT_PAIRED_COMMIT = "add331f"
+LAYOUT_PAIRED_QUERIES = [
+    "zone_zorder_prune",
+]
+
 
 class PairedControl:
     """The pinned-commit control as a long-lived COPROCESS
@@ -87,9 +102,12 @@ class PairedControl:
     error in the result dict and every method degrades to a no-op —
     the head bench must never lose its timings to the control."""
 
-    def __init__(self, commit: str, sf_dir: str) -> None:
+    def __init__(
+        self, commit: str, sf_dir: str, queries: list[str] | None = None
+    ) -> None:
         self.commit = commit
         self.sf_dir = sf_dir
+        self.queries = PAIRED_QUERIES if queries is None else queries
         self.timings: dict[str, float] = {}
         self.errors: dict[str, str] = {}
         self.error: str | None = None
@@ -152,7 +170,7 @@ class PairedControl:
             if not ready.get("ready"):
                 raise RuntimeError(f"control not ready: {ready}")
             if warm_dir:
-                for name in PAIRED_QUERIES:
+                for name in self.queries:
                     self._send(
                         json.dumps(
                             {"cmd": "run", "sf_dir": warm_dir, "name": name}
@@ -167,7 +185,7 @@ class PairedControl:
         per-query minimums — called between head passes."""
         if self.error is not None:
             return
-        for name in PAIRED_QUERIES:
+        for name in self.queries:
             if name in self.errors:
                 continue
             try:
@@ -328,6 +346,11 @@ HEADLINE = [
     # per z column, Morton interleave, range-partitioned sorted write)
     # plus the 2-D band-predicate read-back it accelerates
     "zone_zorder_prune",
+    # added r17 (totals not comparable to BENCH_r16 on this line): the
+    # round's registration — the point-in-time SCD2 feature join (one
+    # user-keyed as-of union+window pass over purchases × status
+    # versions)
+    "purchase_pit_order_status",
 ]
 
 
@@ -406,6 +429,7 @@ def main() -> int:
     # two JVMs never execute at once): each of the 3 timed rounds runs
     # head-pass then control-pass, A/B/A/B — see PairedControl.
     control: PairedControl | None = None
+    layout_control: PairedControl | None = None
     if paired_on:
         control = PairedControl(paired_commit, sf_dir)
         control.start(
@@ -413,6 +437,20 @@ def main() -> int:
             if os.path.isdir(warm_dir) and warm_dir != sf_dir
             else None
         )
+        # The layout-class control (r16 verdict finding #1) only makes
+        # sense when its queries are in this run's head set — on a
+        # subset bench that skips them, skip the second coprocess too.
+        if any(n in names for n in LAYOUT_PAIRED_QUERIES):
+            layout_control = PairedControl(
+                LAYOUT_PAIRED_COMMIT,
+                sf_dir,
+                queries=[n for n in LAYOUT_PAIRED_QUERIES if n in names],
+            )
+            layout_control.start(
+                warm_dir
+                if os.path.isdir(warm_dir) and warm_dir != sf_dir
+                else None
+            )
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -434,6 +472,8 @@ def main() -> int:
                 timings[name] = elapsed
         if control is not None:
             control.run_pass()
+        if layout_control is not None:
+            layout_control.run_pass()
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -447,6 +487,8 @@ def main() -> int:
         out["errors"] = errors
     if control is not None:
         out["control"] = control.finish()
+    if layout_control is not None:
+        out["layout_control"] = layout_control.finish()
     print(json.dumps(out))
     return 0
 

@@ -50,71 +50,73 @@ class QuerySpec:
 # slots, heaviest/flagship shapes first, which smooths the next
 # round's forced load.
 #
-# Round-16 instance — ROTATION WINDOW + THE DEDUP SCAN-ALLOWANCE
-# DRAIN. The forced set (49) is the staleness sweep the manifest
-# flagged entering r16 (the r13-green names aging out) plus this
-# round's fingerprint-forced edits: the operators/dedup.py
-# checkpoint-the-staged-frame drain (dedup_overlap_pairs and
-# dedup_fuzzy_pairs 3->1 executed documents scans — the
-# lm_train_score pattern; the format-2 deep fingerprints cascade the
-# whole dedup family into the window, which is exactly why the drain
-# was scheduled WITH this rotation) and the round's one new
-# registration (zone_zorder_prune — the z-order layout path, the r16
-# queue slot, authored+parity-tested r14). The 1 remaining slot takes
-# the oldest-green backfill name.
+# Round-17 instance — ROTATION WINDOW + THE EMBEDDINGS-TRIO DRAIN
+# (first two of three). The forced set (49) is the staleness sweep
+# the manifest flagged entering r17 (the r14-green names aging out),
+# the round's one new registration (purchase_pit_order_status — the
+# point-in-time SCD2 feature join, the r17 queue slot,
+# authored+parity-tested r14), and this round's fingerprint-forced
+# edits: ann_ivf and embedding_near_dup switched to the staged
+# 2-scan variants (operators/similarity_staged.py — a SIBLING module
+# precisely so the deep fingerprints cascade ONLY into these two
+# already-in-window names; editing similarity.py itself would have
+# forced knn_bruteforce/ann_hyperplane_lsh/media_feature_knn over
+# the 50-slot ceiling). dedup_semantic_clusters keeps the lazy shape
+# until the r19 similarity rotation carries its matching drain. The
+# 1 remaining slot takes the oldest-green backfill name.
 GRADING_PRIORITY: tuple[str, ...] = (
     # -- forced: stale + new/changed this round --
+    "ann_ivf",
+    "bloom_pruned_revenue",
+    "clicks_before_purchase",
+    "concurrent_sessions_peak",
+    "conversion_funnel",
+    "corpus_bigram_topk",
     "corpus_bpe_merges",
-    "corpus_curation_report",
-    "customers_without_orders",
-    "dedup_clusters",
-    "dedup_exact",
-    "dedup_fuzzy_pairs",
-    "dedup_incremental",
-    "dedup_jaccard_collapsed",
-    "dedup_jaccard_pairs",
-    "dedup_minhash_lsh",
-    "dedup_overlap_pairs",
-    "dedup_semantic_clusters",
-    "dedup_simhash",
-    "discount_revenue_delta",
-    "doc_dedup_survivors",
-    "doc_quality_score",
-    "doc_repetition_stats",
-    "doc_unigram_entropy",
-    "doc_weighted_sample",
-    "embedding_kmeans",
-    "events_hypertable_rollup",
-    "events_json_roundtrip",
-    "events_rowkey_export",
-    "events_sessionized",
-    "important_part_share",
-    "join_key_skew_report",
-    "json_ingest_roundtrip",
-    "json_ingest_with_errors",
-    "knn_bruteforce",
-    "media_avi_frames",
-    "media_feature_knn",
-    "media_frame_sample",
-    "media_png_dims",
-    "media_wav_rms",
-    "min_cost_supplier",
-    "nation_market_share",
-    "orders_profile_drift",
-    "part_pagerank",
-    "part_triangle_count",
-    "pricing_summary",
-    "product_profit_by_nation",
-    "purchase_last_click",
-    "report_csv_roundtrip",
-    "revenue_by_brand",
-    "session_stats_per_user",
-    "user_freq_cms",
-    "user_spend_trend",
-    "waiting_supplier",
-    "zone_zorder_prune",
+    "corpus_overlap_kmv",
+    "corpus_pack_bins",
+    "corpus_vocab_topk",
+    "customer_cohort_setops",
+    "customer_order_distribution",
+    "customer_spend_deciles",
+    "customer_status_scd2",
+    "daily_active_users",
+    "daily_active_users_approx",
+    "doc_bpe_token_stats",
+    "doc_fingerprint",
+    "doc_lang_id",
+    "doc_pii_scrub",
+    "doc_sample_stratified",
+    "doc_top_keywords",
+    "dominant_part_suppliers",
+    "embedding_near_dup",
+    "engagement_spend_correlation",
+    "engagement_vs_spend",
+    "event_type_pivot",
+    "events_gap_filled_hourly",
+    "events_props_parse",
+    "events_sliding_2h",
+    "events_tumbling_hourly",
+    "international_revenue",
+    "media_png_pixels",
+    "nested_order_items",
+    "order_cart_map",
+    "order_price_quantiles_approx",
+    "order_totals_reconciliation",
+    "orders_status_priority_cube",
+    "purchase_last_click_matched",
+    "purchase_pit_order_status",
+    "referential_integrity_audit",
+    "segment_counts",
+    "top_order_per_customer",
+    "top_spenders",
+    "user_event_runs",
+    "user_events_lookup",
+    "user_rolling_7d_spend",
+    "weekly_retention",
+    "zone_roundtrip_daily",
     # -- oldest-green backfill --
-    "ann_hyperplane_lsh",
+    "also_bought_pairs",
     # ---- driver's 50-entry window ends here ----
 )
 

@@ -10,12 +10,15 @@ from ..operators.kmeans import kmeans_assign, kmeans_assign_sql
 from ..operators.similarity import (
     ann_hyperplane_lsh,
     ann_hyperplane_lsh_sql,
-    ann_ivf,
     ann_ivf_sql,
     embedding_near_dup,
     embedding_near_dup_sql,
     knn_bruteforce,
     knn_bruteforce_sql,
+)
+from ..operators.similarity_staged import (
+    ann_ivf_staged,
+    embedding_near_dup_staged,
 )
 from ..sources import load_table
 from . import QuerySpec
@@ -44,8 +47,11 @@ def ann_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # staged variant (r17): 2 embeddings scans — centroid fit + the
+    # checkpointed assignment build; the lazy `ann_ivf` twin stays
+    # row-identical (tests/test_similarity_drain.py)
     emb = load_table(spark, sf_dir, "embeddings")
-    return ann_ivf(emb, lambda c: c < _N_QUERIES, k=_K_ANN)
+    return ann_ivf_staged(emb, lambda c: c < _N_QUERIES, k=_K_ANN)
 
 
 def _rp_weights(out_dims: int, in_dims: int) -> list[list[float]]:
@@ -279,8 +285,13 @@ QUERIES: dict[str, QuerySpec] = {
         ann_lsh_q, ann_hyperplane_lsh_sql(f"_id < {_N_QUERIES}", _K_ANN)
     ),
     "ann_ivf": QuerySpec(ann_ivf_q, ann_ivf_sql(f"_id < {_N_QUERIES}", _K_ANN)),
+    # staged variant (r17): 2 embeddings scans — centroid fit + the
+    # checkpointed cell-assignment build; the lazy `embedding_near_dup`
+    # twin stays row-identical (tests/test_similarity_drain.py).
+    # `dedup_semantic_clusters_q` keeps the lazy shape until its own
+    # drain lands with the r19 similarity rotation.
     "embedding_near_dup": QuerySpec(
-        lambda spark, sf_dir: embedding_near_dup(
+        lambda spark, sf_dir: embedding_near_dup_staged(
             load_table(spark, sf_dir, "embeddings"), threshold=_NEAR_DUP_T
         ),
         embedding_near_dup_sql(_NEAR_DUP_T),

@@ -1337,13 +1337,12 @@ ORDER BY p.event_id
 
 
 QUERIES: dict[str, QuerySpec] = {
-    # r17 queue (r15 = events_rolling_value_quantiles, r16 =
-    # zone_zorder_prune — COVERAGE.md; budget 1 registration/round):
-    # the point-in-time SCD2 feature join, authored + parity-tested
-    # r14 (tests/test_scd2.py) —
-    # "purchase_pit_order_status": QuerySpec(
-    #     purchase_pit_order_status, PURCHASE_PIT_ORDER_STATUS_SQL
-    # ),
+    # registered r17 (authored + parity-tested r14, tests/test_scd2.py;
+    # held since by the 1-registration/round window budget — COVERAGE.md
+    # r15/r16 pointers): the point-in-time SCD2 feature join —
+    "purchase_pit_order_status": QuerySpec(
+        purchase_pit_order_status, PURCHASE_PIT_ORDER_STATUS_SQL
+    ),
     "top_order_per_customer": QuerySpec(
         top_order_per_customer, TOP_ORDER_PER_CUSTOMER_SQL
     ),

@@ -173,10 +173,22 @@ _BASELINE_ITEMS: list[tuple[str, dict[str, tuple[int, str]]]] = [
         "documents": (2, "query/corpus sides of the feature kNN")
     }),
     ("embedding_near_dup", {
-        "embeddings": (3, "bucket fit + both self-join sides")
+        "embeddings": (2, "r17 drain (was 3): centroid fit + the "
+                          "eager cell-assignment checkpoint "
+                          "(operators/similarity_staged.py); the "
+                          "self-join sides and rep chain read the "
+                          "checkpoint. 2 is the documented floor — "
+                          "a 1-scan route would checkpoint the raw "
+                          "corpus frame before the fit; per-run "
+                          "pins in tests/test_similarity_drain.py")
     }),
     ("ann_ivf", {
-        "embeddings": (3, "centroid-fit pass + assignment + query probe")
+        "embeddings": (2, "r17 drain (was 3): centroid fit + the "
+                          "eager ranked-assignment checkpoint "
+                          "(operators/similarity_staged.py); index "
+                          "and probe sides read the checkpoint. "
+                          "Same 2-scan floor and per-run pins as "
+                          "embedding_near_dup")
     }),
     ("ann_hyperplane_lsh", {
         "embeddings": (3, "plane fit + bucket assignment + query probe")
@@ -339,6 +351,13 @@ _SHUFFLE_JITTER: dict[str, tuple[int, str]] = {
         "measured r15: 5 audit runs on identical sf0.001 data gave "
         "49/50/50/50/51 shuffles with broadcasts 20-22 — one "
         "borderline join inside the component loop flips under AQE",
+    ),
+    "dedup_jaccard_collapsed": (
+        1,
+        "measured r17 on UNTOUCHED code: 5 single-query audit runs on "
+        "identical sf0.001 data gave 8/8/8/7/7 shuffles (r15 pre-drain "
+        "8, r16 post-drain 7) — one borderline expansion join flips "
+        "broadcast<->shuffle under AQE",
     ),
 }
 

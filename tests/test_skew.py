@@ -135,6 +135,28 @@ def test_near_dup_split_bounds_oversized_cells(spark):
     assert labels.filter(F.col("node") < 180).count() == 180
 
 
+def test_near_dup_staged_split_path_matches_lazy(spark):
+    """The graded query runs the STAGED near-dup variant since r17
+    (operators/similarity_staged.py); the sf-scale drain pins
+    (tests/test_similarity_drain.py) never exercise the oversized-cell
+    split, so pin the staged split+chain machinery against the lazy
+    operator on the skewed corpus explicitly."""
+    from big_data_analytics_final_project_spark.operators.similarity import (
+        embedding_near_dup,
+    )
+    from big_data_analytics_final_project_spark.operators.similarity_staged import (
+        embedding_near_dup_staged,
+    )
+
+    _, emb = _skewed_embeddings(spark)
+    staged = embedding_near_dup_staged(
+        emb, threshold=0.3, max_cell_rows=16
+    ).collect()
+    lazy = embedding_near_dup(emb, threshold=0.3, max_cell_rows=16).collect()
+    assert sorted(map(tuple, staged)) == sorted(map(tuple, lazy))
+    assert staged, "empty relation would make the pin vacuous"
+
+
 def test_near_dup_split_path_matches_duckdb_oracle(spark):
     """The graded SFs never exercise the split (no cell exceeds the
     default cap), so prove the split+chain arithmetic cross-engine on
