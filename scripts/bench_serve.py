@@ -45,6 +45,32 @@ def main() -> int:
         app_name="bench-control", extra_conf={"spark.ui.enabled": "false"}
     )
     specs = all_queries()
+
+    def _resolve(name: str):
+        """Registered queries first; else fall back to an
+        authored-but-unregistered query function by name (the
+        scale_smoke.py convention). Lets a layout query serve as its
+        own control twin against a pinned commit where it was already
+        AUTHORED but not yet REGISTERED (r17: zone_compaction's r18
+        control would otherwise need a commit that can't exist —
+        registration and control-pinning land in the same round)."""
+        if name in specs:
+            return specs[name].fn
+        import importlib
+
+        for mod in ("maintenance", "windows", "quality", "text", "drift",
+                    "batch"):
+            try:
+                m = importlib.import_module(
+                    f"big_data_analytics_final_project_spark.queries.{mod}"
+                )
+            except ImportError:
+                continue
+            fn = getattr(m, name, None)
+            if callable(fn):
+                return fn
+        raise KeyError(name)
+
     spark.range(1).count()  # force the JVM fully up before "ready"
     print(json.dumps({"ready": True}), flush=True)
     for line in sys.stdin:
@@ -63,7 +89,7 @@ def main() -> int:
         sf_dir, name = cmd["sf_dir"], cmd["name"]
         t0 = time.perf_counter()
         try:
-            specs[name].fn(spark, sf_dir).write.format("noop").mode(
+            _resolve(name)(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
             out = {
