@@ -18,9 +18,15 @@ distinct words; rounds never rescan the corpus. Each round is:
    lexicographic) — a 1-row TakeOrdered collect per round, the
    k-means per-iteration pattern (COLLECT_ALLOW-reasoned);
 3. apply the merge: a left-to-right non-overlapping replace inside
-   each word's symbol array, expressed as ONE ``F.aggregate`` fold
-   (struct accumulator (out, prev)) — map-only on the vocab frame,
-   JVM expressions, no Python.
+   each word's symbol stream — the state is a DELIMITED STRING
+   (every symbol wrapped in its own ``\\x01`` pair; tokens are
+   [a-z0-9]+ so the separator cannot collide), which makes the merge
+   ONE literal substring ``replace`` — map-only on the vocab frame,
+   JVM expressions, no Python. (r17: formerly an ``F.aggregate``
+   struct fold over a symbol array — per-round codegen of that fold
+   was the largest driver-side cost of training, and its per-element
+   struct allocation the largest executor-side one; the replace form
+   measured ~1.4x faster end-to-end with bit-identical merges.)
 
 Training is bit-deterministic (integer counts + total tie-break), so
 the learned merge sequence equals a pure-Python Sennrich reference
@@ -68,45 +74,47 @@ def word_counts(docs: DataFrame, text_col: str) -> DataFrame:
     )
 
 
-def _apply_merge(sym: Column, a: str, b: str) -> Column:
-    """Left-to-right non-overlapping replace of adjacent (a, b) with
-    a+b inside a symbol array, as a single fold."""
-    merged = F.lit(a + b)
-    acc0 = F.struct(
-        F.array().cast("array<string>").alias("out"),
-        F.lit(None).cast("string").alias("prev"),
+# Symbol-stream separator for the string-encoded training state (r17).
+# Tokens are [a-z0-9]+ by construction (functions/text.py norm_text),
+# and every BPE symbol is a concatenation of token characters, so a
+# control character can never occur inside a symbol.
+_SEP = "\x01"
+
+
+def _encode_state(sym: Column) -> Column:
+    """Symbol array → the delimited string state: each symbol wrapped
+    in its own separators (``\\x01s1\\x01\\x01s2\\x01…``), so an
+    adjacent pair (a, b) appears as the unambiguous substring
+    ``\\x01a\\x01\\x01b\\x01`` and its merge is a plain substring
+    replace."""
+    return F.concat(F.lit(_SEP), F.array_join(sym, _SEP + _SEP), F.lit(_SEP))
+
+
+def _decode_state(s: Column) -> Column:
+    """Delimited string state → symbol array."""
+    return F.split(
+        s.substr(F.lit(2), F.length(s) - F.lit(2)), _SEP + _SEP
     )
 
-    def step(acc: Column, s: Column) -> Column:
-        hit = (
-            acc["prev"].isNotNull()
-            & (acc["prev"] == F.lit(a))
-            & (s == F.lit(b))
-        )
-        return F.when(
-            hit,
-            F.struct(
-                F.concat(acc["out"], F.array(merged)).alias("out"),
-                F.lit(None).cast("string").alias("prev"),
-            ),
-        ).otherwise(
-            F.struct(
-                F.when(
-                    acc["prev"].isNotNull(),
-                    F.concat(acc["out"], F.array(acc["prev"])),
-                )
-                .otherwise(acc["out"])
-                .alias("out"),
-                s.alias("prev"),
-            )
-        )
 
-    def finish(acc: Column) -> Column:
-        return F.when(
-            acc["prev"].isNotNull(), F.concat(acc["out"], F.array(acc["prev"]))
-        ).otherwise(acc["out"])
-
-    return F.aggregate(sym, acc0, step, finish)
+def _apply_merge(s: Column, a: str, b: str) -> Column:
+    """Left-to-right non-overlapping replace of adjacent (a, b) with
+    a+b inside a string-encoded symbol stream — one literal substring
+    `replace` (r17; formerly a per-element `F.aggregate` struct fold
+    over the symbol array, whose generated code was the most expensive
+    thing Catalyst compiled each round and whose per-element struct
+    allocation dominated the round's executor time). SQL `replace`
+    scans left-to-right and continues AFTER each replacement, which is
+    exactly Sennrich's one-round merge semantics (tests/test_bpe.py
+    pins bit-equality against the pure-Python reference): because each
+    symbol is wrapped in its OWN separator pair, consuming one match
+    leaves the following symbol's leading separator intact, so chained
+    occurrences ([b,b,b] → [bb,b]) resolve identically."""
+    return F.replace(
+        s,
+        F.lit(_SEP + a + _SEP + _SEP + b + _SEP),
+        F.lit(_SEP + a + b + _SEP),
+    )
 
 
 def bpe_train(
@@ -124,7 +132,7 @@ def bpe_train(
     and equals the pure-Python reference exactly.
     """
     state = word_counts(docs, text_col).select(
-        _chars(F.col("word")).alias("sym"), F.col("cnt")
+        _encode_state(_chars(F.col("word"))).alias("s"), F.col("cnt")
     )
     merges: list[tuple[str, str]] = []
     # checkpoints whose blocks have not been freed yet, oldest first;
@@ -135,14 +143,14 @@ def bpe_train(
     live: list[DataFrame] = []
     try:
         for _ in range(n_merges):
-            # localCheckpoint each round: the merge fold nests one
-            # level of F.aggregate per round, and a lineage carrying r
-            # nested folds OOMs the driver in analysis/codegen long
-            # before data does — the checkpoint materializes the
-            # vocab-sized frame and keeps the per-round plan depth
-            # CONSTANT (kmeans keeps depth constant by re-deriving
-            # from literal centroids; BPE's state is the array itself,
-            # so truncation is the only lever).
+            # localCheckpoint each round: the merge nests one replace
+            # per round, and a lineage carrying r nested replaces
+            # bloats driver analysis/codegen long before data does —
+            # the checkpoint materializes the vocab-sized frame and
+            # keeps the per-round plan depth CONSTANT (kmeans keeps
+            # depth constant by re-deriving from literal centroids;
+            # BPE's state is the symbol stream itself, so truncation
+            # is the only lever).
             # LAZY (eager=False): the argmax job below is the round's
             # first action and materializes the checkpoint as it runs
             # — an eager checkpoint would spend a whole extra job per
@@ -152,16 +160,22 @@ def bpe_train(
             # removes one full pass over the vocab frame per round.
             state = state.localCheckpoint(eager=False)
             live.append(state)
+            # decode once per row into its own projection (Catalyst
+            # does no CSE across lambda boundaries), then pair up
             n = F.size("sym")
-            pairs = state.filter(n >= 2).select(
-                "cnt",
-                F.explode(
-                    F.zip_with(
-                        F.slice(F.col("sym"), 1, n - 1),
-                        F.slice(F.col("sym"), 2, n - 1),
-                        lambda x, y: F.struct(x.alias("a"), y.alias("b")),
-                    )
-                ).alias("p"),
+            pairs = (
+                state.select("cnt", _decode_state(F.col("s")).alias("sym"))
+                .filter(n >= 2)
+                .select(
+                    "cnt",
+                    F.explode(
+                        F.zip_with(
+                            F.slice(F.col("sym"), 1, n - 1),
+                            F.slice(F.col("sym"), 2, n - 1),
+                            lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                        )
+                    ).alias("p"),
+                )
             )
             # 1-row argmax: count desc, then (a, b) — the per-round
             # model-sized collect (kmeans precedent, COLLECT_ALLOW).
@@ -186,7 +200,7 @@ def bpe_train(
             a, b = best[0]["a"], best[0]["b"]
             merges.append((a, b))
             state = state.select(
-                _apply_merge(F.col("sym"), a, b).alias("sym"), "cnt"
+                _apply_merge(F.col("s"), a, b).alias("s"), "cnt"
             )
     finally:
         while live:

@@ -110,23 +110,35 @@ def lm_train(
     return _fit_from_bigrams(docs.sparkSession, bg, vocab_k)
 
 
-def _fit_from_bigrams(
-    spark, bg: DataFrame, vocab_k: int
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """`lm_train`'s model fit, parameterized on the bigram relation so
-    `lm_train_score` can hand in a checkpoint-derived one."""
-    # Materialize the vocab ONCE: the top-V plan is a corpus-wide
-    # bigram explode + hash agg, and the fitted vocab is consumed 4+
+def _raw_pair_counts(bg: DataFrame) -> DataFrame:
+    """(w1, w2, _c) — UNMAPPED bigram counts, the one corpus-sized
+    aggregation the whole model fit derives from (r17): the vocab's
+    token counts are recoverable exactly (each bigram occurrence
+    contributes 1 to both its positions, so token count =
+    Σ_c over pairs with w1=t plus Σ_c over pairs with w2=t), and the
+    mapped bigram counts are a re-aggregation after the <unk> mapping.
+    Fitting from this relation instead of the bigram STREAM turns the
+    former three corpus-sized passes (vocab explode+agg, mapped-bigram
+    agg, unigram rebuild) into one corpus pass plus model-sized work."""
+    return bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c"))
+
+
+def _fit_from_pair_counts(
+    spark, raw: DataFrame, vocab_k: int
+) -> tuple[DataFrame, DataFrame, DataFrame, int]:
+    """Model fit over a `_raw_pair_counts` relation (every input here
+    is distinct-pair-cardinality, never corpus-cardinality)."""
+    # Materialize the vocab ONCE: the fitted vocab is consumed 4+
     # times downstream (two mapping broadcasts here, two more plus a
     # count in lm_score) — left lazy, each consumer would re-run the
-    # full corpus scan. The collect is model-sized (≤ vocab_k rows of
+    # top-V plan. The collect is model-sized (≤ vocab_k rows of
     # one string, the k×d kmeans-centroid class) and the rebuilt
     # LOCAL relation makes every later broadcast/count free.
     vocab_rows = (
-        bg.select(F.explode(F.array("w1", "w2")).alias("token"))
+        raw.select(F.explode(F.array("w1", "w2")).alias("token"), "_c")
         .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .orderBy(F.col("_c").desc(), "token")
+        .agg(F.sum("_c").alias("_n"))
+        .orderBy(F.col("_n").desc(), "token")
         .limit(vocab_k)
         .select("token")
         .collect()
@@ -137,7 +149,7 @@ def _fit_from_bigrams(
     v1 = vocab.select(F.col("token").alias("w1"), F.lit(True).alias("_kv1"))
     v2 = vocab.select(F.col("token").alias("w2"), F.lit(True).alias("_kv2"))
     mapped = (
-        bg.join(F.broadcast(v1), "w1", "left")
+        raw.join(F.broadcast(v1), "w1", "left")
         .join(F.broadcast(v2), "w2", "left")
         .select(
             F.when(F.col("_kv1").isNotNull(), F.col("w1"))
@@ -146,12 +158,25 @@ def _fit_from_bigrams(
             F.when(F.col("_kv2").isNotNull(), F.col("w2"))
             .otherwise(F.lit(UNK))
             .alias("w2"),
+            "_c",
         )
     )
-    bigrams = mapped.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).alias("c12")
-    )
+    bigrams = mapped.groupBy("w1", "w2").agg(F.sum("_c").alias("c12"))
     unigrams = bigrams.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    # the realized vocab size rides along so the scorer's V' needs no
+    # count() job over the (local) vocab relation (r17: a count() on
+    # even a 1k-row local relation is a full scheduler round trip)
+    return vocab, unigrams, bigrams, len(vocab_rows)
+
+
+def _fit_from_bigrams(
+    spark, bg: DataFrame, vocab_k: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """`lm_train`'s model fit, parameterized on the bigram relation so
+    `lm_train_score` can hand in a checkpoint-derived one."""
+    vocab, unigrams, bigrams, _ = _fit_from_pair_counts(
+        spark, _raw_pair_counts(bg), vocab_k
+    )
     return vocab, unigrams, bigrams
 
 
@@ -192,15 +217,50 @@ def _score_staged(
     vocab: DataFrame,
     unigrams: DataFrame,
     bigrams: DataFrame,
+    n_vocab: int | None = None,
 ) -> DataFrame:
-    """`lm_score` over a `_staged_tokens` frame — both the bigram
-    stream and the zero-bigram doc re-attach derive from `staged`, so
-    a caller that checkpointed it (lm_train_score) pays zero further
-    corpus scans here."""
+    """`lm_score` over a `_staged_tokens` frame — one corpus-sized
+    pass and exactly ONE corpus-sized exchange (the per-doc hash agg).
+
+    r17 shape (guide §3.1 / §2.4): the bigram model is BROADCAST —
+    it is ≤ the distinct observed (w1, w2) pairs, bounded by V'^2
+    (~4.2M rows at V=2048, tens of MB framed), so shuffling the
+    corpus-bigram stream onto (w1, w2) to sort-merge against it paid
+    a corpus-sized exchange for a model-sized relation. And the
+    zero-bigram re-attach (formerly `select("doc_id").distinct()` +
+    left join = two more doc_id exchanges and an SMJ) is folded into
+    the ONE scoring aggregate: each < 2-token doc emits a single
+    SENTINEL row (null w1/w2 — real tokens are never null, `tokens`
+    is a split) that no vocab/model join matches and whose _nll_nano
+    stays NULL, so `count(_nll_nano)` = real bigrams (0 for sentinel-
+    only docs) and `sum` over an all-NULL group is NULL — exactly the
+    old outer-join semantics, including the duplicate-doc_id corner
+    (all rows of a doc_id still meet in one group)."""
     spark = staged.sparkSession
     lut_df = spark.createDataFrame([(_QLOG_LUT,)], "_lut: array<bigint>")
-    v_prime = vocab.count() + 1  # realized |vocab| + 1 for <unk>
-    bg = _staged_bigrams(staged)
+    # realized |vocab| + 1 for <unk>; callers that fitted the model
+    # pass the size through instead of paying a count() job
+    v_prime = (n_vocab if n_vocab is not None else vocab.count()) + 1
+    n_t = F.size(F.col("_toks"))
+    sentinel = F.array(
+        F.struct(
+            F.lit(None).cast("string").alias("w1"),
+            F.lit(None).cast("string").alias("w2"),
+        )
+    )
+    pairs = F.when(
+        n_t >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n_t - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("_toks"), i).alias("w1"),
+                F.element_at(F.col("_toks"), i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(sentinel)
+    bg = staged.select("doc_id", F.explode(pairs).alias("_bg")).select(
+        "doc_id", F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2")
+    )
     v1 = vocab.select(F.col("token").alias("w1"), F.lit(True).alias("_kv1"))
     v2 = vocab.select(F.col("token").alias("w2"), F.lit(True).alias("_kv2"))
     mapped = (
@@ -208,44 +268,39 @@ def _score_staged(
         .join(F.broadcast(v2), "w2", "left")
         .select(
             "doc_id",
-            F.when(F.col("_kv1").isNotNull(), F.col("w1"))
+            # sentinel w1/w2 stay NULL through the <unk> mapping
+            F.when(F.col("w1").isNull(), F.lit(None).cast("string"))
+            .when(F.col("_kv1").isNotNull(), F.col("w1"))
             .otherwise(F.lit(UNK))
             .alias("w1"),
-            F.when(F.col("_kv2").isNotNull(), F.col("w2"))
+            F.when(F.col("w2").isNull(), F.lit(None).cast("string"))
+            .when(F.col("_kv2").isNotNull(), F.col("w2"))
             .otherwise(F.lit(UNK))
             .alias("w2"),
         )
     )
     joined = (
-        mapped.join(bigrams, ["w1", "w2"], "left")
+        mapped.join(F.broadcast(bigrams), ["w1", "w2"], "left")
         .join(F.broadcast(unigrams), "w1", "left")
         .crossJoin(F.broadcast(lut_df))
         .select(
             "doc_id",
-            (
+            F.when(
+                F.col("w1").isNotNull(),
                 _qlog2_nano_col(
                     F.coalesce(F.col("c1"), F.lit(0)) + F.lit(v_prime)
                 )
                 - _qlog2_nano_col(
                     F.coalesce(F.col("c12"), F.lit(0)) + F.lit(1)
-                )
+                ),
             ).alias("_nll_nano"),
         )
     )
-    scored = joined.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
+    return joined.groupBy("doc_id").agg(
+        F.count("_nll_nano").alias("n_bigrams"),
         F.sum("_nll_nano").alias("nll_nanobits_total"),
-    )
-    # re-attach zero-bigram docs (< 2 tokens) with NULL score
-    all_docs = staged.select("doc_id").distinct()
-    return all_docs.join(scored, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
-        "nll_nanobits_total",
         (
-            F.col("nll_nanobits_total")
-            / F.col("n_bigrams")
-            / F.lit(1e9)
+            (F.sum("_nll_nano") / F.count("_nll_nano")) / F.lit(1e9)
         ).alias("avg_nll_bits"),
     )
 
@@ -275,11 +330,20 @@ def lm_train_score(
     staged = _staged_tokens(docs, doc_id_col, text_col)
     if mat:
         staged = staged.localCheckpoint(eager=True)
-    vocab, unigrams, bigrams = _fit_from_bigrams(
-        docs.sparkSession, _staged_bigrams(staged), vocab_k
+    # r17: checkpoint the RAW pair counts too — distinct-pair-sized,
+    # and the fit's three consumers (vocab top-V, mapped bigram agg,
+    # unigram rebuild) plus the model broadcasts all re-derive from it,
+    # so the checkpointed token frame is read exactly TWICE (this
+    # aggregation + the scoring pass) instead of four times.
+    raw = _raw_pair_counts(_staged_bigrams(staged))
+    if mat:
+        raw = raw.localCheckpoint(eager=True)
+    vocab, unigrams, bigrams, n_vocab = _fit_from_pair_counts(
+        docs.sparkSession, raw, vocab_k
     )
-    out = _score_staged(staged, vocab, unigrams, bigrams)
+    out = _score_staged(staged, vocab, unigrams, bigrams, n_vocab=n_vocab)
     if mat:
         out = out.localCheckpoint(eager=True)
         unpersist_local_checkpoint(staged)
+        unpersist_local_checkpoint(raw)
     return out

@@ -14,8 +14,11 @@ queries/windows.py):
 
 1. `repartitionByRange` on the order — non-overlapping key ranges,
    partition index == global order of partitions;
-2. per-partition `row_number` (a window PARTITIONED by the physical
-   partition id — parallel across partitions);
+2. per-partition local position: `sortWithinPartitions` + the record
+   number carried in `monotonically_increasing_id`'s low 33 bits —
+   parallel across partitions, and window-free (a window PARTITIONED
+   by the physical partition id would hash-exchange the full frame a
+   second time just to re-cluster on a key it already has);
 3. per-partition row counts (one row per partition) get a prefix sum
    and come back as broadcast offsets: global rank = offset + local
    row number.
@@ -46,23 +49,48 @@ def with_global_row_number(
     ``order_cols`` (must be a total order) without a single-task
     global window.
 
-    Cost: one range exchange + one hash exchange of the full frame
-    (the per-pid window re-clusters), versus the global window's one
-    exchange INTO ONE TASK. The counts branch re-derives from the same
-    range exchange (canonically identical — AQE stage reuse executes
-    it once); its prefix-sum window runs over one row per partition.
+    Cost (r17): ONE range exchange of the full frame + an in-partition
+    sort, versus the global window's one exchange INTO ONE TASK. (The
+    per-pid `row_number` window this used to run forced a second
+    full-frame hash exchange; the local position now comes from
+    `monotonically_increasing_id` over the sorted partitions.) The
+    counts branch re-derives from the same range exchange (canonically
+    identical — AQE stage reuse executes it once) without paying the
+    sort; its prefix-sum window runs over one row per partition.
     """
     sort = _cols(order_cols)
     if num_partitions is None:
         num_partitions = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
-    ranged = df.repartitionByRange(num_partitions, *sort).withColumn(
-        "_rnk_pid", F.spark_partition_id()
+    ranged = df.repartitionByRange(num_partitions, *sort)
+    # Local row number WITHOUT a window (r17, guide §2.4): the frame is
+    # already range-partitioned, so the per-pid `row_number()` window
+    # this used to run forced a second FULL-FRAME exchange (Catalyst
+    # hash-clusters on the window's partition key even when that key is
+    # the physical partition id). Instead, sort within the existing
+    # partitions and read the local position out of
+    # `monotonically_increasing_id` — documented layout: partition
+    # index in the upper 31 bits, the 0-based record number within the
+    # partition in the lower 33 (rows stream into the projection in
+    # sorted order, and a retried task re-sorts the same range
+    # partition, so the assignment is deterministic given the total
+    # order). One range exchange total; the counts branch reuses it.
+    local = ranged.sortWithinPartitions(*sort).withColumn(
+        "_rnk_mid", F.monotonically_increasing_id()
     )
-    w_local = Window.partitionBy("_rnk_pid").orderBy(*sort)
-    local = ranged.withColumn("_rnk_local", F.row_number().over(w_local))
-    counts = ranged.groupBy("_rnk_pid").agg(F.count(F.lit(1)).alias("_rnk_n"))
+    local = local.select(
+        "*",
+        F.shiftright(F.col("_rnk_mid"), 33).cast("int").alias("_rnk_pid"),
+        (
+            F.col("_rnk_mid").bitwiseAND(F.lit((1 << 33) - 1)) + 1
+        ).alias("_rnk_local"),
+    ).drop("_rnk_mid")
+    counts = (
+        ranged.withColumn("_rnk_pid", F.spark_partition_id())
+        .groupBy("_rnk_pid")
+        .agg(F.count(F.lit(1)).alias("_rnk_n"))
+    )
     w_prefix = Window.orderBy("_rnk_pid").rowsBetween(
         Window.unboundedPreceding, -1
     )
