@@ -41,44 +41,50 @@ COS_SQL_GUARD = (
 )
 
 
-def _dot_c(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
-    )
+def _dlit(x: float) -> str:
+    """Exact double literal for SQL text: repr round-trips the bits
+    and the D suffix keeps the parser from reading a DECIMAL."""
+    return repr(float(x)) + "D"
 
 
-def _norm2_c(a):
-    return F.aggregate(
-        F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
-    )
-
-
-def _cos_c(a, b):
-    na, nb = _norm2_c(a), _norm2_c(b)
-    return F.when(
-        (na > 0) & (nb > 0), _dot_c(a, b) / (F.sqrt(na) * F.sqrt(nb))
-    ).otherwise(F.lit(0.0))
+# The HOF cosine fold as SQL text — the exact expression the column-
+# API form (`_cos_c`) produces, spelled once so `_assign` can ship the
+# whole scored array as a SINGLE parsed expression instead of ~k·d
+# py4j `F.lit` round trips (r17: the nested-lit build cost ~0.5s of
+# pure driver/py4j time PER assignment at k=8, d=64 — more than the
+# job itself). Execution is unchanged: same interpreted HOF fold,
+# same IEEE add order, bit-identical assignments. (An unrolled
+# literal multiply-add chain was measured too: its generated code is
+# too large to JIT and ran ~6x slower — the fold stays.)
+_COS_SQL = (
+    "CASE WHEN aggregate(transform({a}, x -> x * x), 0.0D,"
+    " (acc, v) -> acc + v) > 0.0D"
+    " AND aggregate(transform({b}, x -> x * x), 0.0D,"
+    " (acc, v) -> acc + v) > 0.0D"
+    " THEN aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D,"
+    " (acc, v) -> acc + v)"
+    " / (sqrt(aggregate(transform({a}, x -> x * x), 0.0D,"
+    " (acc, v) -> acc + v))"
+    " * sqrt(aggregate(transform({b}, x -> x * x), 0.0D,"
+    " (acc, v) -> acc + v)))"
+    " ELSE 0.0D END"
+)
 
 
 def _assign(base: DataFrame, centroids: list[tuple[int, list[float]]]):
-    """Map-only argmax-cosine assignment against literal centroids."""
-    cents_arr = F.array(
-        *[
-            F.struct(
-                F.lit(cid).alias("cid"),
-                F.array(*[F.lit(float(x)) for x in vec]).alias("cv"),
-            )
-            for cid, vec in centroids
-        ]
+    """Map-only argmax-cosine assignment against literal centroids,
+    built as one SQL expression parse (see `_COS_SQL`)."""
+    cents = ", ".join(
+        "named_struct('cid', {cid}, 'cv', array({cv}))".format(
+            cid=int(cid), cv=", ".join(_dlit(x) for x in vec)
+        )
+        for cid, vec in centroids
     )
-    scored = F.transform(
-        cents_arr,
-        lambda c: F.struct(
-            _cos_c(F.col("_v"), c["cv"]).alias("sim"),
-            (-c["cid"]).alias("negcid"),
-        ),
+    cos = _COS_SQL.format(a="_v", b="c.cv")
+    best = F.expr(
+        f"array_max(transform(array({cents}),"
+        f" c -> named_struct('sim', {cos}, 'negcid', -c.cid)))"
     )
-    best = F.array_max(scored)
     return base.select(
         "_id",
         "_v",

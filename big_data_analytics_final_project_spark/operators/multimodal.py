@@ -186,9 +186,19 @@ def _spread(df: DataFrame, key_col: str) -> DataFrame:
     serialize the CPU-bound Arrow decode hop on one or two tasks —
     the repartition-before-decode step the module docstring
     prescribes, keyed so placement is deterministic (results are
-    placement-independent either way)."""
+    placement-independent either way).
+
+    CONDITIONAL (r17, guide §8): a source that already scans at or
+    above the cluster's parallelism skips the exchange outright —
+    repartitioning it would shuffle every payload byte just to land
+    at the same width, the exact heavy-payload movement the decode
+    pipeline is designed to avoid. (Same gate as dedup's
+    `_shingle_sets` fan-out.)"""
     sc = df.sparkSession.sparkContext
-    return df.repartition(max(sc.defaultParallelism, 8), key_col)
+    n = max(sc.defaultParallelism, 8)
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n, key_col)
 
 
 FEATURE_DIM = 16  # md5 digest bytes

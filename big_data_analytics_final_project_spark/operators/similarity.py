@@ -149,10 +149,27 @@ def _ivf_ranked(base: DataFrame, n_centroids: int) -> DataFrame:
     unlike "first n ids" — cannot inherit whatever locality the id
     assignment encodes. Selection plans as TakeOrderedAndProject over
     (hash, id): per-partition heaps of n_centroids rows, no global
-    sort, then the codebook broadcasts."""
-    from pyspark.sql import Window
+    sort.
 
-    cents = (
+    MAP-ONLY ranking (r17, guide §2.4): the codebook is collected to
+    the driver (k×d doubles — the kmeans-centroid COLLECT_ALLOW
+    class; kmeans_assign has seeded itself this way since r10) and
+    shipped back as one literal array expression, so every vector
+    ranks its centroids inside a single projection: score the literal
+    array, `array_sort` on (negated sim, cid), `posexplode` for the
+    rank. The former shape cross-joined the corpus against the
+    broadcast codebook (an n_centroids-fold row explosion) and then
+    ran `row_number` over a per-_id window — a full corpus exchange
+    CARRYING THE VECTORS times n_centroids, paid by every IVF
+    consumer. Ordering equivalence is exact: array_sort compares
+    struct fields in order, ascending `-sim` is descending `sim`
+    under the same double comparator the window sort used (negation
+    is bit-exact, including the ±0.0 corner), and `cid` breaks ties
+    ascending — and the cosine text is the identical expression
+    `with_cosine` builds, so sims are bit-identical too."""
+    from .kmeans import _COS_SQL, _dlit
+
+    cent_rows = (
         base.select(
             F.col("_id").alias("cid"),
             F.col("_v").alias("cv"),
@@ -160,14 +177,35 @@ def _ivf_ranked(base: DataFrame, n_centroids: int) -> DataFrame:
         )
         .orderBy("_h", "cid")
         .limit(n_centroids)
-        .drop("_h")
+        .collect()
     )
-    w_assign = Window.partitionBy("_id").orderBy(F.col("sim").desc(), F.col("cid"))
-    return (
-        base.crossJoin(F.broadcast(cents))
-        .transform(lambda d: with_cosine(d, "_v", "cv", out="sim"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .drop("cv")
+    if not cent_rows:
+        return base.select(
+            "_id",
+            "_v",
+            F.lit(None).cast("bigint").alias("cid"),
+            F.lit(None).cast("double").alias("sim"),
+            F.lit(None).cast("int").alias("rn"),
+        ).where(F.lit(False))
+    cents = ", ".join(
+        "named_struct('cid', {c}L, 'cv', array({v}))".format(
+            c=int(r["cid"]), v=", ".join(_dlit(x) for x in r["cv"])
+        )
+        for r in cent_rows
+    )
+    cos = _COS_SQL.format(a="_v", b="c.cv")
+    ranked = F.expr(
+        f"array_sort(transform(array({cents}),"
+        f" c -> named_struct('negsim', -({cos}), 'cid', c.cid)))"
+    )
+    return base.select(
+        "_id", "_v", F.posexplode(ranked).alias("_pos", "_rc")
+    ).select(
+        "_id",
+        "_v",
+        F.col("_rc.cid").alias("cid"),
+        (-F.col("_rc.negsim")).alias("sim"),
+        (F.col("_pos") + 1).cast("int").alias("rn"),
     )
 
 
