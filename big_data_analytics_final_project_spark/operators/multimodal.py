@@ -188,16 +188,17 @@ def _spread(df: DataFrame, key_col: str) -> DataFrame:
     prescribes, keyed so placement is deterministic (results are
     placement-independent either way).
 
-    CONDITIONAL (r17, guide §8): a source that already scans at or
-    above the cluster's parallelism skips the exchange outright —
-    repartitioning it would shuffle every payload byte just to land
-    at the same width, the exact heavy-payload movement the decode
-    pipeline is designed to avoid. (Same gate as dedup's
-    `_shingle_sets` fan-out.)"""
+    UNCONDITIONAL (r18): r17 gated this on the source's partition
+    COUNT (`df.rdd.getNumPartitions() >= defaultParallelism`) and it
+    was the round's worst regression (media_wav_rms 1.6→8.2 s at 32
+    cores, 8c/32c ratio 0.21): a scan can clear the count bar while
+    the payload BYTES concentrate in a few row-group-granularity
+    splits, so the decode hop serialized exactly as this docstring
+    warns — and the `.rdd` probe itself compiled a second physical
+    plan per call. The keyed exchange carries each payload once and
+    is the price of a balanced CPU-bound decode stage."""
     sc = df.sparkSession.sparkContext
     n = max(sc.defaultParallelism, 8)
-    if df.rdd.getNumPartitions() >= n:
-        return df
     return df.repartition(n, key_col)
 
 

@@ -185,13 +185,21 @@ COLLECT_ALLOW: dict[tuple[str, str], str] = {
         " surface the loader's ingest/skip counters, the reference's"
         " load-telemetry contract"
     ),
-    ("operators/lm.py", "_fit_from_bigrams"): (
+    ("operators/lm.py", "_fit_from_pair_counts"): (
         "the fitted vocab (<= vocab_k rows of one string — model-"
         "sized, never data-sized) is collected once and rebuilt as a"
         " LOCAL relation so its 4+ downstream consumers (mapping"
         " broadcasts in train + score, V' count) don't each re-run"
         " the corpus-wide top-V aggregation; the kmeans k*d centroid"
         " precedent"
+    ),
+    ("operators/similarity.py", "_ivf_ranked"): (
+        "the IVF codebook (<= n_centroids rows of k ids + k*d vector"
+        " components — model-sized, never data-sized) is collected"
+        " once and shipped back as one literal array so every vector"
+        " ranks its centroids map-only, replacing the crossJoin ×"
+        " n_centroids row explosion + per-_id window exchange; the"
+        " kmeans k*d centroid precedent"
     ),
     ("queries/maintenance.py", "zone_roundtrip_daily"): (
         "ONE scalar (max(day)) picks the incremental-leg cutoff before"
