@@ -82,9 +82,20 @@ PAIRED_QUERIES = [
 # at the first commit that contains zone_zorder_prune's registered
 # state (the r16 close). Same interleave, separate `layout_control`
 # key in the JSON line.
+#
+# r18 (r17 verdict #4): segment_value_psi and waiting_supplier join
+# this control set. Both spiked 2-3x in r17 with ZERO relevant code
+# change (drift/batch paths untouched since long before add331f, so
+# the pinned commit runs identical code) and neither was in any paired
+# set, so the round could not adjudicate ENVIRONMENT vs real
+# in-artifact — the same one-round PSI spike already re-litigated in
+# r15/r16. Additions-only harness change: existing entries keep their
+# names and methodology.
 LAYOUT_PAIRED_COMMIT = "add331f"
 LAYOUT_PAIRED_QUERIES = [
     "zone_zorder_prune",
+    "segment_value_psi",
+    "waiting_supplier",
 ]
 
 

@@ -267,6 +267,17 @@ def bloom_semi_join(
         n_bits,
         n_hashes,
     )
+    # r18: width-heal the probe side (operators/spread.py, guide
+    # §2.5). The probe is deliberately map-side-before-any-shuffle —
+    # but a single-row-group fact file caps the "map side" at ONE task
+    # (1.65s of single-task md5+mask CPU at sf0.1/32 cores), so in
+    # that degenerate layout one cheap exchange of the unfiltered scan
+    # beats a serialized probe. On any real multi-row-group fact zone
+    # the gate never fires and the probe stays exchange-free ahead of
+    # the residual join, as designed.
+    from .spread import heal_scan_width
+
+    fact = heal_scan_width(fact)
     # probe-side temp column: never collide with a caller column
     tmp = "_bf_key"
     while tmp in fact.columns:

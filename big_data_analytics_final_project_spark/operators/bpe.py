@@ -117,11 +117,73 @@ def _apply_merge(s: Column, a: str, b: str) -> Column:
     )
 
 
+#: `bpe_train` trains driver-locally when the distinct-word relation
+#: has at most this many rows (gate measured by a bounded limit+collect,
+#: never an unbounded count): BPE's per-round state is MODEL-sized (the
+#: distinct-word vocabulary), and when that model fits the driver the
+#: distributed rounds pay ~0.25s of scheduler/plan latency per merge to
+#: aggregate a few thousand rows — 16 merges cost ~4s of cluster jobs
+#: for microseconds of work. 64k words × ~8 symbols × 32 rounds keeps
+#: the local loop in the low milliseconds-per-round range; a natural-
+#: language 100 TB corpus (10^6-10^7 distinct normalized words) stays
+#: on the distributed path.
+LOCAL_TRAIN_MAX_WORDS = 65536
+
+
+def _replace_lr(sym: list[str], a: str, b: str) -> list[str]:
+    """Left-to-right non-overlapping merge of adjacent (a, b) — the
+    Sennrich one-round semantics, bit-identical to `_apply_merge`'s
+    string `replace` (tests/test_bpe.py pins both against the same
+    reference)."""
+    out, i = [], 0
+    n = len(sym)
+    while i < n:
+        if i + 1 < n and sym[i] == a and sym[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return out
+
+
+def _train_local(
+    rows: list[tuple[str, int]], n_merges: int, min_freq: int
+) -> list[tuple[str, str]]:
+    """Driver-local Sennrich training over a collected (word, cnt)
+    relation — the same argmax (count desc, then (a, b) lexicographic;
+    Python tuple order on str equals Spark's UTF8String order because
+    UTF-8 byte order is code-point order) and the same left-to-right
+    merge, so the sequence is bit-identical to the distributed rounds
+    (test-pinned)."""
+    vocab = [(list(w), c) for w, c in rows]
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pc: dict[tuple[str, str], int] = {}
+        for sym, c in vocab:
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                pc[p] = pc.get(p, 0) + c
+        if not pc:
+            break
+        best, w_best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if w_best < min_freq:
+            break
+        merges.append(best)
+        a, b = best
+        vocab = [
+            (_replace_lr(sym, a, b) if len(sym) >= 2 else sym, c)
+            for sym, c in vocab
+        ]
+    return merges
+
+
 def bpe_train(
     docs: DataFrame,
     text_col: str,
     n_merges: int = 32,
     min_freq: int = 2,
+    local_max_words: int = LOCAL_TRAIN_MAX_WORDS,
 ) -> list[tuple[str, str]]:
     """Learn the ordered BPE merge list from a corpus.
 
@@ -130,10 +192,21 @@ def bpe_train(
     a+b is the new symbol each round. Deterministic: ties broken by
     (a, b) lexicographic, so the sequence is partitioning-independent
     and equals the pure-Python reference exactly.
+
+    TWO-LEVEL (r18, guide §1.2 "the distributed algorithm first"):
+    training state is the distinct-word frequency relation — model-
+    sized, never corpus-sized — so after the ONE corpus-scan
+    aggregation the size gate picks where the merge rounds run. A
+    vocabulary within ``local_max_words`` is collected once (bounded
+    by construction: limit ``local_max_words + 1`` — the k-means
+    centroid COLLECT_ALLOW class) and trained on the driver, where a
+    round costs microseconds; larger vocabularies run the distributed
+    rounds below, whose per-round cluster cost is what amortizes a
+    10^7-word state. Both paths are bit-identical (test-pinned, same
+    argmax and merge semantics). Pass ``local_max_words=0`` to force
+    the distributed path.
     """
-    state = word_counts(docs, text_col).select(
-        _encode_state(_chars(F.col("word"))).alias("s"), F.col("cnt")
-    )
+    wc = word_counts(docs, text_col)
     merges: list[tuple[str, str]] = []
     # checkpoints whose blocks have not been freed yet, oldest first;
     # the try/finally guarantees none of them outlives the call even
@@ -142,6 +215,25 @@ def bpe_train(
     # path)
     live: list[DataFrame] = []
     try:
+        if local_max_words > 0:
+            # Gate + (maybe) the whole training from ONE
+            # materialization: the vocab relation is checkpointed
+            # lazily, the bounded limit+collect materializes it, and
+            # whichever path runs next reads the blocks — the
+            # big-vocab path never pays a second corpus pass for the
+            # gate.
+            wc = wc.localCheckpoint(eager=False)
+            live.append(wc)
+            head = wc.limit(local_max_words + 1).collect()
+            if len(head) <= local_max_words:
+                return _train_local(
+                    [(r["word"], r["cnt"]) for r in head],
+                    n_merges,
+                    min_freq,
+                )
+        state = wc.select(
+            _encode_state(_chars(F.col("word"))).alias("s"), F.col("cnt")
+        )
         for _ in range(n_merges):
             # localCheckpoint each round: the merge nests one replace
             # per round, and a lineage carrying r nested replaces
@@ -276,7 +368,13 @@ def bpe_encode(
             T.StructField("bpe_tokens", T.ArrayType(T.StringType())),
         ]
     )
-    staged = docs.select(
+    # r18: width-heal the corpus scan (operators/spread.py, guide
+    # §2.5) so a single-row-group zone file doesn't serialize the
+    # Arrow encode fold onto one core; the heal moves the raw docs
+    # once, before tokenization, and is a no-op on healthy layouts.
+    from .spread import heal_scan_width
+
+    staged = heal_scan_width(docs).select(
         F.col(doc_id_col),
         F.filter(
             tokens(F.col(text_col)), lambda t: F.length(t) > 0

@@ -108,6 +108,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     use_shingles: bool = False,
     allow_quadratic: bool = False,
+    materialize: bool | None = None,
 ) -> DataFrame:
     """Exact set-Jaccard near-dup pairs with PPJoin-style prefix
     filtering.
@@ -130,7 +131,21 @@ def jaccard_pairs(
     gated behind `allow_quadratic=True` — calling with a
     non-positive threshold otherwise raises instead of silently
     scheduling an N² shuffle on a 100 TB corpus (round-5 verdict).
+
+    r18 scan drain (2 → 1 documents scans): the set frame feeds THREE
+    consumers — the inverted index and both verification re-attaches —
+    and is ``localCheckpoint``-ed once (lazily; the result checkpoint
+    below is the first action and materializes it), so the corpus is
+    scanned and tokenized exactly once. The checkpoint is the
+    (doc_id, distinct-set) frame — the same size class the overlap /
+    fuzzy r16 drains materialize, and strictly smaller than the raw
+    text it replaces re-reading. The result is checkpointed too, so
+    the staging blocks are freed immediately (operators/checkpoints.py
+    hygiene); plan tooling flips ``materialize`` off via
+    ``lazy_results`` to see the real join shapes.
     """
+    from .checkpoints import resolve_materialize, unpersist_local_checkpoint
+
     if threshold <= 0 and not allow_quadratic:
         raise ValueError(
             "jaccard_pairs with threshold<=0 plans the quadratic "
@@ -138,11 +153,14 @@ def jaccard_pairs(
             "reference-path testing at toy scale (production paths: "
             "threshold>0 prefix filtering, or minhash_lsh_pairs)"
         )
+    mat = resolve_materialize(materialize)
     sets = (
         _shingle_sets(docs, text_col, id_col)
         if use_shingles
         else _word_sets(docs, text_col, id_col)
     )
+    if mat:
+        sets = sets.localCheckpoint(eager=False)
     inv = sets.select(
         "doc_id",
         # set size rides along from the pre-explode array — saves a
@@ -230,7 +248,7 @@ def jaccard_pairs(
     sets_a = sets.select(F.col("doc_id").alias("doc_a"), F.col("terms").alias("terms_a"))
     sets_b = sets.select(F.col("doc_id").alias("doc_b"), F.col("terms").alias("terms_b"))
     n_common = F.size(F.array_intersect(F.col("terms_a"), F.col("terms_b")))
-    return (
+    out = (
         cands.join(sets_a, "doc_a")
         .join(sets_b, "doc_b")
         .withColumn("n_common", n_common)
@@ -243,6 +261,10 @@ def jaccard_pairs(
         .select("doc_a", "doc_b", "n_common", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
+    if mat:
+        out = out.localCheckpoint(eager=True)
+        unpersist_local_checkpoint(sets)
+    return out
 
 
 def jaccard_pairs_sql(threshold: float = 0.9, use_shingles: bool = False) -> str:

@@ -47,6 +47,15 @@ from ..queries.text import _QLOG_LUT, _qlog2_nano_col
 
 UNK = "<unk>"
 
+#: `_score_staged` broadcasts the bigram model only while the worst-
+#: case pair space V'^2 stays under this bound (~64 MB framed at
+#: ~16 bytes/row): vocab_k is caller-settable and unguarded, and a
+#: large vocabulary's bigram relation can exceed Spark's 8 GB / 512M-
+#: row broadcast hard cap or OOM the driver — above the bound the
+#: scorer falls back to the plain (w1, w2) shuffle join, trading one
+#: corpus-bigram exchange for not dying (r17 ADVICE).
+BROADCAST_MAX_PAIRS = 4_194_304  # 2048^2
+
 
 def _staged_tokens(
     docs: DataFrame, doc_id_col: str, text_col: str
@@ -279,9 +288,16 @@ def _score_staged(
             .alias("w2"),
         )
     )
+    # broadcast while V'^2 is bounded (BROADCAST_MAX_PAIRS); beyond it
+    # the bigram relation may be too big for a broadcast hash relation
+    # and the scorer takes the shuffle join instead. The unigram
+    # relation is V' rows — always broadcastable when the model is.
+    model_sized = v_prime * v_prime <= BROADCAST_MAX_PAIRS
+    bg_model = F.broadcast(bigrams) if model_sized else bigrams
+    ug_model = F.broadcast(unigrams) if model_sized else unigrams
     joined = (
-        mapped.join(F.broadcast(bigrams), ["w1", "w2"], "left")
-        .join(F.broadcast(unigrams), "w1", "left")
+        mapped.join(bg_model, ["w1", "w2"], "left")
+        .join(ug_model, "w1", "left")
         .crossJoin(F.broadcast(lut_df))
         .select(
             "doc_id",
@@ -329,7 +345,13 @@ def lm_train_score(
     mat = resolve_materialize(materialize)
     staged = _staged_tokens(docs, doc_id_col, text_col)
     if mat:
-        staged = staged.localCheckpoint(eager=True)
+        # LAZY (r18, the bpe_train pattern): the fit's vocab top-V
+        # collect below is the first action over `raw`, whose plan
+        # reads `staged` — ONE job materializes both checkpoints as a
+        # side effect. The former eager pair spent two dedicated jobs
+        # (schedule + write blocks + re-read) persisting frames the
+        # very next job consumes anyway.
+        staged = staged.localCheckpoint(eager=False)
     # r17: checkpoint the RAW pair counts too — distinct-pair-sized,
     # and the fit's three consumers (vocab top-V, mapped bigram agg,
     # unigram rebuild) plus the model broadcasts all re-derive from it,
@@ -337,7 +359,7 @@ def lm_train_score(
     # aggregation + the scoring pass) instead of four times.
     raw = _raw_pair_counts(_staged_bigrams(staged))
     if mat:
-        raw = raw.localCheckpoint(eager=True)
+        raw = raw.localCheckpoint(eager=False)
     vocab, unigrams, bigrams, n_vocab = _fit_from_pair_counts(
         docs.sparkSession, raw, vocab_k
     )

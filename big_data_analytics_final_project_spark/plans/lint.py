@@ -170,9 +170,12 @@ COLLECT_ALLOW: dict[tuple[str, str], str] = {
         " — the MLlib iteration pattern"
     ),
     ("operators/bpe.py", "bpe_train"): (
-        "ONE argmax row (best pair + weight) collected per merge"
-        " round, over the vocab-sized pair aggregate — model-sized,"
-        " never data-sized; the k-means per-iteration pattern"
+        "two model-sized sites: the size-gated vocab collect is"
+        " bounded BY CONSTRUCTION (limit local_max_words+1 rows of"
+        " (word, cnt) — the k-means centroid class; r18 two-level"
+        " training), and the distributed path collects ONE argmax row"
+        " (best pair + weight) per merge round over the vocab-sized"
+        " pair aggregate"
     ),
     ("operators/pca.py", "pca_fit"): (
         "ONE moments relation of 1 + d + d^2 aggregate values (d=64:"

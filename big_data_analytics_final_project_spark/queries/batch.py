@@ -42,6 +42,15 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Subsumes reference AGG-1's sum/count shape (spark_analysis.py:70-79)
     on a flat fact table.
+
+    r18 note: a width-heal of the scan (operators/spread.py) was
+    tried and REVERTED — for a pure scan→partial-agg plan the heal
+    moves raw rows across an exchange that map-side aggregation
+    otherwise avoids (guide §2.3 "aggregate before you shuffle"):
+    interleaved A/B measured only 0.94x head/control against +1
+    exchange and a broken ≤2-exchange plan pin. The heal stays on
+    plans where real per-row work FOLLOWS the scan (revenue_by_brand's
+    join, the bloom probe, the KMV fold).
     """
     li = load_table(spark, sf_dir, "lineitem")
     cutoff = F.to_timestamp(F.lit("1998-09-02 00:00:00"))
@@ -97,9 +106,19 @@ def revenue_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal sum. l_orderkey is non-null, so count(*) over the
     pre-aggregate equals countDistinct. Measured 16% faster at sf0.1;
     at 100 TB it also removes the low-cardinality-key expanded
-    shuffle."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    shuffle.
+
+    r18: the fact scan is width-healed (operators/spread.py, guide
+    §2.5) — a single-row-group zone file serialized the broadcast
+    join + decimal partial aggregation onto one core (1.77s of
+    single-task CPU at sf0.1/32 cores); multi-row-group zones are
+    untouched."""
+    from ..operators.spread import heal_scan_width
+
+    li = heal_scan_width(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+        )
     )
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     per_order = (

@@ -248,10 +248,17 @@ def dedup_semantic_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The oracle wraps the near-dup pair SQL in the same recursive
     reachability CTE the token clusters use, so the iterative Spark
-    fixpoint is again checked against a declarative closure."""
+    fixpoint is again checked against a declarative closure.
+
+    r18 drain (the third of the embeddings trio, r17's two landed in
+    similarity_staged.py): the pairs side switches to
+    `embedding_near_dup_staged` — the quantizer ASSIGNMENT frame is
+    checkpointed once and the index/probe/self-join consumers read it,
+    3 → 2 executed embeddings scans, row-identical to the lazy twin
+    (tests/test_similarity_drain.py pins the operator pair)."""
     from ..operators.components import connected_components
 
-    pairs = embedding_near_dup(
+    pairs = embedding_near_dup_staged(
         load_table(spark, sf_dir, "embeddings"), threshold=_NEAR_DUP_T
     ).select("vec_a", "vec_b")
     labels = connected_components(pairs, "vec_a", "vec_b")

@@ -1362,8 +1362,15 @@ def corpus_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     questions; this is LLM-pipeline surplus, oracled to the same bar.
     """
     from ..operators.kmv import kmv_overlap_matrix, kmv_sketch_by
+    from ..operators.spread import heal_scan_width
 
-    docs = load_table(spark, sf_dir, "documents")
+    # r18: width-heal the corpus scan (operators/spread.py, guide
+    # §2.5) BEFORE tokenize+shingle+fold — a single-row-group zone
+    # file ran the whole Arrow KMV fold on one core (1.07s single-task
+    # at sf0.1/32 cores); the heal moves the raw documents (KBs-MBs)
+    # once, the shingle explosion then fans out in parallel. On
+    # multi-row-group zones the gate never fires.
+    docs = heal_scan_width(load_table(spark, sf_dir, "documents"))
     sh = (
         docs.filter(F.col("text").isNotNull())
         .select("source", tokens(F.col("text")).alias("toks"))

@@ -44,9 +44,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # literal silently keeps the last duplicate (the r13 verdict's find —
 # two `customer_cohort_setops` entries, the first dead).
 _BASELINE_ITEMS: list[tuple[str, dict[str, tuple[int, str]]]] = [
-    ("dedup_jaccard_pairs", {
-        "documents": (2, "self-join sides; materializing is corpus-sized")
-    }),
+    # dedup_jaccard_pairs: no entry — r18 drained its 2-scan allowance:
+    # the (doc_id, distinct-set) frame is checkpointed once (lazily;
+    # the result checkpoint materializes it) and the inverted index
+    # plus both verification re-attaches derive from it, so documents
+    # is scanned exactly once (the default).
     ("dedup_jaccard_collapsed", {
         "documents": (2, "r16 drain (was 3): the collapsed rep frame "
                          "and the thin (member, hash) mapping are "
@@ -275,9 +277,12 @@ _BASELINE_ITEMS: list[tuple[str, dict[str, tuple[int, str]]]] = [
                          "anti-join re-attach of the full collection")
     }),
     ("dedup_semantic_clusters", {
-        "embeddings": (3, "embedding_near_dup's bucket-fit + both "
-                          "self-join sides, composed; the component "
-                          "loop itself runs on checkpointed pairs")
+        "embeddings": (2, "r18 drain (was 3): the pairs side is "
+                          "embedding_near_dup_staged — centroid fit "
+                          "+ the eager cell-assignment checkpoint; "
+                          "self-join sides and the rep chain read "
+                          "the checkpoint, and the component loop "
+                          "runs on checkpointed pairs")
     }),
     ("corpus_curation_report", {
         "documents": (3, "one checkpointed feature pass (quality + "

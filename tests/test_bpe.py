@@ -92,6 +92,21 @@ def test_merges_partitioning_independent(spark):
     assert one == many
 
 
+def test_local_and_distributed_training_identical(spark):
+    """r18 two-level training: the size-gated driver-local path and
+    the distributed merge rounds (forced via local_max_words=0) must
+    produce bit-identical merge sequences — same argmax tie-break,
+    same left-to-right merge semantics."""
+    df = _df(spark, _DOCS)
+    for n_merges, min_freq in ((8, 2), (20, 1), (5, 4)):
+        local = bpe_train(df, "text", n_merges, min_freq)
+        dist = bpe_train(
+            df, "text", n_merges, min_freq, local_max_words=0
+        )
+        want = _ref_train(_DOCS, n_merges, min_freq)
+        assert local == dist == want, (n_merges, min_freq)
+
+
 def test_encode_matches_reference_and_is_lossless(spark):
     merges = bpe_train(_df(spark, _DOCS), "text", 12, 2)
     enc = {

@@ -77,8 +77,17 @@ def test_jaccard_candidate_join_carries_length_filter(spark):
     verification joins — removing it is row-identical (verification
     is exact) but silently triples the pairs reaching array_intersect
     (11.9M -> 3.7M measured on sf0.1 documents at t=0.9), so the
-    optimization is pinned here at the plan level."""
-    plan = physical_plan(_df(spark, "dedup_jaccard_pairs"))
+    optimization is pinned here at the plan level.
+
+    Asserted on the LAZY form (checkpoints.lazy_results): since the
+    r18 scan drain the operator checkpoints its set frame and result,
+    and the materialized plan is an opaque post-checkpoint RDD scan."""
+    from big_data_analytics_final_project_spark.operators.checkpoints import (
+        lazy_results,
+    )
+
+    with lazy_results():
+        plan = physical_plan(_df(spark, "dedup_jaccard_pairs"))
     joins = [ln for ln in plan.splitlines() if "Join" in ln]
     assert any(
         "least" in ln and "greatest" in ln for ln in joins
