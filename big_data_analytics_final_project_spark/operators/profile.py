@@ -16,26 +16,30 @@ unit mix-ups as min/max leaving range — and the drift family
 (queries/drift.py) needs exactly these numbers as its reference
 baseline.
 
-Plan shape: a single global aggregate computes every column's
-non-distinct stats in one pass (4 aggregate expressions per column),
-then the 1-row result is exploded into a (column_name, stats...)
-relation — driver-free, collect-free. Distinct counts are deliberately
-NOT folded into that aggregate: a multi-column COUNT(DISTINCT) takes
-Catalyst's Expand rewrite — each input row replicated once per
-distinct aggregate with the full n_cols-wide null-slotted tuple as
-the partial-agg key — which measured 22s on 600k lineitem rows
-(32 cores) and scales with rows × columns. Instead:
+Plan shape: a multi-column COUNT(DISTINCT) takes Catalyst's Expand
+rewrite — each input row replicated once per distinct aggregate with
+the full n_cols-wide null-slotted tuple as the partial-agg key —
+which measured 22s on 600k lineitem rows (32 cores) and scales with
+rows × columns. Neither mode plans it:
 
-- `exact_distinct=True`: a UNION of per-column single-distinct
-  aggregates, each over a column-PRUNED scan — total IO equals one
-  full-table scan (parquet reads each column once across the union),
-  each branch is the clean two-level partial-distinct plan, branches
-  parallelize as independent stages, and NO Expand appears anywhere
-  (plan-pinned). Same 600k-row profile: 3.4s. Exact is the
-  oracle-gradeable mode.
-- `exact_distinct=False`: the 100 TB setting — each distinct count is
-  a mergeable HyperLogLog++ sketch (`approx_count_distinct`) inside
-  the single-scan aggregate; one pass, map-side partials only.
+- `exact_distinct=True` (r18 fold): a UNION of per-column branches,
+  each over a column-PRUNED scan — total IO equals ONE full-table
+  scan (parquet reads each column exactly once across the union).
+  Each branch groups its column into the (value, count) distinct
+  relation it needs for the exact distinct count anyway, then derives
+  the WHOLE stat row from that relation: n_rows = sum(count),
+  n_nulls = the null group's count, n_distinct = the non-null group
+  count, min/max = extrema of the group keys (== row-level extrema —
+  both ignore NULLs, and a multiset's extrema equal its support's).
+  Branches parallelize as independent stages, NO Expand appears
+  anywhere (plan-pinned), and — unlike the pre-r18 shape — there is
+  no extra all-columns stats scan and no re-attach join. Exact is
+  the oracle-gradeable mode.
+- `exact_distinct=False`: the 100 TB setting — one single-scan global
+  aggregate (4 stat expressions per column, map-side partials only),
+  each distinct count a mergeable HyperLogLog++ sketch
+  (`approx_count_distinct`), the 1-row result exploded into the
+  (column_name, stats...) relation — driver-free, collect-free.
 
 Typed min/max: numbers surface as DOUBLE (no arithmetic, so no
 rounding to drift cross-engine), timestamps as exact integer epoch
@@ -87,6 +91,69 @@ def table_profile(
     def null_long(dtype: str) -> Column:
         return F.lit(None).cast(dtype)
 
+    if exact_distinct:
+        # r18 fold (guide §6.1 — total IO halved, 2 full scans -> 1):
+        # each column's ENTIRE stat row is derived from its own
+        # distinct-value relation groupBy(c) -> (value, count), which
+        # the exact-distinct branch had to build anyway: n_rows is
+        # sum(count), n_nulls the null group's count, n_distinct the
+        # number of non-null groups, min/max the extrema of the group
+        # keys (identical to row-level extrema — both ignore NULLs,
+        # and a multiset's min/max equal its support's). The former
+        # shape ran an EXTRA all-columns scan for the non-distinct
+        # stats and broadcast-joined it back; that scan, its exchange
+        # and the join are gone, and the per-branch plan still has no
+        # Expand and still reads exactly one column per scan.
+        parts: list[DataFrame] = []
+        for c in cols:
+            k = kinds[c]
+            g = df.groupBy(F.col(c).alias("_v")).agg(
+                F.count(F.lit(1)).alias("_n")
+            )
+            lo, hi = F.min(F.col("_v")), F.max(F.col("_v"))
+            if k == "time":
+                lo, hi = (
+                    F.unix_micros(lo.cast("timestamp")),
+                    F.unix_micros(hi.cast("timestamp")),
+                )
+            row = g.agg(
+                F.coalesce(F.sum("_n"), F.lit(0).cast("bigint")).alias(
+                    "n_rows"
+                ),
+                F.sum(
+                    F.when(F.col("_v").isNull(), F.col("_n")).otherwise(
+                        F.lit(0)
+                    )
+                ).alias("n_nulls"),
+                F.count(F.col("_v")).alias("n_distinct"),
+                (
+                    lo.cast("double") if k == "num" else null_long("double")
+                ).alias("min_num"),
+                (
+                    hi.cast("double") if k == "num" else null_long("double")
+                ).alias("max_num"),
+                (lo if k == "time" else null_long("bigint")).alias("min_us"),
+                (hi if k == "time" else null_long("bigint")).alias("max_us"),
+                (lo if k == "str" else null_long("string")).alias("min_str"),
+                (hi if k == "str" else null_long("string")).alias("max_str"),
+            ).select(
+                F.lit(c).alias("column_name"),
+                "n_rows",
+                "n_nulls",
+                "n_distinct",
+                "min_num",
+                "max_num",
+                "min_us",
+                "max_us",
+                "min_str",
+                "max_str",
+            )
+            parts.append(row)
+        out = parts[0]
+        for p_ in parts[1:]:
+            out = out.unionByName(p_)
+        return out.orderBy("column_name")
+
     aggs: list[Column] = [F.count(F.lit(1)).alias("_n_rows")]
     for c in cols:
         k = kinds[c]
@@ -109,11 +176,10 @@ def table_profile(
             (lo if k == "str" else null_long("string")).alias("min_str"),
             (hi if k == "str" else null_long("string")).alias("max_str"),
         ]
-        if not exact_distinct:
-            fields.insert(
-                1,
-                F.approx_count_distinct(c).cast("bigint").alias("n_distinct"),
-            )
+        fields.insert(
+            1,
+            F.approx_count_distinct(c).cast("bigint").alias("n_distinct"),
+        )
         aggs.append(F.struct(*fields).alias(f"_s_{c}"))
 
     one = df.agg(*aggs)
@@ -132,11 +198,7 @@ def table_profile(
         F.col("p.column_name").alias("column_name"),
         F.col("_n_rows").alias("n_rows"),
         F.col("p.s.n_nulls").alias("n_nulls"),
-        *(
-            [F.col("p.s.n_distinct").alias("n_distinct")]
-            if not exact_distinct
-            else []
-        ),
+        F.col("p.s.n_distinct").alias("n_distinct"),
         F.col("p.s.min_num").alias("min_num"),
         F.col("p.s.max_num").alias("max_num"),
         F.col("p.s.min_us").alias("min_us"),
@@ -144,33 +206,7 @@ def table_profile(
         F.col("p.s.min_str").alias("min_str"),
         F.col("p.s.max_str").alias("max_str"),
     )
-    if exact_distinct:
-        # per-column pruned-scan single-distinct branches: total IO ==
-        # one full scan, each branch the clean two-level
-        # partial-distinct plan, no Expand (see module docstring)
-        parts = [
-            df.agg(F.countDistinct(F.col(c)).alias("n_distinct")).select(
-                F.lit(c).alias("column_name"), "n_distinct"
-            )
-            for c in cols
-        ]
-        dcounts = parts[0]
-        for p_ in parts[1:]:
-            dcounts = dcounts.unionByName(p_)
-        base = base.join(F.broadcast(dcounts), "column_name")
-    order = [
-        "column_name",
-        "n_rows",
-        "n_nulls",
-        "n_distinct",
-        "min_num",
-        "max_num",
-        "min_us",
-        "max_us",
-        "min_str",
-        "max_str",
-    ]
-    return base.select(*order).orderBy("column_name")
+    return base.orderBy("column_name")
 
 
 def k_anonymity_report(

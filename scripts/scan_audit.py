@@ -79,12 +79,13 @@ _BASELINE_ITEMS: list[tuple[str, dict[str, tuple[int, str]]]] = [
         "orders": (2, "status filter branch + count branch"),
     }),
     ("referential_integrity_audit", {
+        # r18 full-outer restructure: each side of every FK edge is
+        # aggregated ONCE (dup counting folded into the same final
+        # aggregate), and the two customer-parent branches are
+        # plan-identical so ReuseExchange collapses them
         "lineitem": (3, "one pruned key-column scan per FK edge"),
-        "orders": (3, "parent for lineitem + child for customer + count"),
-        "customer": (2, "parent key + child count"),
-        "part": (2, "parent key + child count"),
-        "supplier": (2, "parent key + child count"),
-        "events": (2, "user-FK child + count"),
+        "orders": (2, "parent for lineitem + child for customer"),
+        "events": (1, "user-FK child"),
     }),
     ("engagement_vs_spend", {
         "events": (2, "sessions and engagement branches prune differently"),
@@ -116,12 +117,14 @@ _BASELINE_ITEMS: list[tuple[str, dict[str, tuple[int, str]]]] = [
     }),
     # --- triaged r13 session 2 (first full-registry run) ---
     ("lineitem_profile", {
-        "lineitem": (12, "the documented profile design: one stats scan "
-                         "+ one PRUNED single-column scan per profiled "
-                         "column beats a multi-distinct Expand")
+        "lineitem": (11, "the documented profile design: one PRUNED "
+                         "single-column scan per profiled column (r18 "
+                         "fold: the separate stats scan is gone) beats "
+                         "a multi-distinct Expand")
     }),
     ("orders_profile_drift", {
-        "orders": (12, "lineitem_profile's design over both drift zones")
+        "orders": (10, "lineitem_profile's r18-fold design over both "
+                       "drift zones (5 columns each)")
     }),
     ("nation_market_share", {
         "nation": (2, "25-row dim joined on customer and supplier sides")
@@ -340,9 +343,16 @@ for _name, _entry in _BASELINE_ITEMS:
 # `shuffle_over` list. New registrations have no prior and simply
 # seed next round's baseline.
 _SHUFFLE_REBASELINE: dict[str, str] = {
-    # (empty this round: the r15 doc_lm_perplexity rewrite cut
-    # documents scans 5->1 with executed shuffles measured FLAT at 9,
-    # so no rebaseline was needed)
+    # r18 width-heals (operators/spread.py): each adds exactly ONE
+    # deliberate round-robin exchange right after a scan whose
+    # single-row-group layout otherwise serializes the map side onto
+    # one core; measured per-query wins in OPTIMIZATION_r18.md. On
+    # multi-row-group zones the gate never fires and the count
+    # returns to its prior.
+    "revenue_by_brand": "r18 width-heal: +1 pre-join exchange",
+    "bloom_pruned_revenue": "r18 width-heal: +1 pre-probe exchange",
+    "corpus_bpe_encode": "r18 width-heal: +1 pre-tokenize exchange",
+    "corpus_overlap_kmv": "r18 width-heal: +1 pre-shingle exchange",
 }
 
 # name -> (allowance, reason): queries whose EXECUTED shuffle count is

@@ -10,6 +10,8 @@ even when sf0.01 results stay correct.
 
 from __future__ import annotations
 
+import re
+
 from big_data_analytics_final_project_spark.plans import (
     assert_broadcast_join,
     assert_no_cartesian,
@@ -447,7 +449,8 @@ def test_reconciliation_full_outer_single_detail_scan(spark):
     detail aggregate feeds the join — no second fact pass), the join
     is genuinely FullOuter (both divergence sides survive), and the
     shuffle budget is the designed four: detail agg, orders side,
-    class agg, output sort."""
+    class agg, output sort (an r18 width-heal attempt here was
+    reverted — see the query docstring)."""
     df = _df(spark, "order_totals_reconciliation")
     plan = physical_plan(df)
     assert "FullOuter" in plan
@@ -456,13 +459,23 @@ def test_reconciliation_full_outer_single_detail_scan(spark):
     assert_no_cartesian(df)
 
 
-def test_integrity_audit_broadcasts_dimensions(spark):
-    """r7 FK audit: the four dimension-sided checks broadcast their
-    dim (customer twice, part, supplier) — the fact side never
-    shuffles for those joins. The fifth (fact→fact) edge may shuffle;
-    its probe side is pre-aggregated to distinct keys."""
+def test_integrity_audit_joins_aggregates_without_broadcasts(spark):
+    """r18 FK audit shape: every check joins its two per-key
+    aggregates with ONE full-outer SMJ (dup counting folded into the
+    same final aggregate — no crossJoin re-attach, no
+    BroadcastNestedLoopJoin, no second dimension aggregate), and no
+    broadcast appears anywhere (the former dim-key broadcasts were
+    unbounded at 100 TB). Budget: 5 checks x (2 groupBy exchanges +
+    1 single-row-agg exchange) = 15 static shuffles, 5 FullOuter
+    joins."""
     df = _df(spark, "referential_integrity_audit")
-    assert count_broadcasts(df) >= 4
+    plan = physical_plan(df)
+    # 5 join nodes (each also names FullOuter in its SMJ detail line,
+    # so count the join operator itself)
+    assert len(re.findall(r"Join FullOuter", plan)) == 5
+    assert count_broadcasts(df) == 0
+    assert "NestedLoop" not in plan
+    assert count_shuffles(df) <= 15
     assert_no_cartesian(df)
 
 

@@ -78,9 +78,10 @@ def test_no_expand_in_either_mode(frame):
     """The scale contract: NEITHER mode may take Catalyst's
     multi-distinct Expand rewrite (n_cols-wide null-slotted partial-agg
     keys — measured 22s on 600k lineitem rows before the per-column
-    union redesign). Exact mode plans one pruned-scan single-distinct
-    aggregate per column instead; approx mode is a single scan of HLL
-    partials."""
+    union redesign). Exact mode plans one pruned-scan per-column
+    branch over that column's (value, count) group relation (the r18
+    fold — no count(distinct) expression appears at all); approx mode
+    is a single scan of HLL partials."""
     exact = (
         table_profile(frame)._jdf.queryExecution().executedPlan().toString()
     )
@@ -92,8 +93,11 @@ def test_no_expand_in_either_mode(frame):
     )
     assert "Expand" not in exact
     assert "Expand" not in approx
-    # one distinct-agg branch per profiled column in exact mode
-    assert exact.count("count(distinct") >= 4
+    # the fold's shape: a Union of per-column branches, and no
+    # count(distinct ...) expression anywhere (each branch counts the
+    # non-null groups of its own distinct-value relation instead)
+    assert "Union" in exact
+    assert exact.count("count(distinct") == 0
 
 
 def test_approx_matches_exact_counts_at_test_cardinality(frame):
@@ -257,10 +261,12 @@ def test_k_anonymity_validates_columns(spark):
 
 
 def test_exact_distinct_branches_scan_one_column_each(spark):
-    """The 'total IO = one full scan' claim, pinned: the stats pass
-    reads exactly the profiled columns; every exact-distinct branch's
-    parquet scan reads exactly ONE column (column-pruned ReadSchema),
-    so summed across branches the union re-reads each column once."""
+    """The 'total IO = one full scan' claim, pinned: every exact-mode
+    branch's parquet scan reads exactly ONE column (column-pruned
+    ReadSchema), and there are exactly as many scans as profiled
+    columns — since the r18 fold there is NO extra all-columns stats
+    scan (each branch derives its full stat row from its own
+    distinct-value relation), so the union reads each column once."""
     import re
 
     df = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
@@ -273,5 +279,5 @@ def test_exact_distinct_branches_scan_one_column_each(spark):
     )
     schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     col_counts = sorted(len(s.split(",")) for s in schemas)
-    # one 3-column stats scan + three 1-column distinct scans
-    assert col_counts == [1, 1, 1, 3], schemas
+    # three 1-column branches, nothing else
+    assert col_counts == [1, 1, 1], schemas

@@ -74,7 +74,7 @@ def test_integrity_check_detects_injected_orphans(spark):
         "f_key: long",
     )
     row = _integrity_check(
-        "fact.f_key -> dim", fact, "f_key", dim, "d_key", True
+        "fact.f_key -> dim", fact, "f_key", dim, "d_key"
     ).collect()[0]
     assert row.fact_rows == 8
     assert row.null_keys == 2
@@ -92,7 +92,7 @@ def test_integrity_check_reports_duplicated_dim_keys(spark):
     )
     fact = spark.createDataFrame([(0,), (1,), (5,)], "f_key: long")
     row = _integrity_check(
-        "fact.f_key -> dim", fact, "f_key", dim, "d_key", True
+        "fact.f_key -> dim", fact, "f_key", dim, "d_key"
     ).collect()[0]
     assert row.fact_rows == 3  # NOT inflated by the 3x key-1 rows
     assert row.null_keys == 0
