@@ -297,6 +297,7 @@ def pcm16_stats(
     id_col: str = "media_id",
     payload_col: str = "payload",
     data_offset: int = 44,
+    pre_spread: bool = True,
 ) -> DataFrame:
     """REAL audio decode — not a stub: 16-bit PCM needs no codec, so
     the sample data after the 44-byte WAV header is decoded with
@@ -348,9 +349,16 @@ def pcm16_stats(
                 }
             )
 
-    return _spread(df.select(id_col, payload_col), id_col).mapInPandas(
-        batches, schema=PCM_STATS_SCHEMA
-    )
+    src = df.select(id_col, payload_col)
+    if pre_spread:
+        # pre_spread=False lets a caller that spread the SOURCE rows
+        # before an in-plan payload synthesis (queries/multimodal.py
+        # r18 pattern, first used by media_gif_pixels) chain decode in
+        # the same task set — the synthesized bytes never cross an
+        # exchange. Explicit caller contract, NOT the r17 runtime
+        # count-gate.
+        src = _spread(src, id_col)
+    return src.mapInPandas(batches, schema=PCM_STATS_SCHEMA)
 
 
 PNG_PIXEL_SCHEMA = T.StructType(
@@ -452,7 +460,10 @@ def decode_png_gray8(buf: bytes):
 
 
 def png_pixel_stats(
-    df: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    pre_spread: bool = True,
 ) -> DataFrame:
     """REAL image decode — not a stub: PNG's container needs no codec
     library, only the stdlib. Per file, inside Arrow-batched
@@ -490,9 +501,11 @@ def png_pixel_stats(
                 }
             )
 
-    return _spread(df.select(id_col, payload_col), id_col).mapInPandas(
-        batches, schema=PNG_PIXEL_SCHEMA
-    )
+    src = df.select(id_col, payload_col)
+    if pre_spread:
+        # see pcm16_stats: explicit already-spread caller contract
+        src = _spread(src, id_col)
+    return src.mapInPandas(batches, schema=PNG_PIXEL_SCHEMA)
 
 
 AVI_FRAME_SCHEMA = T.StructType(
@@ -513,7 +526,10 @@ AVI_FRAME_SCHEMA = T.StructType(
 
 
 def avi_frame_pixel_stats(
-    df: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    pre_spread: bool = True,
 ) -> DataFrame:
     """REAL video decode — not a stub: uncompressed 24-bit DIB frames
     in a RIFF/AVI container need no codec, so the video member of the
@@ -620,9 +636,11 @@ def avi_frame_pixel_stats(
                 }
             )
 
-    return _spread(df.select(id_col, payload_col), id_col).mapInPandas(
-        batches, schema=AVI_FRAME_SCHEMA
-    )
+    src = df.select(id_col, payload_col)
+    if pre_spread:
+        # see pcm16_stats: explicit already-spread caller contract
+        src = _spread(src, id_col)
+    return src.mapInPandas(batches, schema=AVI_FRAME_SCHEMA)
 
 
 def fake_decode_meta(

@@ -289,12 +289,18 @@ def media_wav_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     This closes the media family's loop: `media_wav_meta` proves the
     header parse, this proves the PAYLOAD decode — real decode where
     no codec is needed, with the same batch plumbing the env-gated
-    image/video decoders stub. Scale: map-only synthesis + one Arrow
-    hop per batch; stats are per-file, no shuffle until the output
-    sort."""
-    from ..operators.multimodal import pcm16_stats
+    image/video decoders stub. Scale: one keyed spread of the BARE
+    doc_id rows, then map-only synthesis + the Arrow hop in the same
+    task set (r18, the media_gif_pixels pattern: the synthesized
+    payload bytes never cross an exchange, and the byte-expression
+    synthesis — formerly serialized on the single scan task of a
+    narrow documents file — parallelizes); stats are per-file, no
+    shuffle until the output sort."""
+    from ..operators.multimodal import _spread, pcm16_stats
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(
+        load_table(spark, sf_dir, "documents").select("doc_id"), "doc_id"
+    )
     n = (F.col("doc_id") % 200 + 50).cast("bigint")
     # sample k: v = (doc_id*131 + k*7919) % 65536 − 32768; stored LE
     # int16 two's complement = (v mod 2^16) = (u + 32768) mod 2^16
@@ -334,7 +340,7 @@ def media_wav_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     synth = docs.select(
         F.col("doc_id").alias("media_id"), payload.alias("payload")
     )
-    return pcm16_stats(synth).orderBy("media_id")
+    return pcm16_stats(synth, pre_spread=False).orderBy("media_id")
 
 
 MEDIA_WAV_RMS_SQL = """
@@ -387,11 +393,16 @@ def media_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     The DuckDB oracle never touches the binary: it re-derives every
     stat from the pixel formula, so a hash match proves the byte
     framing, both checksums, the inflate, AND the unfiltering agree
-    pixel-for-pixel. Scale: map-only synthesis + one Arrow hop; stats
-    are per-file, no shuffle until the output sort."""
-    from ..operators.multimodal import png_pixel_stats
+    pixel-for-pixel. Scale: one keyed spread of the BARE doc_id rows,
+    then map-only synthesis + the Arrow hop in the same task set
+    (r18, the media_gif_pixels pattern — payload bytes never cross an
+    exchange); stats are per-file, no shuffle until the output
+    sort."""
+    from ..operators.multimodal import _spread, png_pixel_stats
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(
+        load_table(spark, sf_dir, "documents").select("doc_id"), "doc_id"
+    )
     doc_id = F.col("doc_id").cast("bigint")
     width = doc_id % 8 + 4
     height = doc_id % 6 + 3
@@ -471,7 +482,7 @@ def media_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     synth = docs.select(
         F.col("doc_id").alias("media_id"), payload.alias("payload")
     )
-    return png_pixel_stats(synth).orderBy("media_id")
+    return png_pixel_stats(synth, pre_spread=False).orderBy("media_id")
 
 
 MEDIA_PNG_PIXELS_SQL = """
@@ -532,9 +543,14 @@ def media_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     referenced by column; Catalyst's CollapseProject inlines them, so
     the executed plan is unchanged — byte-identical output, same
     whole-stage-codegen'd expressions, ~20x cheaper to build."""
-    from ..operators.multimodal import avi_frame_pixel_stats
+    from ..operators.multimodal import _spread, avi_frame_pixel_stats
 
-    docs = load_table(spark, sf_dir, "documents")
+    # r18, the media_gif_pixels pattern: spread the BARE doc_id rows
+    # BEFORE the payload synthesis so the byte-expression work
+    # parallelizes and the synthesized bytes never cross an exchange
+    docs = _spread(
+        load_table(spark, sf_dir, "documents").select("doc_id"), "doc_id"
+    )
 
     def le_var(expr: str, nbytes: int) -> str:
         """Little-endian hex SQL text for a nonneg integer expression
@@ -635,9 +651,9 @@ def media_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
       )
     ))"""
     synth = g.selectExpr("media_id", f"{payload_sql} AS payload")
-    # the operator's pre-decode spread parallelizes the CPU-bound
-    # Arrow hop (a small documents file arrives as ONE input split)
-    return avi_frame_pixel_stats(synth).orderBy("media_id", "frame_idx")
+    return avi_frame_pixel_stats(synth, pre_spread=False).orderBy(
+        "media_id", "frame_idx"
+    )
 
 
 MEDIA_AVI_FRAMES_SQL = """
