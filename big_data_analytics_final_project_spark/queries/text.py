@@ -111,8 +111,18 @@ ORDER BY doc_id
 
 def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality scoring (length band + character mix +
-    stopword ratio) — the classic pre-training filter shape."""
-    docs = load_table(spark, sf_dir, "documents")
+    stopword ratio) — the classic pre-training filter shape.
+
+    r18: the corpus scan is width-healed (operators/spread.py, guide
+    §2.5) — the scoring expressions are real per-row tokenize/regex
+    work, and the global doc_id sort's range-sampling pass executes
+    the projection a second time, so on a single-row-group zone file
+    BOTH passes ran serially on one task (2 x 0.4s of the query's
+    1.2s at sf0.1/32 cores). The heal moves the raw text once;
+    multi-row-group zones: no-op."""
+    from ..operators.spread import heal_scan_width
+
+    docs = heal_scan_width(load_table(spark, sf_dir, "documents"))
     toks = tokens(F.col("text"))
     n = F.size(toks)
     length_score = F.when((n >= 20) & (n <= 5000), F.lit(1.0)).otherwise(F.lit(0.5))
@@ -288,7 +298,14 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole document per element (measured: 65s at sf0.1; staged: ~2s).
     The bigram build guards n<2 explicitly — Spark's sequence(1, 0)
     would helpfully count DOWN."""
-    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.spread import heal_scan_width
+
+    # r18: width-heal (operators/spread.py, guide §2.5) — the HOF
+    # repetition metrics are heavy per-row work and the global sort's
+    # range-sampling pass evaluates the projection twice, all of it
+    # serialized on a single-row-group zone file's one task before
+    # the heal. Multi-row-group zones: no-op.
+    docs = heal_scan_width(load_table(spark, sf_dir, "documents"))
     staged = docs.select(
         "doc_id",
         F.split(F.col("text"), "\n").alias("lines"),
