@@ -52,71 +52,76 @@ class QuerySpec:
 #
 # Round-17 instance — ROTATION WINDOW + THE EMBEDDINGS-TRIO DRAIN
 # (first two of three). The forced set (49) is the staleness sweep
-# the manifest flagged entering r17 (the r14-green names aging out),
-# the round's one new registration (purchase_pit_order_status — the
-# point-in-time SCD2 feature join, the r17 queue slot,
-# authored+parity-tested r14), and this round's fingerprint-forced
-# edits: ann_ivf and embedding_near_dup switched to the staged
-# 2-scan variants (operators/similarity_staged.py — a SIBLING module
-# precisely so the deep fingerprints cascade ONLY into these two
-# already-in-window names; editing similarity.py itself would have
-# forced knn_bruteforce/ann_hyperplane_lsh/media_feature_knn over
-# the 50-slot ceiling). dedup_semantic_clusters keeps the lazy shape
-# until the r19 similarity rotation carries its matching drain. The
-# 1 remaining slot takes the oldest-green backfill name.
+# r18 (optimization round 2/2): the OPERATOR-EDIT CASCADE round. The
+# round's rewrites live in shared operator modules (multimodal's
+# media revert + pre-synthesis spread, dedup's jaccard drain, bpe's
+# two-level training, lm's lazy checkpoints + broadcast gate,
+# profile's stats fold, spread.py's heal imported by batch/text/
+# bloomjoin consumers), so the deep fingerprints force 47 queries —
+# every one of them is in this window (the r17 verdict's #3:
+# changed-but-unverified code must not ship again; that covers
+# doc_lm_perplexity, corpus_bpe_encode/merges, zone_zorder_prune,
+# embedding_kmeans, ann_ivf — the r17 post-freeze rewrites now
+# driver-graded on final code). The 3 remaining slots take the
+# stalest due names. 44 r15-green entries are scheduled debt for the
+# r19 rotation (the manifest CLI's overflow/recovery sections show
+# the debt clearing; its one-round lookahead gate necessarily reads
+# over-budget this round — an optimization round that touches 7
+# operator modules cannot also retire a 47-entry staleness cohort in
+# the same 50 slots).
 GRADING_PRIORITY: tuple[str, ...] = (
-    # -- forced: stale + new/changed this round --
+    # -- forced: every fingerprint-changed query this round --
+    "ann_hyperplane_lsh",
     "ann_ivf",
+    "binary_meta",
     "bloom_pruned_revenue",
-    "clicks_before_purchase",
-    "concurrent_sessions_peak",
-    "conversion_funnel",
-    "corpus_bigram_topk",
+    "corpus_bpe_encode",
     "corpus_bpe_merges",
+    "corpus_curation_report",
     "corpus_overlap_kmv",
-    "corpus_pack_bins",
-    "corpus_vocab_topk",
-    "customer_cohort_setops",
-    "customer_order_distribution",
+    "customer_k_anonymity",
     "customer_spend_deciles",
-    "customer_status_scd2",
-    "daily_active_users",
-    "daily_active_users_approx",
-    "doc_bpe_token_stats",
-    "doc_fingerprint",
-    "doc_lang_id",
-    "doc_pii_scrub",
-    "doc_sample_stratified",
-    "doc_top_keywords",
-    "dominant_part_suppliers",
+    "dedup_clusters",
+    "dedup_exact",
+    "dedup_incremental",
+    "dedup_jaccard_collapsed",
+    "dedup_jaccard_pairs",
+    "dedup_minhash_lsh",
+    "dedup_overlap_pairs",
+    "dedup_semantic_clusters",
+    "dedup_simhash",
+    "doc_dedup_survivors",
+    "doc_lm_perplexity",
+    "doc_quality_score",
+    "doc_repetition_stats",
+    "doc_unigram_entropy",
+    "embedding_kmeans",
     "embedding_near_dup",
-    "engagement_spend_correlation",
-    "engagement_vs_spend",
-    "event_type_pivot",
-    "events_gap_filled_hourly",
-    "events_props_parse",
-    "events_sliding_2h",
-    "events_tumbling_hourly",
-    "international_revenue",
+    "knn_bruteforce",
+    "lineitem_profile",
+    "media_avi_frames",
+    "media_feature_knn",
+    "media_frame_sample",
+    "media_gif_pixels",
+    "media_png_dims",
     "media_png_pixels",
-    "nested_order_items",
-    "order_cart_map",
-    "order_price_quantiles_approx",
+    "media_wav_meta",
+    "media_wav_rms",
     "order_totals_reconciliation",
-    "orders_status_priority_cube",
-    "purchase_last_click_matched",
-    "purchase_pit_order_status",
+    "orders_profile_drift",
+    "pricing_summary",
+    "pricing_summary_sparksql",
     "referential_integrity_audit",
-    "segment_counts",
-    "top_order_per_customer",
-    "top_spenders",
-    "user_event_runs",
-    "user_events_lookup",
-    "user_rolling_7d_spend",
-    "weekly_retention",
+    "report_csv_roundtrip",
+    "revenue_by_brand",
+    "revenue_by_brand_salted",
+    "revenue_by_brand_sparksql",
     "zone_roundtrip_daily",
-    # -- oldest-green backfill --
-    "also_bought_pairs",
+    "zone_zorder_prune",
+    # -- stalest-due backfill --
+    "corpus_mix_plan",
+    "corpus_split_assign",
+    "customer_order_history",
     # ---- driver's 50-entry window ends here ----
 )
 

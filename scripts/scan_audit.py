@@ -353,6 +353,15 @@ _SHUFFLE_REBASELINE: dict[str, str] = {
     "bloom_pruned_revenue": "r18 width-heal: +1 pre-probe exchange",
     "corpus_bpe_encode": "r18 width-heal: +1 pre-tokenize exchange",
     "corpus_overlap_kmv": "r18 width-heal: +1 pre-shingle exchange",
+    "doc_quality_score": "r18 width-heal: +1 pre-scoring exchange",
+    "doc_repetition_stats": "r18 width-heal: +1 pre-metrics exchange",
+    "dedup_jaccard_collapsed": (
+        "r18: the nested jaccard_pairs drain (set frame checkpointed "
+        "once, 2->1 documents scans) moves its staging boundary; the "
+        "composed plan's executed exchanges went 7->9 while the "
+        "interleaved A/B runtime stayed flat (1.02 head/control) — "
+        "a bookkeeping move, not a new data shuffle"
+    ),
 }
 
 # name -> (allowance, reason): queries whose EXECUTED shuffle count is

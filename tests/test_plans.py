@@ -122,7 +122,11 @@ def test_sliding_window_single_agg_shuffle(spark):
 
 def test_text_queries_scan_once_no_shuffle(spark):
     """Per-document text analytics are single-scan, shuffle-free until
-    the output sort — embarrassingly parallel at 100 TB."""
+    the output sort — embarrassingly parallel at 100 TB. Two of them
+    (quality score, repetition stats) carry the r18 width-heal's
+    round-robin exchange, which fires only on degenerate
+    single-row-group layouts (operators/spread.py) — so their budget
+    is the ORDER BY plus at most that one heal exchange."""
     for name in (
         "doc_token_stats",
         "doc_quality_score",
@@ -132,7 +136,10 @@ def test_text_queries_scan_once_no_shuffle(spark):
         "doc_pii_scrub",
     ):
         df = _df(spark, name)
-        assert count_shuffles(df) <= 1, name  # the ORDER BY only
+        budget = (
+            2 if name in ("doc_quality_score", "doc_repetition_stats") else 1
+        )
+        assert count_shuffles(df) <= budget, name
         assert count_scans(df) == 1, name
 
 
